@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full physical
+execution, no driver-side collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from nfl26_bigdatabowl_prediction_spark.plans.registry import QUERIES
+    from nfl26_bigdatabowl_prediction_spark.session import get_spark
+
+    spark = get_spark(app_name="nfl26-bench")
+
+    # JVM/codegen warmup on a trivial action so query timings measure
+    # the plan, not classloading.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    headline = [name for name in sorted(QUERIES) if name in HEADLINE] or sorted(QUERIES)
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+# Headline set: one per operator family (SURVEY.md §2); grows as
+# batches land.  Unknown names are ignored so this list can lead the
+# implementation.
+HEADLINE = {
+    "q_groupby_multi",
+    "q_join_inner",
+    "q_join_left",
+    "q_rmse",
+    "q_topn_global",
+    "q_distinct_agg",
+    "q_rollup",
+    "q_lag",
+    "q_rolling",
+    "q_ewm",
+    "q_topk_per_group",
+    "q_asof",
+    "q_gnn_lite",
+    "q_pairwise",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_embed_cosine_topk",
+}
+
+if __name__ == "__main__":
+    sys.exit(main())

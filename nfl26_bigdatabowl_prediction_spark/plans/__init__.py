@@ -1,0 +1,1 @@
+from .registry import QUERIES, ORACLES  # noqa: F401

@@ -1,0 +1,29 @@
+"""Central query registry.
+
+Every plan module contributes ``QUERIES`` (name → callable(spark,
+sf_dir) → DataFrame) and ``ORACLES`` (name → DuckDB SQL twin).  The
+driver contract (``__spark_entry__.py``) and the local differential
+test (`tests/test_oracle.py`) both read from here, so a query is
+"done" exactly when it appears in this registry with a passing twin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _merge(module) -> None:
+    for name, fn in module.QUERIES.items():
+        assert name not in QUERIES, f"duplicate query id {name}"
+        QUERIES[name] = fn
+    ORACLES.update(module.ORACLES)
+
+
+from . import relational  # noqa: E402
+
+_merge(relational)

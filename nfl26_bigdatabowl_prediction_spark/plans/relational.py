@@ -1,0 +1,736 @@
+"""Relational operator suite over the star schema (SURVEY.md §2).
+
+Each query re-expresses one reference operator as a declarative Spark
+plan, with a DuckDB oracle twin.  Determinism rules used throughout
+(so the driver's order-insensitive value-hash matches bitwise):
+
+* Money/measure aggregates go through exact int64 "cents" sums
+  (``functions.scalar.cents``) — double summation order is
+  nondeterministic on every parallel engine, int64 summation is not.
+* Per-row scalar arithmetic (a*b, a-b, /, sqrt) is IEEE-deterministic
+  and needs no rounding.
+* libm-backed fns (exp/sin/cos/atan2) are rounded to 6 decimals on
+  both sides (JVM StrictMath vs C libm may differ in the last ulp).
+* Timestamps are emitted as formatted strings (engine-native epoch
+  conversion depends on session timezone).
+* Every window order carries a unique tiebreaker column.
+
+Scale notes are attached per query: what Catalyst pushes down, which
+joins broadcast, where the shuffle lands at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from ..functions.scalar import cents, clip, dummy, make_id
+from ..sources.io import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# §2.4 A2 — multi-aggregate groupBy with named outputs (flagship).
+# Reference: main_cuda.py:365-380 (14 named aggs over the neighbor table).
+# Expressed as the TPC-H-Q1-shaped pricing summary over lineitem.
+# Scale: map-side partial aggregation on (returnflag, linestatus) — 6
+# groups — so the shuffle moves ~6 rows per task regardless of input
+# size; the parquet scan prunes to 7 of 11 columns and pushes the
+# shipdate predicate down to the row-group stats.
+# --------------------------------------------------------------------------
+@q(
+    "q_groupby_multi",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+           SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS sum_disc_price,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) / 100.0 AS sum_charge,
+           SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / COUNT(*) / 100.0 AS avg_qty,
+           SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / COUNT(*) / 100.0 AS avg_price,
+           SUM(CAST(round(l_discount * 10000, 0) AS BIGINT)) / COUNT(*) / 10000.0 AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    g = (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("_qc"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("_bc"),
+            F.sum(cents(disc_price)).alias("_dc"),
+            F.sum(cents(charge)).alias("_cc"),
+            F.sum(F.round(F.col("l_discount") * 10000, 0).cast("bigint")).alias("_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("_qc") / 100.0).alias("sum_qty"),
+        (F.col("_bc") / 100.0).alias("sum_base_price"),
+        (F.col("_dc") / 100.0).alias("sum_disc_price"),
+        (F.col("_cc") / 100.0).alias("sum_charge"),
+        (F.col("_qc") / F.col("count_order") / 100.0).alias("avg_qty"),
+        (F.col("_bc") / F.col("count_order") / 100.0).alias("avg_price"),
+        (F.col("_disc") / F.col("count_order") / 10000.0).alias("avg_disc"),
+        "count_order",
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.1 S6 — parquet scan with projection (column pruning at the scan).
+# --------------------------------------------------------------------------
+@q(
+    "q_scan_parquet",
+    "SELECT event_id, user_id, event_type, value FROM events",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.1 S1/S4 — CSV sink + schema'd CSV scan round-trip (reference reads
+# weekly CSVs, main_cuda.py:120-123, and writes the submission CSV,
+# main_cuda.py:1541).  Explicit schema = single-pass production read.
+# --------------------------------------------------------------------------
+@q("q_scan_csv", "SELECT r_regionkey, r_name FROM region")
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile, os
+
+    path = os.path.join(tempfile.gettempdir(), "nfl26_csv_roundtrip_region")
+    table(spark, sf_dir, "region").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+# --------------------------------------------------------------------------
+# §2.2 P1 — projection with per-row derived column (main_cuda.py:302-304).
+# Per-row double arithmetic is IEEE-deterministic: no rounding needed.
+# --------------------------------------------------------------------------
+@q(
+    "q_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2 P3 — range predicates (main_cuda.py:336-338).  Both predicates
+# reach the parquet scan as PushedFilters.
+# --------------------------------------------------------------------------
+@q(
+    "q_filter_range",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity >= 10 AND l_quantity <= 30 AND l_discount > 0.02
+    """,
+)
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 30)
+        & (F.col("l_discount") > 0.02)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+# --------------------------------------------------------------------------
+# §2.2 P5 — finiteness predicate (main_cuda.py:335).  NaN manufactured
+# via sqrt(<0) exactly as numpy does; Spark aggs skip NULL not NaN, so
+# production code normalizes NaN→NULL with nanvl (SURVEY §4).
+# --------------------------------------------------------------------------
+@q(
+    "q_filter_finite",
+    """
+    SELECT event_id, root FROM (
+        SELECT event_id,
+               CASE WHEN value < 100.0 THEN CAST('nan' AS DOUBLE)
+                    ELSE sqrt(value - 100.0) END AS root
+        FROM events)
+    WHERE NOT isnan(root) AND root IS NOT NULL
+    """,
+)
+def q_filter_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NaN injected explicitly (DuckDB raises on sqrt(<0); numpy/Spark
+    # return NaN — same downstream semantics either way).
+    ev = table(spark, sf_dir, "events")
+    root = F.when(
+        F.col("value") < 100.0, F.lit(float("nan"))
+    ).otherwise(F.sqrt(F.col("value") - 100.0))
+    return (
+        ev.select("event_id", root.alias("root"))
+        .filter(~F.isnan(F.col("root")) & F.col("root").isNotNull())
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2 P6/P7 — null-drop and constant imputation (main_cuda.py:1454-1457).
+# --------------------------------------------------------------------------
+@q(
+    "q_fill",
+    """
+    SELECT event_id,
+           COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 0.0) AS value_filled,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS was_null
+    FROM events
+    """,
+)
+def q_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    nullable = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    return ev.select(
+        "event_id",
+        F.coalesce(nullable, F.lit(0.0)).alias("value_filled"),
+        dummy(F.col("event_type"), "error").alias("was_null"),
+    )
+
+
+@q(
+    "q_dropna",
+    """
+    SELECT event_id, value
+    FROM (SELECT event_id,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+          FROM events)
+    WHERE value IS NOT NULL
+    """,
+)
+def q_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    nullable = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    return ev.select("event_id", nullable.alias("value")).na.drop(subset=["value"])
+
+
+# --------------------------------------------------------------------------
+# §2.2 P9 — clamp to field bounds (main_cuda.py:437-438: np.clip to
+# [0,120] × [0,53.3]).
+# --------------------------------------------------------------------------
+@q(
+    "q_clip",
+    """
+    SELECT event_id,
+           greatest(10.0, least(150.0, value)) AS value_clipped
+    FROM events
+    """,
+)
+def q_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id", clip(F.col("value"), 10.0, 150.0).alias("value_clipped"))
+
+
+# --------------------------------------------------------------------------
+# §2.2 P11 — casts (main_cuda.py:199-202, 429, 1458-1462).  double→int
+# goes through floor() because bare CAST truncates in Spark but rounds
+# in DuckDB.
+# --------------------------------------------------------------------------
+@q(
+    "q_cast",
+    """
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(floor(l_quantity) AS INTEGER) AS qty_int,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(l_linenumber AS DOUBLE) AS line_dbl
+    FROM lineitem
+    """,
+)
+def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity")).cast("int").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2 P12 — boolean→int one-hot encoding (main_cuda.py:199-202:
+# (player_role == 'Targeted Receiver').astype(int) ×4 roles).
+# --------------------------------------------------------------------------
+@q(
+    "q_dummy_encode",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_finished,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS is_low
+    FROM orders
+    """,
+)
+def q_dummy_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        dummy(F.col("o_orderstatus"), "O").alias("is_open"),
+        dummy(F.col("o_orderstatus"), "F").alias("is_finished"),
+        dummy(F.col("o_orderpriority"), "1-URGENT").alias("is_urgent"),
+        dummy(F.col("o_orderpriority"), "5-LOW").alias("is_low"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 F5 — string split + arithmetic ("6-2" → 74 inches,
+# main_cuda.py:147-153).  Synthetic height built from part columns so
+# the parse path (split, cast, arithmetic, default) is exercised.
+# --------------------------------------------------------------------------
+@q(
+    "q_str_parse",
+    """
+    SELECT p_partkey,
+           CAST(string_split(p_brand, '#')[2] AS INTEGER) AS brand_num,
+           CAST(string_split(CAST(p_size AS VARCHAR) || '-' || CAST(p_partkey % 12 AS VARCHAR), '-')[1] AS DOUBLE) * 12.0
+             + CAST(string_split(CAST(p_size AS VARCHAR) || '-' || CAST(p_partkey % 12 AS VARCHAR), '-')[2] AS DOUBLE) AS pseudo_inches
+    FROM part
+    """,
+)
+def q_str_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    height = F.concat_ws(
+        "-", F.col("p_size").cast("string"), (F.col("p_partkey") % 12).cast("string")
+    )
+    parts = F.split(height, "-")
+    return p.select(
+        "p_partkey",
+        F.split(F.col("p_brand"), "#").getItem(1).cast("int").alias("brand_num"),
+        (
+            parts.getItem(0).cast("double") * 12.0 + parts.getItem(1).cast("double")
+        ).alias("pseudo_inches"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 F6 + P9 — submission-row build: 4-part concat id + clipped
+# coordinates (main_cuda.py:1529-1541).
+# --------------------------------------------------------------------------
+@q(
+    "q_concat_id",
+    """
+    SELECT concat_ws('_', l_orderkey, l_suppkey, l_partkey, l_linenumber) AS id,
+           greatest(0.0, least(120.0, l_extendedprice / 1000.0)) AS x,
+           greatest(0.0, least(53.3, l_quantity)) AS y
+    FROM lineitem
+    """,
+)
+def q_concat_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        make_id("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber").alias("id"),
+        clip(F.col("l_extendedprice") / 1000.0, 0.0, 120.0).alias("x"),
+        clip(F.col("l_quantity"), 0.0, 53.3).alias("y"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2 P14 — distinct rows (nn-mps.py:571).
+# --------------------------------------------------------------------------
+@q(
+    "q_distinct",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# §2.6 O4 — union all of heterogeneous scans (18-week concat,
+# main_cuda.py:134-135) → unionByName.
+# --------------------------------------------------------------------------
+@q(
+    "q_union_all",
+    """
+    SELECT c_name AS entity_name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_name AS entity_name, s_acctbal AS acctbal, 'supplier' AS src FROM supplier
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("src"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("entity_name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("src"),
+    )
+    return c.unionByName(s)
+
+
+# --------------------------------------------------------------------------
+# §2.6 — set ops (not in reference; free coverage per SURVEY §2.6).
+# --------------------------------------------------------------------------
+@q(
+    "q_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (distinct) semantics, matching the SQL oracle
+
+
+@q(
+    "q_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+# --------------------------------------------------------------------------
+# §2.6 O1 — multi-key sort (main_cuda.py:209).  Timestamps emitted as
+# formatted strings (timezone-robust; see module docstring).
+# --------------------------------------------------------------------------
+@q(
+    "q_sort",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+    FROM lineitem
+    ORDER BY l_returnflag, l_orderkey, l_linenumber
+    """,
+)
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    ).orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# §2.6 — deterministic global top-N (sort + limit with full tiebreak).
+# At scale Spark executes this as TakeOrderedAndProject — no global
+# sort materialization.
+# --------------------------------------------------------------------------
+@q(
+    "q_topn_global",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_topn_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 J1 — equi inner join (scoring.py:48).  Catalyst picks
+# broadcast-hash when orders fits the threshold; at 100 TB both sides
+# are large → sort-merge with AQE skew handling.
+# --------------------------------------------------------------------------
+@q(
+    "q_join_inner",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
+           l.l_extendedprice * (1 - l.l_discount) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderstatus",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 J2/J5 — left join onto a pre-aggregated child + coalesce of the
+# null branch (main_cuda.py:422-428).  Aggregate-before-join keeps the
+# shuffled payload at one row per key.
+# --------------------------------------------------------------------------
+@q(
+    "q_join_left",
+    """
+    SELECT c.c_custkey,
+           COALESCE(a.order_cnt, 0) AS order_cnt,
+           COALESCE(a.tc, 0) / 100.0 AS total_spent
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS order_cnt,
+               SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS tc
+        FROM orders GROUP BY o_custkey
+    ) a ON c.c_custkey = a.o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(cents(F.col("o_totalprice"))).alias("tc"),
+        )
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce(F.col("order_cnt"), F.lit(0)).alias("order_cnt"),
+        (F.coalesce(F.col("tc"), F.lit(0)) / 100.0).alias("total_spent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 — left-semi / left-anti (the reference's get_group KeyError-skip
+# is a de-facto semi join, nn-mps.py:610-614).
+# --------------------------------------------------------------------------
+@q(
+    "q_semi",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """,
+)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    rich = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey"
+    )
+    return o.join(
+        rich, o.o_custkey == rich.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey")
+
+
+@q(
+    "q_anti",
+    """
+    SELECT o_orderkey, o_custkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+    """,
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    rich = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey"
+    )
+    return o.join(
+        rich, o.o_custkey == rich.c_custkey, "left_anti"
+    ).select("o_orderkey", "o_custkey")
+
+
+# --------------------------------------------------------------------------
+# §2.4 A14 / §3 E3 — the official metric as a query (scoring.py:10-52):
+# project → inner join on concat'd id → RMSE = sqrt(0.5*(MSEx+MSEy)).
+# Squared errors integer-scaled pre-sum for order-independence.
+# --------------------------------------------------------------------------
+@q(
+    "q_rmse",
+    """
+    WITH solution AS (
+        SELECT concat_ws('_', l_orderkey, l_linenumber) AS id,
+               l_extendedprice / 1000.0 AS x, l_quantity AS y
+        FROM lineitem
+    ), submission AS (
+        SELECT concat_ws('_', l_orderkey, l_linenumber) AS id,
+               l_extendedprice * (1 - l_discount) / 1000.0 AS x,
+               l_quantity * (1 + l_tax) AS y
+        FROM lineitem
+    )
+    SELECT round(sqrt(0.5 * (
+               SUM(CAST(round((s.x - p.x) * (s.x - p.x) * 1000000, 0) AS BIGINT)) / COUNT(*) / 1000000.0
+             + SUM(CAST(round((s.y - p.y) * (s.y - p.y) * 1000000, 0) AS BIGINT)) / COUNT(*) / 1000000.0
+           )), 6) AS rmse,
+           COUNT(*) AS n
+    FROM solution s JOIN submission p ON s.id = p.id
+    """,
+)
+def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sol = li.select(
+        make_id("l_orderkey", "l_linenumber").alias("id"),
+        (F.col("l_extendedprice") / 1000.0).alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    sub = li.select(
+        make_id("l_orderkey", "l_linenumber").alias("id"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) / 1000.0).alias("x"),
+        (F.col("l_quantity") * (1 + F.col("l_tax"))).alias("y"),
+    )
+    j = sol.alias("s").join(sub.alias("p"), "id", "inner")
+    sex = F.round(
+        (F.col("s.x") - F.col("p.x")) * (F.col("s.x") - F.col("p.x")) * 1000000, 0
+    ).cast("bigint")
+    sey = F.round(
+        (F.col("s.y") - F.col("p.y")) * (F.col("s.y") - F.col("p.y")) * 1000000, 0
+    ).cast("bigint")
+    return j.agg(
+        F.round(
+            F.sqrt(
+                0.5
+                * (
+                    F.sum(sex) / F.count(F.lit(1)) / 1000000.0
+                    + F.sum(sey) / F.count(F.lit(1)) / 1000000.0
+                )
+            ),
+            6,
+        ).alias("rmse"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 A9 — pivot long→wide (main_cuda.py:383-387).  Explicit value
+# list keeps the plan one-pass (no distinct-values pre-query).
+# --------------------------------------------------------------------------
+@q(
+    "q_pivot",
+    """
+    SELECT o_orderstatus,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p_urgent,
+           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p_high,
+           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p_medium,
+           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p_notspec,
+           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = piv.select(
+        "o_orderstatus",
+        F.coalesce(F.col("`1-URGENT`"), F.lit(0)).alias("p_urgent"),
+        F.coalesce(F.col("`2-HIGH`"), F.lit(0)).alias("p_high"),
+        F.coalesce(F.col("`3-MEDIUM`"), F.lit(0)).alias("p_medium"),
+        F.coalesce(F.col("`4-NOT SPECIFIED`"), F.lit(0)).alias("p_notspec"),
+        F.coalesce(F.col("`5-LOW`"), F.lit(0)).alias("p_low"),
+    )
+    return renamed
+
+
+# --------------------------------------------------------------------------
+# §2.4 — rollup (bonus coverage per SURVEY §2.4 last row).
+# --------------------------------------------------------------------------
+@q(
+    "q_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("_qc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            (F.col("_qc") / 100.0).alias("sum_qty"),
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 — exact distinct aggregation (bonus; approx_count_distinct is
+# the scale path but isn't oracle-comparable).
+# --------------------------------------------------------------------------
+@q(
+    "q_distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

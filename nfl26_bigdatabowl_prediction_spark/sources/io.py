@@ -1,0 +1,72 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S6).
+
+Reference behavior being re-expressed (all citations into /root/reference):
+  S1  pd.read_csv per weekly file            main_cuda.py:120-123
+  S2  multiprocessing.Pool scan + pd.concat  main_cuda.py:125-138
+  S4  df.to_csv sink                          main_cuda.py:1541
+  S6  pickled columnar intermediates          nn/data_npy/*.pkl
+
+Spark-first design: a glob path IS the parallel multi-file scan (each
+file split becomes a task; no process pool needed), and parquet
+replaces pickle for columnar intermediates.  At 100 TB the parquet
+reader's filter pushdown + column pruning are the difference between
+reading 100 TB and reading the 2 columns a query touches — so every
+loader here returns a *lazy* DataFrame and never caches eagerly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic test table (parquet is self-describing, so
+    no schema inference cost; Catalyst prunes columns at the scan).
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark rejects
+    by default; ``nanosAsLong`` reads it as int64 epoch-nanos.  That is
+    the representation we *want* at scale: pure integer time — exact
+    arithmetic, no session-timezone semantics, and identical to
+    DuckDB's ``epoch_ns(ts)`` for the oracle twin.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_csv_dir(
+    spark: SparkSession,
+    path_glob: str,
+    schema: T.StructType | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """S1+S2: multi-file CSV scan.
+
+    The reference fans 18 weekly files over a process pool and
+    concatenates (main_cuda.py:125-138); in Spark the glob path is the
+    parallel scan and the union is implicit.  Explicit schema for
+    production (one pass); ``infer=True`` for reference parity.
+    """
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path_glob)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S4 sink (main_cuda.py:1541).  ``single_file`` only for small
+    driver-side outputs (submission files); never at scale."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S6: columnar intermediate (replaces nn/data_npy pickles).
+    Partitioning by a coarse key enables partition pruning downstream."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
