@@ -1,0 +1,692 @@
+"""Window / sequence operator suite over `events` (SURVEY.md §2.5).
+
+The reference's core: per-trajectory lags, rolling stats, derivatives,
+EWMs, ranks, cumulative sums (main_cuda.py:208-233, main_mps.py:185-240,
+nn-mps.py:195-238).  `events` is the tracking-table analog (FIXTURES.md
+§5): user_id ↔ trajectory key, ts ↔ frame time, value ↔ measure.
+
+`ts` is int64 epoch-nanos (see sources.io.table) — exact integer time.
+Every window orders by (ts, event_id): the unique tiebreaker makes all
+rank/lag/frame results deterministic (SURVEY §7 "what's hard" — pandas
+rank(method='first') nondeterminism fixed by construction).
+
+Scale: all windows partition by user_id — one shuffle keyed on the
+trajectory key, then every per-trajectory operator (lag, rolling,
+diff, EWM, cumsum, top-K) runs inside the same sorted partition with
+no further exchange.  That partitioning reuse is the whole design: at
+100 TB you pay one sort-shuffle for the entire sequence-feature
+pipeline.  Skew = one hot user; bounded by trajectory length in the
+reference's domain (≤ a few hundred frames), so no salting needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources.io import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# DuckDB twins of the canonical trajectory window.
+DW = "PARTITION BY user_id ORDER BY epoch_ns(ts), event_id"
+DW_ROWS = f"{DW} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+DW_FULL = f"{DW} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _w():
+    return W.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def _cents(c):
+    return F.round(c * F.lit(100.0), 0).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# W2 — lag k (main_cuda.py:212-215: shift(lag) for lag 1..5 × 6 cols;
+# main_mps.py:185-188 extends to 1..8).  Representative k ∈ {1,2,3}.
+# --------------------------------------------------------------------------
+@q(
+    "q_lag",
+    f"""
+    SELECT event_id, user_id, value,
+           LAG(value, 1) OVER ({DW}) AS value_lag1,
+           LAG(value, 2) OVER ({DW}) AS value_lag2,
+           LAG(value, 3) OVER ({DW}) AS value_lag3
+    FROM events
+    """,
+)
+def q_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = _w()
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("value_lag1"),
+        F.lag("value", 2).over(w).alias("value_lag2"),
+        F.lag("value", 3).over(w).alias("value_lag3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lead (not used by the reference; trivial coverage per SURVEY §2.5).
+# --------------------------------------------------------------------------
+@q(
+    "q_lead",
+    f"""
+    SELECT event_id, user_id,
+           LEAD(value, 1) OVER ({DW}) AS value_lead1
+    FROM events
+    """,
+)
+def q_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lead("value", 1).over(_w()).alias("value_lead1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W3/W4/W13 — rolling mean/std/max/min over bounded row frames
+# (main_cuda.py:217-227: rolling(win, min_periods=1); main_mps.py:190-209
+# adds max/min and wins {3,5,7,10}).  min_periods=1 ⇒ the frame simply
+# shrinks at partition start — Spark/DuckDB row frames do the same.
+# stddev of a 1-row frame is NULL in both engines (pandas yields NaN;
+# SURVEY §4 normalizes NaN→NULL).  Mean/std rounded to 6: windowed
+# float aggregation order is engine-internal (segment trees).
+# --------------------------------------------------------------------------
+@q(
+    "q_rolling",
+    f"""
+    SELECT event_id, user_id,
+           round(avg(value) OVER ({DW} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll3_mean,
+           round(stddev_samp(value) OVER ({DW} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll3_std,
+           max(value) OVER ({DW} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll5_max,
+           min(value) OVER ({DW} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll5_min
+    FROM events
+    """,
+)
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w3 = _w().rowsBetween(-2, 0)
+    w5 = _w().rowsBetween(-4, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w3), 6).alias("roll3_mean"),
+        F.round(F.stddev_samp("value").over(w3), 6).alias("roll3_std"),
+        F.max("value").over(w5).alias("roll5_max"),
+        F.min("value").over(w5).alias("roll5_min"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W5/W6 — 1st and 2nd discrete derivative (main_cuda.py:229-231 diff;
+# main_mps.py:215,222-223 jerk = diff of diff).
+# --------------------------------------------------------------------------
+@q(
+    "q_diff",
+    f"""
+    SELECT event_id, user_id,
+           value - LAG(value, 1) OVER ({DW}) AS value_delta
+    FROM events
+    """,
+)
+def q_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value", 1).over(_w())).alias("value_delta"),
+    )
+
+
+@q(
+    "q_diff2",
+    f"""
+    SELECT event_id, user_id,
+           d1 - LAG(d1, 1) OVER ({DW}) AS value_delta2
+    FROM (
+        SELECT event_id, user_id, ts,
+               value - LAG(value, 1) OVER ({DW}) AS d1
+        FROM events
+    )
+    """,
+)
+def q_diff2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = _w()
+    d1 = (F.col("value") - F.lag("value", 1).over(w)).alias("d1")
+    inner = ev.select("event_id", "user_id", "ts", d1)
+    return inner.select(
+        "event_id",
+        "user_id",
+        (F.col("d1") - F.lag("d1", 1).over(_w())).alias("value_delta2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W12 — running cumulative sum (nn-mps.py:758: cumsum decoding of
+# predicted deltas).  Integer-scaled: running int64 sums are exact and
+# order-independent, so no rounding is needed.
+# --------------------------------------------------------------------------
+@q(
+    "q_cumsum",
+    f"""
+    SELECT event_id, user_id,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER ({DW_ROWS}) / 100.0 AS value_cumsum
+    FROM events
+    """,
+)
+def q_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = _w().rowsBetween(W.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(_cents(F.col("value"))).over(w) / 100.0).alias("value_cumsum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W9 — cumcount / frames_elapsed (nn-mps.py:235).
+# --------------------------------------------------------------------------
+@q(
+    "q_cumcount",
+    f"""
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER ({DW}) - 1 AS frames_elapsed
+    FROM events
+    """,
+)
+def q_cumcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.row_number().over(_w()) - 1).alias("frames_elapsed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W10 — normalize by group max (nn-mps.py:236-238:
+# transform(x / (x.max()+1))).  Max is a selection (exact); the
+# division is per-row IEEE — no rounding needed.
+# --------------------------------------------------------------------------
+@q(
+    "q_norm_by_max",
+    f"""
+    SELECT event_id, user_id,
+           value / (MAX(value) OVER (PARTITION BY user_id) + 1) AS value_norm
+    FROM events
+    """,
+)
+def q_norm_by_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.col("value") / (F.max("value").over(W.partitionBy("user_id")) + 1)
+        ).alias("value_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W11 — bounded trailing window: last-8-rows-per-trajectory
+# (nn-mps.py:616-623 group_df.tail(window_size)).  Spark ≥3.5 rewrites
+# rank-then-filter into WindowGroupLimit — no full sort of each group.
+# --------------------------------------------------------------------------
+@q(
+    "q_last_n",
+    f"""
+    SELECT event_id, user_id, value FROM (
+        SELECT event_id, user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn <= 8
+    """,
+)
+def q_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wd = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= 8)
+        .select("event_id", "user_id", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# W8 — top-K per group by rank-then-filter (main_cuda.py:344-347:
+# dist rank → rnk ≤ K).  Tie-broken by event_id (SURVEY §7).
+# --------------------------------------------------------------------------
+@q(
+    "q_topk_per_group",
+    f"""
+    SELECT user_id, event_id, value, rnk FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+        FROM events)
+    WHERE rnk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wv = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "value", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Ranking-function coverage (SURVEY §2.5 last row: "trivial to add").
+# --------------------------------------------------------------------------
+@q(
+    "q_rank_fns",
+    f"""
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER ({DW}) AS rn,
+           RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk,
+           NTILE(4) OVER ({DW}) AS quartile,
+           round(PERCENT_RANK() OVER ({DW}), 6) AS pct_rank
+    FROM events
+    """,
+)
+def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = _w()
+    wt = W.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wt).alias("rnk"),
+        F.dense_rank().over(wt).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 — last-row-per-group (main_cuda.py:306-310, 406-411, 1424-1428:
+# sort + groupby.tail(1) — the reference's most-repeated idiom).
+# --------------------------------------------------------------------------
+@q(
+    "q_last_per_group",
+    f"""
+    SELECT user_id, event_id AS last_event_id, value AS last_value, event_type AS last_type
+    FROM (
+        SELECT user_id, event_id, value, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wd = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W7 — EWM, adjust=False (main_mps.py:233-240; nn-mps.py:301-309).
+# The one operator with no Spark builtin (SURVEY §4, §7): y_0 = x_0,
+# y_t = α·x_t + (1−α)·y_{t−1}.  Implemented as a strict left fold
+# (`aggregate` HOF) over the time-ordered collected trajectory, then
+# re-exploded.  The DuckDB oracle runs the *identical* recurrence via
+# a recursive CTE, with identical double literals (0.3 / 0.7, not
+# 1−0.3) — so results are bitwise equal, no rounding needed.
+# Scale: one shuffle on user_id; trajectory arrays are bounded by
+# sequence length (reference domain: ≤ a few hundred frames/player),
+# so collect_list stays small; the recurrence is inherently sequential
+# per key — this is the honest parallel shape for EWM.
+# --------------------------------------------------------------------------
+@q(
+    "q_ewm",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER ({DW}) AS rn
+        FROM events
+    ), ewm_rec AS (
+        SELECT user_id, event_id, rn, value, value AS ewm03
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_id, b.rn, b.value,
+               0.3 * b.value + 0.7 * e.ewm03
+        FROM base b JOIN ewm_rec e ON b.user_id = e.user_id AND b.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, value, ewm03 FROM ewm_rec
+    """,
+)
+def q_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("traj")
+    )
+    # Left fold producing the EWM array in trajectory order.
+    ewm_arr = F.expr(
+        """
+        aggregate(
+            traj,
+            cast(array() as array<double>),
+            (acc, x) -> case
+                when size(acc) = 0 then array(cast(x.value as double))
+                else array_append(acc, 0.3d * x.value + 0.7d * element_at(acc, -1))
+            end
+        )
+        """
+    ).alias("ewm_arr")
+    arr = grouped.select(
+        "user_id",
+        F.expr("transform(traj, x -> x.event_id)").alias("ids"),
+        F.expr("transform(traj, x -> x.value)").alias("vals"),
+        ewm_arr,
+    )
+    z = arr.select(
+        "user_id",
+        F.explode(F.arrays_zip("ids", "vals", "ewm_arr")).alias("z"),
+    )
+    return z.select(
+        "user_id",
+        F.col("z.ids").alias("event_id"),
+        F.col("z.vals").alias("value"),
+        F.col("z.ewm_arr").alias("ewm03"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — grouped transform: group total broadcast back to rows
+# (main_cuda.py:351 transform('sum')).  Exact via integer scaling.
+# --------------------------------------------------------------------------
+@q(
+    "q_transform_sum",
+    f"""
+    SELECT event_id, user_id, value,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (PARTITION BY user_id) / 100.0 AS user_total
+    FROM events
+    """,
+)
+def q_transform_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            F.sum(_cents(F.col("value"))).over(W.partitionBy("user_id")) / 100.0
+        ).alias("user_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — per-side formation stats broadcast to rows (main_cuda.py:253-257:
+# groupby([game,play,side]).transform(mean/std/min/max)).  Partition =
+# (user_id, event_type).  Mean exact via ints; std rounded.
+# --------------------------------------------------------------------------
+@q(
+    "q_team_stats",
+    f"""
+    SELECT event_id, user_id, event_type,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (PARTITION BY user_id, event_type)
+             / COUNT(*) OVER (PARTITION BY user_id, event_type) / 100.0 AS grp_mean,
+           round(stddev_samp(value) OVER (PARTITION BY user_id, event_type), 6) AS grp_std,
+           MIN(value) OVER (PARTITION BY user_id, event_type) AS grp_min,
+           MAX(value) OVER (PARTITION BY user_id, event_type) AS grp_max
+    FROM events
+    """,
+)
+def q_team_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wp = W.partitionBy("user_id", "event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (
+            F.sum(_cents(F.col("value"))).over(wp)
+            / F.count(F.lit(1)).over(wp)
+            / 100.0
+        ).alias("grp_mean"),
+        F.round(F.stddev_samp("value").over(wp), 6).alias("grp_std"),
+        F.min("value").over(wp).alias("grp_min"),
+        F.max("value").over(wp).alias("grp_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 — softmax weights within group (main_cuda.py:350-352:
+# w = exp(-dist/τ), wn = w / sum(w), 0 if sum ≤ 0).  exp is libm ⇒
+# round(…, 6) on both sides.
+# --------------------------------------------------------------------------
+@q(
+    "q_softmax_group",
+    f"""
+    SELECT event_id, user_id,
+           round(exp(-value / 50.0) / SUM(exp(-value / 50.0)) OVER (PARTITION BY user_id), 6) AS wn
+    FROM events
+    """,
+)
+def q_softmax_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w_raw = F.exp(-F.col("value") / 50.0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(w_raw / F.sum(w_raw).over(W.partitionBy("user_id")), 6).alias("wn"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — conditional (filtered) aggregation (main_cuda.py:362-363,
+# 376-379: NaN-masked min/mean = FILTER-clause aggs).  Exact via
+# integer scaling + conditional counts.
+# --------------------------------------------------------------------------
+@q(
+    "q_cond_agg",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+             / NULLIF(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0) / 100.0 AS click_avg,
+           MIN(CASE WHEN event_type = 'error' THEN value END) AS err_min,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err_cnt,
+           COUNT(*) - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS non_err_cnt
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    is_click = F.col("event_type") == "click"
+    is_err = F.col("event_type") == "error"
+    g = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_click, _cents(F.col("value"))).otherwise(F.lit(0))).alias("_cc"),
+        F.sum(F.when(is_click, 1).otherwise(0)).alias("_cn"),
+        F.min(F.when(is_err, F.col("value"))).alias("err_min"),
+        F.sum(F.when(is_err, 1).otherwise(0)).alias("err_cnt"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return g.select(
+        "user_id",
+        (F.col("_cc") / F.nullif(F.col("_cn"), F.lit(0)) / 100.0).alias("click_avg"),
+        "err_min",
+        "err_cnt",
+        (F.col("_n") - F.col("err_cnt")).alias("non_err_cnt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A10 — group-mean imputation (nn-mps.py:575, 626-629: per-trajectory
+# mean fills NaNs).  Mean from exact int sums over non-null rows.
+# --------------------------------------------------------------------------
+@q(
+    "q_group_mean_impute",
+    """
+    SELECT event_id, user_id,
+           COALESCE(v,
+                    SUM(CASE WHEN v IS NOT NULL THEN CAST(round(v * 100, 0) AS BIGINT) END)
+                      OVER (PARTITION BY user_id)
+                    / COUNT(v) OVER (PARTITION BY user_id) / 100.0) AS value_imputed
+    FROM (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events)
+    """,
+)
+def q_group_mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    base = ev.select("event_id", "user_id", v.alias("v"))
+    wp = W.partitionBy("user_id")
+    grp_mean = (
+        F.sum(F.when(F.col("v").isNotNull(), _cents(F.col("v")))).over(wp)
+        / F.count("v").over(wp)
+        / 100.0
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("v"), grp_mean).alias("value_imputed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A12 — circular mean of angles (add.txt sin/cos-sum block):
+# atan2(mean(sin θ), mean(cos θ)).  value degrees-ified; libm ⇒ round 6.
+# --------------------------------------------------------------------------
+@q(
+    "q_circular_mean",
+    """
+    SELECT user_id,
+           round(atan2(AVG(sin(radians(value))), AVG(cos(radians(value)))), 6) AS circ_mean,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_circular_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(
+            F.atan2(
+                F.avg(F.sin(F.radians(F.col("value")))),
+                F.avg(F.cos(F.radians(F.col("value")))),
+            ),
+            6,
+        ).alias("circ_mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A13 — argmin within group with carried attributes (nn-mps.py:416-426:
+# nanargmin over masked dist; carry the neighbor's angle/speed).
+# row_number with explicit tiebreak = deterministic arg_min on any
+# engine (min_by/arg_min tie behavior is unspecified).
+# --------------------------------------------------------------------------
+@q(
+    "q_argmin",
+    """
+    SELECT user_id, event_id AS argmin_event_id, value AS min_value, event_type AS argmin_type
+    FROM (
+        SELECT user_id, event_id, value, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rn
+        FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wv = W.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("argmin_event_id"),
+            F.col("value").alias("min_value"),
+            F.col("event_type").alias("argmin_type"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J8/O2 — per-group ordered trajectory collection (nn-mps.py:578-591:
+# hand-rolled hash-join build of sorted target lists) →
+# array_sort(collect_list(struct)).  Values integer-scaled so the
+# array cells hash identically.
+# --------------------------------------------------------------------------
+@q(
+    "q_collect_traj",
+    f"""
+    SELECT user_id,
+           list(CAST(round(value * 100, 0) AS BIGINT) ORDER BY epoch_ns(ts), event_id) AS traj_c,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_collect_traj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))), "
+            "x -> cast(round(x.value * 100, 0) as bigint))"
+        ).alias("traj_c"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F11 bonus — JSON scalar extraction from the props column
+# (SURVEY §2.7 F11: free coverage; the reference has no JSON).
+# --------------------------------------------------------------------------
+@q(
+    "q_json",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -25,5 +25,7 @@ def _merge(module) -> None:
 
 
 from . import relational  # noqa: E402
+from . import events_windows  # noqa: E402
 
 _merge(relational)
+_merge(events_windows)
