@@ -5,7 +5,7 @@ EWMs, ranks, cumulative sums (main_cuda.py:208-233, main_mps.py:185-240,
 nn-mps.py:195-238).  `events` is the tracking-table analog (FIXTURES.md
 §5): user_id ↔ trajectory key, ts ↔ frame time, value ↔ measure.
 
-`ts` is int64 epoch-nanos (see sources.io.table) — exact integer time.
+`ts` is int64 epoch-micros (see sources.io.table) — exact integer time.
 Every window orders by (ts, event_id): the unique tiebreaker makes all
 rank/lag/frame results deterministic (SURVEY §7 "what's hard" — pandas
 rank(method='first') nondeterminism fixed by construction).
@@ -31,7 +31,7 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 # DuckDB twins of the canonical trajectory window.
-DW = "PARTITION BY user_id ORDER BY epoch_ns(ts), event_id"
+DW = "PARTITION BY user_id ORDER BY epoch_us(ts), event_id"
 DW_ROWS = f"{DW} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 DW_FULL = f"{DW} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
 
@@ -257,7 +257,7 @@ def q_norm_by_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT event_id, user_id, value FROM (
         SELECT event_id, user_id, value,
-               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         FROM events)
     WHERE rn <= 8
     """,
@@ -336,7 +336,7 @@ def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id AS last_event_id, value AS last_value, event_type AS last_type
     FROM (
         SELECT user_id, event_id, value, event_type,
-               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         FROM events)
     WHERE rn = 1
     """,
@@ -652,7 +652,7 @@ def q_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_collect_traj",
     f"""
     SELECT user_id,
-           list(CAST(round(value * 100, 0) AS BIGINT) ORDER BY epoch_ns(ts), event_id) AS traj_c,
+           list(CAST(round(value * 100, 0) AS BIGINT) ORDER BY epoch_us(ts), event_id) AS traj_c,
            COUNT(*) AS n_events
     FROM events
     GROUP BY user_id

@@ -26,6 +26,8 @@ def _merge(module) -> None:
 
 from . import relational  # noqa: E402
 from . import events_windows  # noqa: E402
+from . import trajectory  # noqa: E402
 
 _merge(relational)
 _merge(events_windows)
+_merge(trajectory)

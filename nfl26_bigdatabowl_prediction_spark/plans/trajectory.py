@@ -1,0 +1,578 @@
+"""Composed trajectory pipelines (SURVEY.md §2.3 J3/J4/J7, §2.10 M1/M3).
+
+These re-express the reference's *composite* operators — the ones that
+chain joins, windows, and aggregations — on the events analog
+(FIXTURES.md §5): user_id ↔ trajectory, hour-bucket(ts) ↔ frame,
+value ↔ coordinate, event_type ↔ player_side.
+
+Scale design notes:
+* The "frame" group key (hour bucket) bounds every self-join: the
+  pairwise join is equi on the bucket key, so it is a hash/sort-merge
+  join whose per-group fanout is |group|², exactly like the
+  reference's per-frame 22×22 matrices (add.txt comment: "keep
+  matrices tiny").  Catalyst never sees a cartesian product.
+* The GNN-lite chain reuses ONE partitioning (by ego key) across
+  rank → softmax → aggregate → pivot, so the whole feature block
+  costs a single shuffle after the join.
+* Float determinism: exp() is libm ⇒ softmax weights are rounded to
+  6 dp on both engines *before* they enter weighted sums, and the
+  weighted sums are integer-scaled (see plans/relational.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.portable import knuth_fold_expr, knuth_fold_sql
+from ..sources.io import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+HOUR_US = 3600 * 10**6
+RADIUS = 50.0  # neighbor radius (reference RADIUS=30 yd, main_cuda.py:336)
+K_NEIGH = 5  # top-K neighbors (reference K_NEIGH=6/5, main_cuda.py:344)
+TAU = 10.0  # softmax temperature (reference τ, main_cuda.py:350)
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _events(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+def _last_per_user(ev: DataFrame, input_only: bool = False) -> DataFrame:
+    """A1 last-row-per-group (main_cuda.py:306-310): the reference's
+    'state at the last observed frame'."""
+    if input_only:
+        ev = ev.filter(F.col("event_type") != "purchase")
+    wd = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
+_LAST_INPUT_CTE = """
+    last_input AS (
+        SELECT user_id, last_ts_us, last_event_id, last_value, last_type FROM (
+            SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+                   value AS last_value, event_type AS last_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events WHERE event_type <> 'purchase')
+        WHERE rn = 1
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# J7 — the as-of label build (main_cuda.py:404-431): every "output"
+# row (purchase events ↔ post-throw frames) pairs with the LAST
+# "input" row of its trajectory; Δt = output_time − last_input_time,
+# clipped at 0.  Left join keeps outputs whose trajectory has no
+# input rows (FIXTURES §3 null path).
+# --------------------------------------------------------------------------
+@q(
+    "q_asof",
+    f"""
+    WITH {_LAST_INPUT_CTE}
+    SELECT o.user_id, o.event_id, o.value AS target_value,
+           l.last_event_id, l.last_value,
+           greatest(0.0, (epoch_us(o.ts) - l.last_ts_us) / 1000000.0) AS delta_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') o
+    LEFT JOIN last_input l ON o.user_id = l.user_id
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.col("value").alias("target_value")
+    )
+    last = _last_per_user(ev, input_only=True).select(
+        "user_id", "last_ts", "last_event_id", "last_value"
+    )
+    j = out.join(last, "user_id", "left")
+    return j.select(
+        "user_id",
+        "event_id",
+        "target_value",
+        "last_event_id",
+        "last_value",
+        F.greatest(
+            F.lit(0.0), (F.col("ts") - F.col("last_ts")) / F.lit(1000000.0)
+        ).alias("delta_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# M3/M4 — constant-velocity physics baseline + residual label
+# (main_cuda.py:433-439, 1403-1406): rate from the last two input
+# frames, dead-reckon to each output time, clip to bounds, residual =
+# target − baseline.  Pure column arithmetic — IEEE-exact, no rounding.
+# --------------------------------------------------------------------------
+@q(
+    "q_physics_baseline",
+    f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events WHERE event_type <> 'purchase'
+    ), state AS (
+        SELECT l.user_id, l.ts_us AS last_ts_us, l.value AS last_value,
+               CASE WHEN p.ts_us IS NULL OR l.ts_us = p.ts_us THEN 0.0
+                    ELSE (l.value - p.value) / ((l.ts_us - p.ts_us) / 1000000.0)
+               END AS rate
+        FROM (SELECT * FROM base WHERE rn = 1) l
+        LEFT JOIN (SELECT * FROM base WHERE rn = 2) p ON l.user_id = p.user_id
+    )
+    SELECT o.user_id, o.event_id, o.value AS target_value,
+           greatest(0.0, least(400.0,
+               s.last_value + s.rate * greatest(0.0, (epoch_us(o.ts) - s.last_ts_us) / 1000000.0)
+           )) AS baseline,
+           o.value - greatest(0.0, least(400.0,
+               s.last_value + s.rate * greatest(0.0, (epoch_us(o.ts) - s.last_ts_us) / 1000000.0)
+           )) AS residual
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') o
+    JOIN state s ON o.user_id = s.user_id
+    """,
+)
+def q_physics_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    inp = ev.filter(F.col("event_type") != "purchase")
+    wd = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    base = inp.withColumn("rn", F.row_number().over(wd)).select(
+        "user_id", "ts", "event_id", "value", "rn"
+    )
+    last = base.filter(F.col("rn") == 1).select(
+        "user_id", F.col("ts").alias("last_ts"), F.col("value").alias("last_value")
+    )
+    prev = base.filter(F.col("rn") == 2).select(
+        "user_id", F.col("ts").alias("prev_ts"), F.col("value").alias("prev_value")
+    )
+    state = last.join(prev, "user_id", "left").select(
+        "user_id",
+        "last_ts",
+        "last_value",
+        F.when(
+            F.col("prev_ts").isNull() | (F.col("last_ts") == F.col("prev_ts")),
+            F.lit(0.0),
+        )
+        .otherwise(
+            (F.col("last_value") - F.col("prev_value"))
+            / ((F.col("last_ts") - F.col("prev_ts")) / F.lit(1000000.0))
+        )
+        .alias("rate"),
+    )
+    out = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.col("value").alias("target_value")
+    )
+    j = out.join(state, "user_id", "inner")
+    delta_s = F.greatest(
+        F.lit(0.0), (F.col("ts") - F.col("last_ts")) / F.lit(1000000.0)
+    )
+    pred = F.greatest(
+        F.lit(0.0), F.least(F.lit(400.0), F.col("last_value") + F.col("rate") * delta_s)
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        "target_value",
+        pred.alias("baseline"),
+        (F.col("target_value") - pred).alias("residual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — self-join neighbor expansion at the last frame
+# (main_cuda.py:313-323): each ego's last observed state × all events
+# in the same hour bucket from other users.
+# --------------------------------------------------------------------------
+@q(
+    "q_self_join",
+    f"""
+    WITH ego AS (
+        SELECT user_id, last_ts_us, last_value, bucket FROM (
+            SELECT user_id, epoch_us(ts) AS last_ts_us, value AS last_value,
+                   epoch_us(ts) // {HOUR_US} AS bucket,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1
+    )
+    SELECT e.user_id, n.user_id AS nb_user_id, n.event_id AS nb_event_id,
+           abs(e.last_value - n.value) AS dist
+    FROM ego e
+    JOIN (SELECT user_id, event_id, value, epoch_us(ts) // {HOUR_US} AS bucket
+          FROM events) n
+      ON e.bucket = n.bucket AND e.user_id <> n.user_id
+    """,
+)
+def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bucket = F.expr(f"ts div {HOUR_US}")
+    wd = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ego = (
+        ev.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            bucket.alias("bucket"),
+        )
+    )
+    nb = ev.select(
+        F.col("user_id").alias("nb_user_id"),
+        F.col("event_id").alias("nb_event_id"),
+        F.col("value").alias("nb_value"),
+        bucket.alias("bucket"),
+    )
+    j = ego.join(
+        nb, (ego.bucket == nb.bucket) & (ego.user_id != nb.nb_user_id), "inner"
+    )
+    return j.select(
+        "user_id",
+        "nb_user_id",
+        "nb_event_id",
+        F.abs(F.col("last_value") - F.col("nb_value")).alias("dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# The full GNN-lite neighbor-embedding block (main_cuda.py:301-398):
+# J3 self-join → P5/P3 finite+radius filters → W8 top-K rank →
+# A6 softmax(τ) weights → A2/A3/A7/A8 masked weighted aggs →
+# A9 pivot of d1..d3 → J6 join-back → P8 per-column fills.
+# One query proving operator composition end-to-end.
+# --------------------------------------------------------------------------
+@q(
+    "q_gnn_lite",
+    f"""
+    WITH ego AS (
+        SELECT user_id, last_value, last_type, bucket FROM (
+            SELECT user_id, value AS last_value, event_type AS last_type,
+                   epoch_us(ts) // {HOUR_US} AS bucket,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1
+    ), nb AS (
+        SELECT e.user_id, e.last_value, e.last_type,
+               n.event_id AS nb_event_id, n.value AS nb_value,
+               n.event_type AS nb_type,
+               abs(e.last_value - n.value) AS dist
+        FROM ego e
+        JOIN (SELECT user_id, event_id, value, event_type,
+                     epoch_us(ts) // {HOUR_US} AS bucket
+              FROM events) n
+          ON e.bucket = n.bucket AND e.user_id <> n.user_id
+        WHERE abs(e.last_value - n.value) > 0.000001
+          AND abs(e.last_value - n.value) <= {RADIUS}
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY dist ASC, nb_event_id ASC) AS rnk
+        FROM nb
+    ), topk AS (
+        SELECT * FROM ranked WHERE rnk <= {K_NEIGH}
+    ), weighted AS (
+        SELECT *,
+               round(exp(-dist / {TAU}) / SUM(exp(-dist / {TAU})) OVER (PARTITION BY user_id), 6) AS wn,
+               CASE WHEN nb_type = last_type THEN 1 ELSE 0 END AS is_ally
+        FROM topk
+    ), agg AS (
+        SELECT user_id,
+               COUNT(*) AS gnn_cnt,
+               SUM(is_ally) AS ally_cnt,
+               COUNT(*) - SUM(is_ally) AS opp_cnt,
+               SUM(CAST(round(nb_value * wn * 1000000, 0) AS BIGINT)) / 1000000.0 AS wmean_value,
+               MIN(CASE WHEN is_ally = 1 THEN dist END) AS min_dist_ally,
+               SUM(CASE WHEN is_ally = 1 THEN CAST(round(dist * 1000000, 0) AS BIGINT) ELSE 0 END)
+                 / NULLIF(SUM(is_ally), 0) / 1000000.0 AS mean_dist_ally,
+               MAX(CASE WHEN rnk = 1 THEN dist END) AS d1,
+               MAX(CASE WHEN rnk = 2 THEN dist END) AS d2,
+               MAX(CASE WHEN rnk = 3 THEN dist END) AS d3
+        FROM weighted GROUP BY user_id
+    )
+    SELECT e.user_id, e.last_value,
+           COALESCE(a.gnn_cnt, 0) AS gnn_cnt,
+           COALESCE(a.ally_cnt, 0) AS ally_cnt,
+           COALESCE(a.opp_cnt, 0) AS opp_cnt,
+           COALESCE(a.wmean_value, 0.0) AS wmean_value,
+           a.min_dist_ally,
+           a.mean_dist_ally,
+           COALESCE(a.d1, {RADIUS}) AS d1,
+           COALESCE(a.d2, {RADIUS}) AS d2,
+           COALESCE(a.d3, {RADIUS}) AS d3
+    FROM ego e LEFT JOIN agg a ON e.user_id = a.user_id
+    """,
+)
+def q_gnn_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bucket = F.expr(f"ts div {HOUR_US}")
+    wd = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ego = (
+        ev.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            F.col("event_type").alias("last_type"),
+            bucket.alias("bucket"),
+        )
+    )
+    nb_src = ev.select(
+        F.col("user_id").alias("nb_user_id"),
+        F.col("event_id").alias("nb_event_id"),
+        F.col("value").alias("nb_value"),
+        F.col("event_type").alias("nb_type"),
+        bucket.alias("nb_bucket"),
+    )
+    dist = F.abs(F.col("last_value") - F.col("nb_value"))
+    nb = (
+        ego.join(
+            nb_src,
+            (ego.bucket == nb_src.nb_bucket) & (ego.user_id != nb_src.nb_user_id),
+            "inner",
+        )
+        .withColumn("dist", dist)
+        .filter((F.col("dist") > 0.000001) & (F.col("dist") <= RADIUS))
+    )
+    wrank = W.partitionBy("user_id").orderBy(
+        F.col("dist").asc(), F.col("nb_event_id").asc()
+    )
+    topk = nb.withColumn("rnk", F.row_number().over(wrank)).filter(
+        F.col("rnk") <= K_NEIGH
+    )
+    w_raw = F.exp(-F.col("dist") / TAU)
+    weighted = topk.withColumn(
+        "wn", F.round(w_raw / F.sum(w_raw).over(W.partitionBy("user_id")), 6)
+    ).withColumn(
+        "is_ally",
+        F.when(F.col("nb_type") == F.col("last_type"), F.lit(1)).otherwise(F.lit(0)),
+    )
+    micro = lambda c: F.round(c * F.lit(1000000.0), 0).cast("bigint")  # noqa: E731
+    agg = weighted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("gnn_cnt"),
+        F.sum("is_ally").alias("ally_cnt"),
+        (F.count(F.lit(1)) - F.sum("is_ally")).alias("opp_cnt"),
+        (F.sum(micro(F.col("nb_value") * F.col("wn"))) / 1000000.0).alias("wmean_value"),
+        F.min(F.when(F.col("is_ally") == 1, F.col("dist"))).alias("min_dist_ally"),
+        (
+            F.sum(
+                F.when(F.col("is_ally") == 1, micro(F.col("dist"))).otherwise(F.lit(0))
+            )
+            / F.nullif(F.sum("is_ally"), F.lit(0))
+            / 1000000.0
+        ).alias("mean_dist_ally"),
+        F.max(F.when(F.col("rnk") == 1, F.col("dist"))).alias("d1"),
+        F.max(F.when(F.col("rnk") == 2, F.col("dist"))).alias("d2"),
+        F.max(F.when(F.col("rnk") == 3, F.col("dist"))).alias("d3"),
+    )
+    joined = ego.select("user_id", "last_value").join(agg, "user_id", "left")
+    return joined.select(
+        "user_id",
+        "last_value",
+        F.coalesce(F.col("gnn_cnt"), F.lit(0)).alias("gnn_cnt"),
+        F.coalesce(F.col("ally_cnt"), F.lit(0)).alias("ally_cnt"),
+        F.coalesce(F.col("opp_cnt"), F.lit(0)).alias("opp_cnt"),
+        F.coalesce(F.col("wmean_value"), F.lit(0.0)).alias("wmean_value"),
+        "min_dist_ally",
+        "mean_dist_ally",
+        F.coalesce(F.col("d1"), F.lit(RADIUS)).alias("d1"),
+        F.coalesce(F.col("d2"), F.lit(RADIUS)).alias("d2"),
+        F.coalesce(F.col("d3"), F.lit(RADIUS)).alias("d3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 + A11 + A13 — pairwise within-frame interaction features
+# (nn-mps.py:321-426, add.txt): all (i,j) pairs inside a frame group,
+# i≠j, masked mean/min/max distances + nearest-neighbor attributes.
+# Relational form (equi-join on the group key) — oracle-checkable,
+# unlike the applyInPandas variant (operators/pairwise.py) which is
+# its physical alternative.  Base rows left-join the aggregates so
+# singleton groups keep their NULL row (nn-mps.py:326-353 NaN path).
+# --------------------------------------------------------------------------
+@q(
+    "q_pairwise",
+    f"""
+    WITH ev AS (
+        SELECT user_id, event_id, value, event_type,
+               epoch_us(ts) // {HOUR_US} AS bucket
+        FROM events
+    ), pairs AS (
+        SELECT a.event_id, a.user_id,
+               b.event_id AS nb_event_id, b.value AS nb_value,
+               abs(a.value - b.value) AS dist,
+               CASE WHEN a.event_type = b.event_type THEN 1 ELSE 0 END AS is_ally
+        FROM ev a JOIN ev b
+          ON a.bucket = b.bucket AND a.event_id <> b.event_id
+    ), pair_agg AS (
+        SELECT event_id,
+               COUNT(*) AS n_pairs,
+               SUM(is_ally) AS n_ally,
+               SUM(CASE WHEN is_ally = 1 THEN CAST(round(dist * 1000000, 0) AS BIGINT) ELSE 0 END)
+                 / NULLIF(SUM(is_ally), 0) / 1000000.0 AS mean_dist_ally,
+               MIN(dist) AS min_dist,
+               MAX(dist) AS max_dist
+        FROM pairs GROUP BY event_id
+    ), nearest AS (
+        SELECT event_id, nb_event_id AS nearest_event_id, nb_value AS nearest_value FROM (
+            SELECT event_id, nb_event_id, nb_value,
+                   ROW_NUMBER() OVER (PARTITION BY event_id
+                                      ORDER BY dist ASC, nb_event_id ASC) AS rn
+            FROM pairs)
+        WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id,
+           COALESCE(p.n_pairs, 0) AS n_pairs,
+           COALESCE(p.n_ally, 0) AS n_ally,
+           p.mean_dist_ally, p.min_dist, p.max_dist,
+           n.nearest_event_id, n.nearest_value
+    FROM ev e
+    LEFT JOIN pair_agg p ON e.event_id = p.event_id
+    LEFT JOIN nearest n ON e.event_id = n.event_id
+    """,
+)
+def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "value", "event_type", F.expr(f"ts div {HOUR_US}").alias("bucket")
+    )
+    a = ev.alias("a")
+    b = ev.select(
+        F.col("event_id").alias("nb_event_id"),
+        F.col("value").alias("nb_value"),
+        F.col("event_type").alias("nb_type"),
+        F.col("bucket").alias("nb_bucket"),
+    ).alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("nb_bucket"))
+            & (F.col("a.event_id") != F.col("nb_event_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.event_id").alias("event_id"),
+            F.col("a.user_id").alias("user_id"),
+            "nb_event_id",
+            "nb_value",
+            F.abs(F.col("a.value") - F.col("nb_value")).alias("dist"),
+            F.when(F.col("a.event_type") == F.col("nb_type"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_ally"),
+        )
+    )
+    micro = lambda c: F.round(c * F.lit(1000000.0), 0).cast("bigint")  # noqa: E731
+    pair_agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("is_ally").alias("n_ally"),
+        (
+            F.sum(F.when(F.col("is_ally") == 1, micro(F.col("dist"))).otherwise(F.lit(0)))
+            / F.nullif(F.sum("is_ally"), F.lit(0))
+            / 1000000.0
+        ).alias("mean_dist_ally"),
+        F.min("dist").alias("min_dist"),
+        F.max("dist").alias("max_dist"),
+    )
+    wn = W.partitionBy("event_id").orderBy(F.col("dist").asc(), F.col("nb_event_id").asc())
+    nearest = (
+        pairs.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("nb_event_id").alias("nearest_event_id"),
+            F.col("nb_value").alias("nearest_value"),
+        )
+    )
+    return (
+        ev.select("event_id", "user_id")
+        .join(pair_agg, "event_id", "left")
+        .join(nearest, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("n_ally"), F.lit(0)).alias("n_ally"),
+            "mean_dist_ally",
+            "min_dist",
+            "max_dist",
+            "nearest_event_id",
+            "nearest_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# M1 — leakage-safe grouped K-fold assignment (main_cuda.py:596-604,
+# 728-737, 1465-1467 GroupKFold): deterministic hash-mod fold column.
+# --------------------------------------------------------------------------
+@q(
+    "q_fold_assign",
+    f"""
+    SELECT fold, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM (SELECT user_id, {knuth_fold_sql('user_id', 5)} AS fold FROM events)
+    GROUP BY fold
+    """,
+)
+def q_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("user_id", knuth_fold_expr(F.col("user_id"), 5).alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# M9 sequence prep — last-8-frame input windows per trajectory
+# (nn-mps.py:616-623 tail(8) + 593-660 ragged matrices): W11 last-N +
+# J8 ordered collect, integer-scaled.
+# --------------------------------------------------------------------------
+@q(
+    "q_seq_prep",
+    f"""
+    SELECT user_id,
+           list(CAST(round(value * 100, 0) AS BIGINT) ORDER BY ts_us, event_id) AS seq_c,
+           COUNT(*) AS n_frames
+    FROM (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn <= 8
+    GROUP BY user_id
+    """,
+)
+def q_seq_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    wd = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last8 = ev.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") <= 8)
+    return last8.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))), "
+            "x -> cast(round(x.value * 100, 0) as bigint))"
+        ).alias("seq_c"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )

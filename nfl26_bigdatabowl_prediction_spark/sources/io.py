@@ -17,6 +17,7 @@ loader here returns a *lazy* DataFrame and never caches eagerly.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -25,13 +26,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     no schema inference cost; Catalyst prunes columns at the scan).
 
     ``events.ts`` is written as TIMESTAMP(NANOS), which Spark rejects
-    by default; ``nanosAsLong`` reads it as int64 epoch-nanos.  That is
-    the representation we *want* at scale: pure integer time — exact
-    arithmetic, no session-timezone semantics, and identical to
-    DuckDB's ``epoch_ns(ts)`` for the oracle twin.
+    by default; ``nanosAsLong`` reads it as int64 epoch-nanos, then we
+    truncate to epoch-MICROS.  Integer time is the representation we
+    want at scale (exact arithmetic, no session-timezone semantics);
+    micros specifically because DuckDB — the correctness oracle —
+    truncates nanosecond parquet timestamps to microseconds, so
+    ``ts`` here is bit-identical to DuckDB's ``epoch_us(ts)``.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            .withColumn("ts", F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
