@@ -27,7 +27,13 @@ def _merge(module) -> None:
 from . import relational  # noqa: E402
 from . import events_windows  # noqa: E402
 from . import trajectory  # noqa: E402
+from . import text  # noqa: E402
+from . import vectors  # noqa: E402
+from . import multimodal_q  # noqa: E402
 
 _merge(relational)
 _merge(events_windows)
 _merge(trajectory)
+_merge(text)
+_merge(vectors)
+_merge(multimodal_q)
