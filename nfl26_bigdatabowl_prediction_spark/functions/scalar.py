@@ -43,8 +43,8 @@ def parse_feet_inches(c: Column, default: float | None = None) -> Column:
     """
     parts = F.split(c, "-")
     inches = (
-        F.try_cast(parts.getItem(0), "double") * F.lit(12.0)
-        + F.try_cast(parts.getItem(1), "double")
+        parts.getItem(0).try_cast("double") * F.lit(12.0)
+        + parts.getItem(1).try_cast("double")
     )
     if default is not None:
         inches = F.coalesce(inches, F.lit(float(default)))
