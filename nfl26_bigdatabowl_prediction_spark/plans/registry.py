@@ -30,6 +30,7 @@ from . import trajectory  # noqa: E402
 from . import text  # noqa: E402
 from . import vectors  # noqa: E402
 from . import multimodal_q  # noqa: E402
+from . import streaming_q  # noqa: E402
 
 _merge(relational)
 _merge(events_windows)
@@ -37,3 +38,4 @@ _merge(trajectory)
 _merge(text)
 _merge(vectors)
 _merge(multimodal_q)
+_merge(streaming_q)

@@ -1,0 +1,121 @@
+"""Event-time windowed streaming pipelines (SURVEY.md §2.8).
+
+Batch analogs live in ``plans/events_windows.py`` (same integer-cent
+scaling so stream and oracle agree bitwise).  Each function takes the
+(possibly streaming) events DataFrame from ``source.events_stream``
+and returns a transformed streaming DataFrame — callers choose sink,
+trigger, and output mode (``run.run_available_now`` for tests).
+
+Scale notes:
+- Watermarks bound state: a window's state is dropped once the
+  watermark passes its end, so long-running jobs don't accumulate.
+- Aggregation state is keyed by (window, grouping keys) and lives in
+  the state store, partitioned by key hash — the same shuffle key a
+  batch groupBy would use, so skew behavior matches batch.
+- ``dropDuplicatesWithinWatermark`` keeps only in-horizon keys —
+  exact streaming dedup with bounded memory (the streaming face of
+  the dedup suite in plans/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(c):
+    return F.round(c * F.lit(100.0), 0).cast("bigint")
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-(hour, event_type) counts + exact value sums over a
+    tumbling event-time window.
+
+    Batch twin: GROUP BY date_trunc('hour', ts), event_type — hour
+    tumbling windows align to the epoch, so window.start IS the
+    truncated hour.
+    """
+    agged = (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+    )
+    return agged.select(
+        F.unix_micros(F.col("win.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )
+
+
+def sliding_value_stats(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window value stats: each event lands in
+    width/slide overlapping windows (here 2)."""
+    agged = (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", width, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+    )
+    return agged.select(
+        F.unix_micros(F.col("win.start")).alias("window_start_us"),
+        "n_events",
+        "value_sum",
+        "value_min",
+        "value_max",
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows: a session extends while successive
+    events arrive strictly less than ``gap`` apart; a gap ≥ ``gap``
+    starts a new session.
+
+    Batch twin (and DuckDB oracle): the classic lag-flag-cumsum
+    sessionization — new_sess = (ts − lag(ts) ≥ gap), session id =
+    running sum of flags.  session_window.start = min event time of
+    the session, so ``sess_start_us`` identifies sessions engine-
+    independently (session ordinals don't need to match).
+    """
+    agged = (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+    )
+    return agged.select(
+        "user_id",
+        F.unix_micros(F.col("win.start")).alias("sess_start_us"),
+        "n_events",
+        "value_sum",
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` with bounded state: a key's
+    fingerprint is retained only within the watermark horizon.
+    First-seen row wins (per micro-batch arrival order)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -1,0 +1,81 @@
+"""Streaming pipelines: stream-equals-batch parity (SURVEY §2.8).
+
+Registry-level streaming queries (tumbling/session/EWM) are covered
+by the DuckDB oracle in test_oracle.py; this file covers the two
+pipelines without registry entries — sliding windows and
+dropDuplicatesWithinWatermark — by comparing the drained stream
+against the equivalent batch plan on the same session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nfl26_bigdatabowl_prediction_spark.sources.io import table
+from nfl26_bigdatabowl_prediction_spark.streaming import (
+    dedup_within_watermark,
+    events_stream,
+    run_available_now,
+    sliding_value_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _cents(c):
+    return F.round(c * F.lit(100.0), 0).cast("bigint")
+
+
+def test_sliding_stream_matches_batch(spark):
+    stream = run_available_now(
+        sliding_value_stats(events_stream(spark, SF_DIR)), output_mode="complete"
+    ).toPandas()
+
+    ev = table(spark, SF_DIR, "events").withColumn(
+        "event_time", F.timestamp_micros(F.col("ts"))
+    )
+    batch = (
+        ev.groupBy(F.window("event_time", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "n_events",
+            "value_sum",
+            "value_min",
+            "value_max",
+        )
+        .toPandas()
+    )
+
+    key = "window_start_us"
+    s = stream.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b) > 0
+    # every event lands in exactly width/slide = 2 windows
+    n_events = table(spark, SF_DIR, "events").count()
+    assert int(s["n_events"].sum()) == 2 * n_events
+    for col in s.columns:
+        assert (s[col].values == b[col].values).all(), col
+
+
+def test_dedup_within_watermark_drops_dupes(spark):
+    deduped = run_available_now(
+        dedup_within_watermark(
+            events_stream(spark, SF_DIR), keys=["user_id", "event_type"]
+        ),
+        output_mode="append",
+    )
+    got = deduped.select("user_id", "event_type").toPandas()
+    expect = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .toPandas()
+    )
+    assert len(got) == len(got.drop_duplicates())
+    assert len(got) == len(expect)
