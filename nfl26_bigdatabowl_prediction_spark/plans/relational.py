@@ -610,18 +610,26 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference joins on the concatenated string id because its
+    # submission format has no composite keys (scoring.py:15,48); the
+    # Spark-first plan joins on the natural integer key pair — same
+    # rows, but integer hash/compare instead of building+probing a
+    # 4880579-entry string hash table (the id concat lives in
+    # q_concat_id / q_join_inner for parity coverage).
     li = table(spark, sf_dir, "lineitem")
     sol = li.select(
-        make_id("l_orderkey", "l_linenumber").alias("id"),
+        "l_orderkey",
+        "l_linenumber",
         (F.col("l_extendedprice") / 1000.0).alias("x"),
         F.col("l_quantity").alias("y"),
     )
     sub = li.select(
-        make_id("l_orderkey", "l_linenumber").alias("id"),
+        "l_orderkey",
+        "l_linenumber",
         (F.col("l_extendedprice") * (1 - F.col("l_discount")) / 1000.0).alias("x"),
         (F.col("l_quantity") * (1 + F.col("l_tax"))).alias("y"),
     )
-    j = sol.alias("s").join(sub.alias("p"), "id", "inner")
+    j = sol.alias("s").join(sub.alias("p"), ["l_orderkey", "l_linenumber"], "inner")
     sex = F.round(
         (F.col("s.x") - F.col("p.x")) * (F.col("s.x") - F.col("p.x")) * 1000000, 0
     ).cast("bigint")

@@ -50,16 +50,28 @@ def q(name: str, oracle: str | None):
 _WORDS_SPARK = "split(trim(text), '\\\\s+')"
 _WORDS_DUCK = "regexp_split_to_array(trim(text), '\\s+')"
 
-# word 3-gram shingles (distinct), empty when < 3 words
-_SHINGLES_SPARK = f"""
-    CASE WHEN size({_WORDS_SPARK}) < 3 THEN cast(array() as array<string>)
+# word 3-gram shingles (distinct), empty when < 3 words.
+# NB: this expression references a materialized `words` array column,
+# never the inline split — element_at over an inline split expression
+# re-splits the whole text per element (O(words²) per doc; measured
+# 18.8 s vs 1-2 s at sf0.1 for the shingle step alone).  Producers
+# must project `words` first via `_with_words`.
+_SHINGLES_FROM_WORDS = """
+    CASE WHEN size(words) < 3 THEN cast(array() as array<string>)
     ELSE array_distinct(transform(
-        sequence(1, size({_WORDS_SPARK}) - 2),
-        i -> concat_ws(' ', element_at({_WORDS_SPARK}, i),
-                        element_at({_WORDS_SPARK}, i + 1),
-                        element_at({_WORDS_SPARK}, i + 2))))
+        sequence(1, size(words) - 2),
+        i -> concat_ws(' ', element_at(words, i),
+                        element_at(words, i + 1),
+                        element_at(words, i + 2))))
     END
 """
+
+
+def _with_words(d: DataFrame, *keep: str) -> DataFrame:
+    """Project the whitespace tokenization ONCE.  Downstream
+    expressions reference the array column; CollapseProject keeps the
+    split un-inlined because it is non-cheap and multiply-referenced."""
+    return d.select(*keep, F.expr(_WORDS_SPARK).alias("words"))
 _SHINGLES_DUCK = f"""
     list_distinct(list_transform(
         range(1, greatest(len({_WORDS_DUCK}) - 1, 1)),
@@ -109,14 +121,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    words = F.expr(_WORDS_SPARK)
-    nonspace = F.length(F.regexp_replace(F.trim(F.col("text")), " ", ""))
-    return d.select(
+    base = d.select(
         "doc_id",
         F.length("text").alias("n_chars_calc"),
-        F.size(words).alias("n_words"),
-        nonspace.alias("n_nonspace"),
-        (nonspace.cast("double") / F.size(words)).alias("avg_word_len"),
+        F.expr(_WORDS_SPARK).alias("words"),
+        F.length(F.regexp_replace(F.trim(F.col("text")), " ", "")).alias("n_nonspace"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars_calc",
+        F.size("words").alias("n_words"),
+        "n_nonspace",
+        (F.col("n_nonspace").cast("double") / F.size("words")).alias("avg_word_len"),
     )
 
 
@@ -140,22 +156,20 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    return d.select(
+    base = _with_words(d, "doc_id").select(
         "doc_id",
-        F.expr(f"size({_WORDS_SPARK})").alias("n_words"),
-        F.expr(
-            f"size(filter({_WORDS_SPARK}, w -> w IN ({stop_list})))"
-        ).alias("stop_cnt"),
-        F.expr(
-            f"cast(size(filter({_WORDS_SPARK}, w -> w IN ({stop_list}))) as double)"
-            f" / size({_WORDS_SPARK})"
-        ).alias("stop_ratio"),
-        F.expr(
-            f"cast(size(array_distinct({_WORDS_SPARK})) as double) / size({_WORDS_SPARK})"
-        ).alias("vocab_ratio"),
-        F.expr(f"array_max(transform({_WORDS_SPARK}, w -> length(w)))").alias(
-            "max_word_len"
-        ),
+        F.size("words").alias("n_words"),
+        F.expr(f"size(filter(words, w -> w IN ({stop_list})))").alias("stop_cnt"),
+        F.expr("size(array_distinct(words))").alias("_n_distinct"),
+        F.expr("array_max(transform(words, w -> length(w)))").alias("max_word_len"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "stop_cnt",
+        (F.col("stop_cnt").cast("double") / F.col("n_words")).alias("stop_ratio"),
+        (F.col("_n_distinct").cast("double") / F.col("n_words")).alias("vocab_ratio"),
+        "max_word_len",
     )
 
 
@@ -184,15 +198,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    en_score = F.expr(
-        f"cast(size(filter({_WORDS_SPARK}, w -> w IN ({stop_list}))) as double)"
-        f" / size({_WORDS_SPARK})"
-    )
-    guess = F.when(en_score >= 0.08, F.lit("en")).otherwise(F.lit("other"))
-    return d.select(
+    base = _with_words(d, "doc_id", "lang").select(
         "doc_id",
         "lang",
-        en_score.alias("en_score"),
+        (
+            F.expr(f"cast(size(filter(words, w -> w IN ({stop_list}))) as double)")
+            / F.size("words")
+        ).alias("en_score"),
+    )
+    guess = F.when(F.col("en_score") >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+    return base.select(
+        "doc_id",
+        "lang",
+        "en_score",
         guess.alias("lang_guess"),
         F.when(guess == F.col("lang"), F.lit(1)).otherwise(F.lit(0)).alias("is_match"),
     )
@@ -223,20 +241,29 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # MinHash + LSH near-duplicate candidates: word-3-gram shingles →
-# per-band min-md5 signature → equi-join on (band, sig) → candidate
+# per-band minhash signature → collide on (band, sig) → candidate
 # pairs with matched-band counts.  Banding is the scale lever: docs
-# only meet in the join if a whole band signature collides.
+# only meet if a whole band signature collides.
+#
+# One md5 per shingle; the 4 band hash functions are the 4 disjoint
+# 32-bit hex lanes of that digest (substring b*8+1..8) — the standard
+# way to derive k MinHash functions from one strong hash, and 4× less
+# hashing than md5(band||shingle).  Identical construction on both
+# engines keeps the signatures — and therefore the candidate set —
+# bitwise comparable.
 # --------------------------------------------------------------------------
 @q(
     "q_minhash_lsh",
     f"""
     WITH shingled AS (
         SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+    ), hashed AS (
+        SELECT doc_id, list_transform(shingles, s -> md5(s)) AS mds
+        FROM shingled WHERE len(shingles) > 0
     ), sigs AS (
         SELECT doc_id, band,
-               list_min(list_transform(shingles, s -> md5(CAST(band AS VARCHAR) || '|' || s))) AS sig
-        FROM shingled, (SELECT unnest([0, 1, 2, 3]) AS band)
-        WHERE len(shingles) > 0
+               list_min(list_transform(mds, m -> substring(m, band * 8 + 1, 8))) AS sig
+        FROM hashed, (SELECT unnest([0, 1, 2, 3]) AS band)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands_matched
     FROM sigs a JOIN sigs b
@@ -246,29 +273,57 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    shingled = d.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")).filter(
-        F.size("shingles") > 0
+    # Filter on the cheap words count, NOT on size(shingles): a filter
+    # on the shingle column gets predicate-pushed below the words
+    # projection with the whole shingle expression inlined — which
+    # re-splits the text per element (the O(words²) trap again, this
+    # time inside the Filter).  shingles are empty iff words < 3, so
+    # the predicates are equivalent.
+    shingled = (
+        _with_words(d, "doc_id")
+        .filter(F.size("words") >= 3)
+        .select("doc_id", F.expr(_SHINGLES_FROM_WORDS).alias("shingles"))
     )
-    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
-    sigs = shingled.crossJoin(F.broadcast(bands)).select(
-        "doc_id",
-        "band",
-        F.expr(
-            "array_min(transform(shingles, s -> md5(concat(cast(band as string), '|', s))))"
-        ).alias("sig"),
+    # Single fold over the shingle list computes all 4 lane-minima in
+    # one pass, evaluating md5 exactly once per shingle ('z' sorts
+    # after every hex digit, so the sentinel never survives a
+    # non-empty list).  A transform-per-band would re-evaluate the
+    # md5 list once per band under projection collapse.
+    mins = F.expr(
+        """
+        aggregate(
+            transform(shingles, s -> md5(s)),
+            array('zzzzzzzz', 'zzzzzzzz', 'zzzzzzzz', 'zzzzzzzz'),
+            (acc, m) -> array(
+                least(acc[0], substring(m, 1, 8)),
+                least(acc[1], substring(m, 9, 8)),
+                least(acc[2], substring(m, 17, 8)),
+                least(acc[3], substring(m, 25, 8))))
+        """
     )
-    a = sigs.alias("a")
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("sig").alias("sig_b")
-    ).alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.band") == F.col("band_b"))
-        & (F.col("a.sig") == F.col("sig_b"))
-        & (F.col("a.doc_id") < F.col("doc_b")),
-        "inner",
+    sigs = shingled.select("doc_id", F.posexplode(mins).alias("band", "sig"))
+    # Bucket-explode instead of sig ⋈ sig self-join: the join would
+    # recompute the md5 minhash subtree on both sides (the dominant
+    # cost); grouping collides docs in one shuffle and emits each
+    # bucket's C(n,2) pairs from a sorted array.  LSH buckets are
+    # near-singleton by construction, so the explode is tiny; a
+    # pathological all-identical corpus would make one quadratic
+    # bucket — the same blowup the self-join form has.
+    buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    return pairs.groupBy(F.col("a.doc_id").alias("doc_a"), F.col("doc_b")).agg(
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")).agg(
         F.count(F.lit(1)).alias("n_bands_matched")
     )
 
@@ -296,9 +351,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    shingled = d.select(
-        "doc_id", "lang", "source", F.expr(_SHINGLES_SPARK).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # size(words) >= 3 ⇔ non-empty shingles; filtering on the words
+    # count keeps the pushed-down predicate linear (see q_minhash_lsh).
+    shingled = (
+        _with_words(d, "doc_id", "lang", "source")
+        .filter(F.size("words") >= 3)
+        .select("doc_id", "lang", "source", F.expr(_SHINGLES_FROM_WORDS).alias("sh"))
+    )
     a = shingled.alias("a")
     b = shingled.select(
         F.col("doc_id").alias("doc_b"),
