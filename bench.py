@@ -76,6 +76,7 @@ HEADLINE = {
     "q_dedup_exact",
     "q_minhash_lsh",
     "q_embed_cosine_topk",
+    "q_embed_ivf_topk",
 }
 
 if __name__ == "__main__":

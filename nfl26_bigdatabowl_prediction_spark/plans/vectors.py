@@ -103,17 +103,25 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
+    # Norms are projected BELOW the join: each vector's ||v|| is
+    # computed once (n + n/20 folds) instead of once per pair
+    # (2·n²/20) — the join node keeps CollapseProject from inlining
+    # them back into the cosine.  Same expression tree per value ⇒
+    # bitwise-identical cosine ⇒ oracle unchanged.
     qs = e.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("qnorm"),
     )
-    cand = e.select(F.col("vec_id").alias("nb_id"), F.col("embedding").alias("ce"))
+    cand = e.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("cnorm"),
+    )
     # Broadcast the (tiny) query side: each corpus partition scans
     # locally against it — the distributed brute-force ANN shape.
     j = cand.crossJoin(F.broadcast(qs)).filter(F.col("qid") != F.col("nb_id"))
-    cosine = F.expr(
-        f"{_dot_spark('qe', 'ce')} / "
-        f"(sqrt({_dot_spark('qe', 'qe')}) * sqrt({_dot_spark('ce', 'ce')}))"
-    )
+    cosine = F.expr(_dot_spark("qe", "ce")) / (F.col("qnorm") * F.col("cnorm"))
     scored = j.select("qid", "nb_id", cosine.alias("cosine"))
     wr = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nb_id").asc())
     return (
@@ -173,6 +181,112 @@ def q_embed_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AVG over floats — order-dependent ⇒ integer-scale each component
 # (×1e6) before summing, like all judged aggregates.
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# IVF top-K search (probe-1): the ANN scale path.  Cells are the
+# label partitions; per-cell centroids are exact integer-scaled
+# component means; each query is assigned to the centroid with the
+# max (deterministic, micro-scaled) dot product, then searches ONLY
+# that cell — candidate generation drops from O(|corpus|) to
+# O(|cell|) per query.  At 100 TB the corpus is written partitioned
+# by cell, so a probe reads exactly one partition (partition pruning
+# on the cell key); k-means-trained centroids swap in without
+# changing the plan.  All cross-engine ties are integer-broken:
+# cell choice by (dot_micro DESC, label ASC), rank by (cosine DESC,
+# nb_id ASC).
+# --------------------------------------------------------------------------
+@q(
+    "q_embed_ivf_topk",
+    f"""
+    WITH comps AS (
+        SELECT label, i,
+               (CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                / 1000000.0) / COUNT(*) AS c
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY label, i
+    ), q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 20 = 0
+    ), qcomp AS (
+        SELECT qid, i, CAST(qe[i] AS DOUBLE) AS x
+        FROM q, (SELECT unnest(range(1, 65)) AS i)
+    ), cell_scores AS (
+        SELECT qc.qid, c.label,
+               SUM(CAST(round(qc.x * c.c * 1000000, 0) AS BIGINT)) AS dot_micro
+        FROM qcomp qc JOIN comps c ON qc.i = c.i
+        GROUP BY qc.qid, c.label
+    ), best AS (
+        SELECT qid, label AS cell FROM (
+            SELECT qid, label,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_micro DESC, label ASC) AS rn
+            FROM cell_scores) WHERE rn = 1
+    ), scored AS (
+        SELECT b.qid, b.cell, e.vec_id AS nb_id,
+               {_dot_duck('q.qe', 'e.embedding')}
+                 / (sqrt({_dot_duck('q.qe', 'q.qe')}) * sqrt({_dot_duck('e.embedding', 'e.embedding')})) AS cosine
+        FROM best b
+        JOIN q ON q.qid = b.qid
+        JOIN embeddings e ON e.label = b.cell AND e.vec_id <> b.qid
+    )
+    SELECT qid, cell, nb_id, cosine, rnk FROM (
+        SELECT qid, cell, nb_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nb_id ASC) AS rnk
+        FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    micro = lambda c: F.round(c * F.lit(1000000.0), 0).cast("bigint")  # noqa: E731
+    comps = (
+        e.select("label", F.posexplode("embedding").alias("i0", "x"))
+        .select("label", (F.col("i0") + 1).alias("i"), micro(F.col("x").cast("double")).alias("xm"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                (F.sum("xm").cast("double") / 1000000.0) / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    qs = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("qnorm"),
+    )
+    qcomp = qs.select("qid", F.posexplode("qe").alias("i0", "xf")).select(
+        "qid", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x")
+    )
+    # 10 centroids × 64 comps — broadcast the tiny centroid table.
+    cell_scores = (
+        qcomp.join(F.broadcast(comps), "i")
+        .groupBy("qid", "label")
+        .agg(F.sum(micro(F.col("x") * F.col("c"))).alias("dot_micro"))
+    )
+    wb = W.partitionBy("qid").orderBy(F.col("dot_micro").desc(), F.col("label").asc())
+    best = (
+        cell_scores.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("cell"))
+    )
+    cand = e.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("cnorm"),
+    )
+    probe = (
+        F.broadcast(best.join(qs, "qid"))
+        .join(cand, "cell", "inner")
+        .filter(F.col("nb_id") != F.col("qid"))
+    )
+    cosine = F.expr(_dot_spark("qe", "ce")) / (F.col("qnorm") * F.col("cnorm"))
+    scored = probe.select("qid", "cell", "nb_id", cosine.alias("cosine"))
+    wr = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nb_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cell", "nb_id", "cosine", "rnk")
+    )
+
+
 @q(
     "q_embed_centroid",
     """
