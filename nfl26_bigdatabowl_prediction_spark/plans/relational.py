@@ -742,3 +742,68 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.4 bonus — cube: all 2^k grouping combinations in one pass
+# (SURVEY §2.4 last row: free Spark coverage the reference lacks).
+# NULL grouping slots coalesced so both engines label subtotals alike.
+# --------------------------------------------------------------------------
+@q(
+    "q_cube",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("_pc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            (F.col("_pc") / 100.0).alias("sum_price"),
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 bonus — explicit grouping sets (the general form of
+# rollup/cube): per-flag and per-status subtotals only, no grand
+# total, no cross product.
+# --------------------------------------------------------------------------
+@q(
+    "q_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    grouped = li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.sum(cents(F.col("l_quantity"))).alias("_qc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return grouped.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+        (F.col("_qc") / 100.0).alias("sum_qty"),
+        "n",
+    )

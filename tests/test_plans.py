@@ -1,0 +1,101 @@
+"""Physical-plan contracts (SURVEY §4; the 100 TB design rules).
+
+Correctness says a query returns the right rows; these tests pin the
+*plan shape* that makes it viable at scale — the properties the
+optimizer must deliver and a refactor must not silently lose:
+
+* column pruning reaches the parquet scan (ReadSchema),
+* predicates reach the scan (PushedFilters),
+* aggregations are partial (map-side combine before the shuffle),
+* rank-then-filter top-K triggers WindowGroupLimit (no full sort of
+  every group),
+* the whole per-trajectory window suite runs on ONE exchange,
+* small dimensions broadcast instead of shuffling the fact table.
+
+Plan text is taken from the formatted explain of the final
+AQE-wrapped plan; assertions are substring-level so Spark version
+formatting changes stay cheap to absorb.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from nfl26_bigdatabowl_prediction_spark.plans.registry import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _ops(plan: str) -> list[str]:
+    """Operator names from the formatted plan's detail headers —
+    `(N) OperatorName` — so each physical operator counts once."""
+    return re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+
+
+def test_projection_prunes_scan(spark):
+    plan = _plan(spark, "q_project")
+    scan = next(l for l in plan.splitlines() if l.startswith("ReadSchema"))
+    assert "l_orderkey" in scan and "l_extendedprice" in scan
+    # untouched wide columns must NOT be read
+    assert "l_comment" not in scan and "l_shipdate" not in scan
+
+
+def test_range_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q_filter_range")
+    pushed = [l for l in plan.splitlines() if l.startswith("PushedFilters")]
+    assert pushed, plan
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in pushed[0]
+    assert "GreaterThan(l_discount,0.02)" in pushed[0]
+
+
+def test_groupby_is_partial_then_final(spark):
+    plan = _plan(spark, "q_groupby_multi")
+    # map-side combine: a partial_sum HashAggregate below the exchange
+    assert "partial_sum" in plan
+    assert _ops(plan).count("HashAggregate") == 2
+    # ... and only the ~6 combined rows cross the single exchange
+    assert _ops(plan).count("Exchange") == 1
+
+
+def test_topk_uses_window_group_limit(spark):
+    plan = _plan(spark, "q_topk_per_group")
+    # Spark >= 3.5 rewrites row_number()<=k into WindowGroupLimit:
+    # each group keeps a k-heap instead of fully sorting.
+    assert "WindowGroupLimit" in plan
+
+
+def test_topn_global_is_take_ordered(spark):
+    plan = _plan(spark, "q_topn_global")
+    # orderBy().limit() must collapse to TakeOrderedAndProject —
+    # never a global sort of the full table.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_suite_single_exchange(spark):
+    # lags, rolling, diff all share one partitioning: exactly one
+    # shuffle for the whole per-trajectory feature pass.
+    for name in ["q_lag", "q_rolling", "q_diff"]:
+        plan = _plan(spark, name)
+        assert _ops(plan).count("Exchange") == 1, f"{name}:\n{plan}"
+
+
+def test_small_dim_join_broadcasts(spark):
+    plan = _plan(spark, "q_join_inner")
+    # orders is far below the broadcast threshold at test SF; the
+    # fact side must not be shuffled for this join.
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ewm_single_shuffle(spark):
+    plan = _plan(spark, "q_ewm")
+    assert _ops(plan).count("Exchange") == 1, plan
