@@ -807,3 +807,44 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_qc") / 100.0).alias("sum_qty"),
         "n",
     )
+
+
+# --------------------------------------------------------------------------
+# Skew patterns (operators/skew.py): result-identical to their plain
+# forms — which is exactly what the oracle checks.  The salted join
+# spreads a hot l_orderkey over 8 (key, salt) buckets; the salted
+# distinct splits each group's value set by hash before counting.
+# --------------------------------------------------------------------------
+@q(
+    "q_salted_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus, l.l_quantity
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    return salted_join(li, o, ["l_orderkey"], n_salt=8).select(
+        "l_orderkey", "l_linenumber", "o_orderstatus", "l_quantity"
+    )
+
+
+@q(
+    "q_salted_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_distinct_count
+
+    ev = table(spark, sf_dir, "events")
+    return salted_distinct_count(ev, ["event_type"], "user_id", n_salt=16)

@@ -77,3 +77,26 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sort-bucketed) table.
+
+    Both sides of a recurring join written with the SAME bucket spec
+    join with ZERO exchanges (tests/test_bucketing.py asserts this) —
+    the pre-shuffle is paid once at write time.  At 100 TB this is
+    the difference between re-shuffling the fact table on every
+    pipeline run and never shuffling it again; sort buckets
+    additionally drop the per-run Sort for sort-merge joins."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)

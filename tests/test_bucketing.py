@@ -1,0 +1,55 @@
+"""Bucketed co-located join: the pay-the-shuffle-once scale pattern.
+
+Writes lineitem and orders bucketed by order key with the same spec,
+then asserts (a) the join result matches the plain join exactly and
+(b) the physical plan contains ZERO exchanges — the join runs
+entirely on bucket co-location.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from nfl26_bigdatabowl_prediction_spark.sources.io import table, write_bucketed
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ops(df) -> list[str]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return re.findall(r"^\(\d+\) (\w+)", buf.getvalue(), re.M)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    write_bucketed(li, "li_b", ["l_orderkey"], n_buckets=4, sort_cols=["l_orderkey"])
+    write_bucketed(o, "o_b", ["o_orderkey"], n_buckets=4, sort_cols=["o_orderkey"])
+    try:
+        li_b, o_b = spark.table("li_b"), spark.table("o_b")
+        joined = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey, "inner").select(
+            "l_orderkey", "l_linenumber", "o_orderstatus"
+        )
+        # broadcast would trivially have no shuffle — force the
+        # merge path to prove bucket co-location does the work.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ops = _ops(joined)
+            assert "SortMergeJoin" in ops, ops
+            assert ops.count("Exchange") == 0, ops
+            got = joined.count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        expect = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert got == expect > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
