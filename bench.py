@@ -71,6 +71,7 @@ HEADLINE = {
     "q_ewm",
     "q_topk_per_group",
     "q_asof",
+    "q_asof_join",
     "q_gnn_lite",
     "q_pairwise",
     "q_dedup_exact",

@@ -1,0 +1,101 @@
+"""General as-of join — the temporal operator Spark lacks natively.
+
+The reference's as-of is degenerate (every future frame pairs with
+the LAST input frame, main_cuda.py:404-431 — see plans/trajectory.py
+q_asof).  This is the full generalization (pandas ``merge_asof``
+semantics): for each left row, the most recent right row with
+``right.ts <= left.ts`` within the same ``by`` keys, optionally
+bounded by a tolerance.
+
+Spark-first physical strategy — union + ordered window fill:
+
+  1. tag right rows 0 and left rows 1, union them on (by, ts, tag);
+  2. one window per `by` ordered by (ts, tag, right-tiebreaker):
+     ``last(payload, ignorenulls=True)`` over the unbounded-preceding
+     frame carries the latest right payload forward to each left row;
+  3. keep the tagged-left rows.
+
+Cost: ONE shuffle on the `by` keys — same price as a plain grouped
+window, no range-condition join (which Spark would execute as a
+broadcast nested loop or a cartesian-within-key explosion).  The
+right-before-left tag order at equal ts makes the join
+exact-match-inclusive, like merge_asof's allow_exact_matches=True.
+
+Determinism: multiple right rows on the same (by, ts) are resolved
+by the ordering tiebreaker (last one wins); pass ``dedup_right=True``
+to keep only the max-tiebreaker row per (by, ts) — which is also what
+makes the DuckDB ASOF JOIN oracle well-defined (q_asof_join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+    tolerance_us: int | None = None,
+    suffix: str = "_asof",
+    dedup_right: bool = False,
+) -> DataFrame:
+    """Backward as-of join; returns all left rows + right payload
+    columns renamed ``<col><suffix>`` (NULL when no prior right row,
+    or when the match is older than ``tolerance_us``)."""
+    by = by or ["user_id"]
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(by) | {on}
+    ]
+    if dedup_right and tiebreak is not None:
+        wd = W.partitionBy(*by, on).orderBy(F.col(tiebreak).desc())
+        right = (
+            right.withColumn("_rn", F.row_number().over(wd))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    payload = [f"{c}{suffix}" for c in right_cols] + [f"{on}{suffix}"]
+    r_tagged = right.select(
+        *by,
+        F.col(on).alias(on),
+        F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in set(by) | {on}],
+    )
+    l_tagged = left.select(
+        *by,
+        F.col(on).alias(on),
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias(f"{on}{suffix}"),
+        *[F.col(c) for c in left.columns if c not in set(by) | {on}],
+    )
+    order = [F.col(on).asc(), F.col("_tag").asc()]
+    if tiebreak is not None and not dedup_right:
+        # right rows first by tiebreak so last() picks the max one
+        order.insert(1, F.when(F.col("_tag") == 0, F.col(f"{tiebreak}{suffix}")).asc_nulls_first())
+    w = (
+        W.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = r_tagged.unionByName(l_tagged).select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in payload],
+    )
+    out = filled.filter(F.col("_tag") == 1)
+    for c in payload:
+        out = out.drop(c).withColumnRenamed(f"_f_{c}", c)
+    out = out.drop("_tag")
+    if tolerance_us is not None:
+        stale = F.col(on) - F.col(f"{on}{suffix}") > F.lit(tolerance_us)
+        for c in payload:
+            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+    return out

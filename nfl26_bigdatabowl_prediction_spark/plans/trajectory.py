@@ -588,3 +588,57 @@ def q_seq_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seq_c"),
         F.count(F.lit(1)).alias("n_frames"),
     )
+
+
+# --------------------------------------------------------------------------
+# General as-of join (operators/asof.py) — merge_asof generalization
+# of the reference's degenerate last-frame pairing (J7).  For every
+# purchase event: the most recent click event at-or-before it, per
+# user.  Oracle: DuckDB's native ASOF LEFT JOIN, with the right side
+# deduped to one row per (user, ts) so both engines are well-defined
+# under ties.  Spark plan: union + ordered window fill — ONE shuffle
+# on user_id, no range-join explosion.
+# --------------------------------------------------------------------------
+@q(
+    "q_asof_join",
+    """
+    WITH r0 AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, ts_us, event_id, value FROM r0 WHERE rn = 1
+    ), l AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id, l.event_id, l.value AS target_value,
+           r.event_id AS click_event_id, r.value AS click_value,
+           r.ts_us AS click_ts_us
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value", "event_type")
+    left = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    right = ev.filter(F.col("event_type") == "click").drop("event_type")
+    j = asof_join(
+        left,
+        right,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+        dedup_right=True,
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("target_value"),
+        F.col("event_id_asof").alias("click_event_id"),
+        F.col("value_asof").alias("click_value"),
+        F.col("ts_asof").alias("click_ts_us"),
+    )
