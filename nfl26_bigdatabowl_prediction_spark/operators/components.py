@@ -1,0 +1,71 @@
+"""Iterative connected components — dedup-cluster assembly.
+
+Near-duplicate detection (MinHash-LSH, SimHash, embedding-cosine)
+emits PAIRS; deduplication needs CLUSTERS: the canonical document of
+each connected component of the pair graph.  Components are the one
+genuinely iterative operator in the training-data pipeline — no
+fixed number of joins computes them, so this runs a driver-side
+min-label-propagation loop (hash-to-min):
+
+    label(v) ← min(label(v), min over neighbors label(u))
+
+repeated until fixpoint.  Iterations = graph diameter; dedup
+clusters are near-cliques, so 2-3 rounds in practice.
+
+Scale notes:
+* each round is one self-contained shuffle (join on node id +
+  min-aggregate) — the same cost profile as one GROUP BY round;
+* ``localCheckpoint`` truncates the lineage every round — without it
+  the plan doubles per iteration and the DAG scheduler, not the
+  data, becomes the bottleneck;
+* the result is DETERMINISTIC (min node id per component), so the
+  driver's value-hash check applies despite the iteration — the
+  DuckDB oracle is a recursive-CTE transitive closure
+  (plans/text.py::q_dedup_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Return (node, component) where component = min node id in the
+    connected component.  Isolated nodes form singleton components."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nb = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(nb)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")

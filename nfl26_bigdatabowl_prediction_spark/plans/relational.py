@@ -848,3 +848,58 @@ def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return salted_distinct_count(ev, ["event_type"], "user_id", n_salt=16)
+
+
+# --------------------------------------------------------------------------
+# §2.3 bonus — multi-way star join (TPC-H Q5 shape): fact chain
+# lineitem→orders→customer with the supplier/nation/region dimension
+# arms, local-supplier predicate, revenue per nation.  Scale shape:
+# Catalyst broadcasts every dimension (customer/supplier/nation/
+# region) so the ONLY repartition-scale work is the
+# lineitem⋈orders key shuffle; join reordering + pushdown of the
+# region filter prune the nation arm before it touches the fact.
+# --------------------------------------------------------------------------
+@q(
+    "q_star_join",
+    """
+    SELECT n.n_name AS nation,
+           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_nationkey = s.s_nationkey
+      AND r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    ).select("r_regionkey")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(cents(revenue)) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

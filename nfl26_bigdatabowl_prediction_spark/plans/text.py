@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.portable import portable_hash_sql_duckdb, portable_hash_sql_spark
 from ..sources.io import table
@@ -435,4 +436,59 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(recombine_sql).alias("simhash"),
         F.bit_count(F.expr(recombine_sql)).alias("popcnt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup clusters: connected components over the MinHash-LSH candidate
+# graph (operators/components.py) — pairs → clusters → canonical doc
+# (= min doc_id).  The Spark side iterates min-label propagation to a
+# fixpoint; the oracle is a recursive-CTE transitive closure, valid
+# because the result (min reachable id per node) is deterministic.
+# Docs sharing no LSH band stay singleton components.
+# --------------------------------------------------------------------------
+@q(
+    "q_dedup_components",
+    f"""
+    WITH RECURSIVE shingled AS (
+        SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+    ), hashed AS (
+        SELECT doc_id, list_transform(shingles, s -> md5(s)) AS mds
+        FROM shingled WHERE len(shingles) > 0
+    ), sigs AS (
+        SELECT doc_id, band,
+               list_min(list_transform(mds, m -> substring(m, band * 8 + 1, 8))) AS sig
+        FROM hashed, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), edges_sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand
+    ), reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges_sym e ON reach.r = e.a
+    ), comp AS (
+        SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    )
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    edges = QUERIES["q_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(
+        d.select("doc_id"), edges, node_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("comp"))
+        .alias("cluster_size"),
     )

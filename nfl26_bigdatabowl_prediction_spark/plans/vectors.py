@@ -326,3 +326,72 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("head_sum_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection — the vector face of the
+# dedup suite (plans/text.py): LSH buckets generate candidates (docs
+# only pair if all 8 hyperplane signs agree), cosine confirms.  The
+# plane signature is computed ONCE per vector (groupBy+explode pair
+# generation, like q_minhash_lsh); embeddings re-enter by key join
+# for the confirm step, so the expensive signature never recomputes.
+# --------------------------------------------------------------------------
+@q(
+    "q_embed_neardup",
+    f"""
+    WITH sigs AS (
+        SELECT vec_id, {_PLANE_DUCK} AS bucket FROM embeddings
+    ), cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           {_dot_duck('ea.embedding', 'eb.embedding')}
+             / (sqrt({_dot_duck('ea.embedding', 'ea.embedding')})
+                * sqrt({_dot_duck('eb.embedding', 'eb.embedding')})) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON c.vec_a = ea.vec_id
+    JOIN embeddings eb ON c.vec_b = eb.vec_id
+    WHERE {_dot_duck('ea.embedding', 'eb.embedding')}
+            / (sqrt({_dot_duck('ea.embedding', 'ea.embedding')})
+               * sqrt({_dot_duck('eb.embedding', 'eb.embedding')})) >= 0.3
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    sigs = e.select("vec_id", F.expr(_PLANE_SPARK).alias("bucket"))
+    buckets = (
+        sigs.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    cand = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "b -> struct(a AS vec_a, b AS vec_b))))"
+            )
+        ).alias("p")
+    ).select("p.vec_a", "p.vec_b")
+    vecs = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("nrm"),
+    )
+    ja = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    jb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    scored = (
+        cand.join(F.broadcast(ja), "vec_a")
+        .join(F.broadcast(jb), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.expr(_dot_spark("ea", "eb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= 0.3)
