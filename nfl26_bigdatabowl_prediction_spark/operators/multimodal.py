@@ -70,3 +70,56 @@ def decode_features(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         gen, schema=DECODE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = "doc_id bigint, out_width int, out_height int, px_sum bigint"
+
+
+def resize_images(
+    df_with_payload: DataFrame, width: int, height: int, real: bool = False
+) -> DataFrame:
+    """Image resize plumbing: payload → fixed-size raster summary.
+
+    ``real=True`` is the documented production contract (PIL resize per
+    cell) — NotImplementedError here because the codec libraries are
+    not in this container.  The fake path is deterministic on the byte
+    content (sum of bytes of the payload = the "pixel sum" of the
+    resized raster), so the Spark-side batch shape is fully testable.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if real:
+                raise NotImplementedError(
+                    "real image decode requires PIL; install and replace "
+                    "this branch with Image.open(BytesIO(p)).resize(...)"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "out_width": width,
+                    "out_height": height,
+                    "px_sum": b["payload"].map(lambda p: int(sum(p))),
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        gen, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame, n_frames_col, stride: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video frame-sampling plumbing: every ``stride``-th frame index
+    of a clip with ``n_frames_col`` frames, one output row per sampled
+    frame.  Pure native explode (sequence + explode stays in codegen;
+    the row fanout happens executor-side with no shuffle) — the real
+    deployment feeds these (doc_id, frame_idx) pairs to a decode UDF.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), n_frames_col - 1, F.lit(stride))
+        ).alias("frame_idx"),
+    )

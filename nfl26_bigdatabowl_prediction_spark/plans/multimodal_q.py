@@ -1,13 +1,26 @@
-"""Multimodal query surface (rows-only driver check: the decode
-kernel is a pandas UDF — not SQL-expressible, per the driver
-contract's weaker-check clause)."""
+"""Multimodal query surface (brief: binary payload columns + typed
+metadata, decode / resize / frame-sample plumbing).
+
+The decode/resize kernels are pandas UDFs, but their FAKE bodies are
+deterministic functions of the payload byte length — so the driver's
+DuckDB oracle CAN express them (octet_length(encode(text))), giving
+these pandas-UDF paths a full value-hash check instead of the weaker
+rows-only contract.  Only q_image_resize (content byte-sum) stays
+rows-only: DuckDB cannot fold over blob bytes; it gets a pure-Python
+unit oracle in tests/test_multimodal.py instead.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_binary_payload, decode_features
+from ..operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    resize_images,
+    sample_frames,
+)
 from ..sources.io import table
 
 QUERIES: dict = {}
@@ -33,4 +46,61 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_multimodal_decode"] = q_multimodal_decode
-# no oracle: pandas-UDF kernel → rows-only check per driver contract
+# The fake decoder is deterministic on the utf-8 byte length, so the
+# oracle mirrors it exactly (values 0..6 are float-exact, so the
+# float32→double chain on the Spark side is bitwise too).
+ORACLES["q_multimodal_decode"] = """
+    WITH dec AS (
+        SELECT doc_id, source, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_bytes) AS total_bytes,
+           MAX(n_bytes % 640) AS max_width,
+           SUM(CAST(n_bytes % 7 AS DOUBLE)) AS feat0_sum
+    FROM dec
+    GROUP BY source
+"""
+
+
+FRAME_STRIDE = 7
+CLIP_MOD = 97  # fake clip length = (n_chars % 97) + 1 frames
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: every 7th frame index of each
+    fake clip ((n_chars % 97) + 1 frames), one row per sampled frame.
+    Native sequence+explode — executor-side fanout, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    clips = d.select(
+        "doc_id", ((F.col("n_chars") % CLIP_MOD) + 1).alias("n_frames")
+    )
+    return sample_frames(clips, F.col("n_frames"), stride=FRAME_STRIDE)
+
+
+QUERIES["q_frame_sample"] = q_frame_sample
+# DuckDB range(0, n, step) is stop-exclusive = Spark sequence(0, n-1,
+# step) inclusive-bound; both emit 0, 7, ... < n_frames.
+ORACLES["q_frame_sample"] = f"""
+    SELECT doc_id,
+           unnest(range(0, (n_chars % {CLIP_MOD}) + 1, {FRAME_STRIDE})) AS frame_idx
+    FROM documents
+"""
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (fake raster summary): payload bytes →
+    fixed 64×64 output + content byte-sum.  Rows-only driver check —
+    DuckDB cannot fold over blob bytes; tests/test_multimodal.py holds
+    the exact pure-Python oracle."""
+    d = table(spark, sf_dir, "documents")
+    resized = resize_images(attach_binary_payload(d), width=64, height=64)
+    return resized.groupBy("out_width", "out_height").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("px_sum").alias("px_total"),
+    )
+
+
+QUERIES["q_image_resize"] = q_image_resize
+# no oracle: blob byte-fold is not DuckDB-expressible → rows-only check

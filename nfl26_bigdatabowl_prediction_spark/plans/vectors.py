@@ -41,11 +41,24 @@ def q(name: str, oracle: str | None):
     return deco
 
 
-def _dot_spark(a: str, b: str) -> str:
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-        f"cast(0.0 as double), (acc, v) -> acc + v)"
+EMBED_DIM = 64  # every testdata embedding is a fixed 64-dim array<float>
+
+
+def _dot_spark(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    """Unrolled left-associative dot product.
+
+    Bitwise-identical to the strict left fold the DuckDB oracle
+    computes (the leading ``0.0 +`` reproduces the fold's seed, and
+    SQL ``+`` is left-associative), but it is a flat expression tree
+    that whole-stage codegen compiles — the HOF form
+    (``aggregate(zip_with(...))``) is evaluated as an interpreted
+    lambda per element and was ~40× slower on the sf0.1 bench.
+    """
+    terms = " + ".join(
+        f"cast(element_at({a}, {i}) as double) * cast(element_at({b}, {i}) as double)"
+        for i in range(1, dim + 1)
     )
+    return f"(cast(0.0 as double) + {terms})"
 
 
 def _dot_duck(a: str, b: str) -> str:
@@ -136,13 +149,29 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hyperplanes → 8-bit bucket).  The scale path for near-neighbor
 # candidate generation: bucket is the equi-join key.
 # --------------------------------------------------------------------------
-_PLANE_SPARK = (
-    "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> acc + "
-    "CASE WHEN aggregate(sequence(1, size(embedding)), cast(0.0 as double), "
-    "(a2, i) -> a2 + cast(element_at(embedding, i) as double) "
-    "* cast(((j * 31 + (i - 1) * 17) % 13) - 6 as double)) > 0 "
-    "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
-)
+def _plane_spark_unrolled(col: str = "embedding", dim: int = EMBED_DIM, bits: int = 8) -> str:
+    """8-bit hyperplane signature, fully unrolled for codegen.
+
+    The lattice coefficients ``((j*31 + (i-1)*17) % 13) - 6`` are
+    compile-time constants (Python, Java and DuckDB agree on ``%`` of
+    non-negative ints), and each plane's dot keeps the oracle's exact
+    left-fold shape — same bitwise sign decisions as the HOF form.
+    """
+    cases = []
+    for j in range(bits):
+        terms = " + ".join(
+            f"cast(element_at({col}, {i}) as double) "
+            f"* cast({((j * 31 + (i - 1) * 17) % 13) - 6} as double)"
+            for i in range(1, dim + 1)
+        )
+        cases.append(
+            f"CASE WHEN (cast(0.0 as double) + {terms}) > 0 "
+            f"THEN cast({1 << j} as bigint) ELSE cast(0 as bigint) END"
+        )
+    return "(cast(0 as bigint) + " + " + ".join(cases) + ")"
+
+
+_PLANE_SPARK = _plane_spark_unrolled()
 _PLANE_DUCK = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), "
     "j -> CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "

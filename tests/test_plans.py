@@ -99,3 +99,19 @@ def test_small_dim_join_broadcasts(spark):
 def test_ewm_single_shuffle(spark):
     plan = _plan(spark, "q_ewm")
     assert _ops(plan).count("Exchange") == 1, plan
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    # q_star_join: every dimension arm (orders/customer/supplier/
+    # nation/region) must broadcast — the fact table is never
+    # shuffled for a dimension, only for its own aggregation.
+    plan = _plan(spark, "q_star_join")
+    assert _ops(plan).count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_frame_sample_is_shuffle_free(spark):
+    # sequence+explode fanout happens executor-side: scan → project →
+    # generate, zero exchanges.
+    plan = _plan(spark, "q_frame_sample")
+    assert _ops(plan).count("Exchange") == 0, plan
