@@ -690,3 +690,66 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization — gap-based session assembly (the batch twin of
+# streaming/stateful session windows; a core training-data-pipeline
+# op for event logs).  lag-flag-cumsum: a boundary row starts a new
+# session when its gap from the previous event exceeds 45 min; the
+# running sum of boundary flags numbers the sessions; one groupBy
+# rolls each session up.  Scale: the flag+cumsum share the one
+# trajectory-key shuffle with every other §2.5 window; the session
+# rollup re-uses the same partitioning (user_id is a prefix of the
+# grouping key) so AQE plans it shuffle-free.
+# --------------------------------------------------------------------------
+SESSION_GAP_US = 45 * 60 * 1_000_000
+
+
+@q(
+    "q_sessionize",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               CASE WHEN LAG(epoch_us(ts)) OVER ({DW}) IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER ({DW}) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts_us, value,
+               SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = _w()
+    prev_ts = F.lag("ts", 1).over(w)
+    boundary = F.when(
+        prev_ts.isNull() | (F.col("ts") - prev_ts > SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = ev.select(
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        "value",
+        F.sum(boundary)
+        .over(_w().rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        (F.sum(_cents(F.col("value"))) / 100.0).alias("value_sum"),
+    )

@@ -903,3 +903,36 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# §2.4 bonus — exact quantiles (training-pipeline threshold picking:
+# quality-score cutoffs, length caps).  Spark `percentile` and DuckDB
+# `quantile_cont` both interpolate at pos = p·(n-1); results are
+# rounded to 4 decimals on both sides because the two engines
+# associate the interpolation arithmetic differently (last-ulp).
+# Scale: percentile is an exact sort-based aggregate — at 100 TB
+# switch to approx_percentile (t-digest) and drop the oracle to a
+# tolerance check; the plan shape (partial per partition, merge at
+# the reducer) is identical.
+# --------------------------------------------------------------------------
+@q(
+    "q_quantile",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS qty_p50,
+           round(quantile_cont(l_quantity, 0.90), 4) AS qty_p90,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS price_median
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("qty_p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("qty_p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.90)), 4).alias("qty_p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("price_median"),
+    )

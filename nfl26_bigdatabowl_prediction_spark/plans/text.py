@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.portable import portable_hash_sql_duckdb, portable_hash_sql_spark
+from ..functions.portable import (
+    knuth_fold_expr,
+    knuth_fold_sql,
+    portable_hash_sql_duckdb,
+    portable_hash_sql_spark,
+)
 from ..sources.io import table
 
 QUERIES: dict = {}
@@ -492,3 +497,28 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("comp"))
         .alias("cluster_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling — training-data curation: keep 10%
+# of the majority 'en' stratum and 50% of every other language, with
+# a portable hash as the coin (reproducible across engines and runs,
+# join-free, no state).  Scale: pure scan-side filter — the sample
+# predicate pushes into the scan and no shuffle happens at all; at
+# 100 TB this is the only sampling shape that avoids a global pass.
+# Production swap-in: pmod(xxhash64(doc_id), 100) (same plan).
+# --------------------------------------------------------------------------
+@q(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, {knuth_fold_sql('doc_id', 100)} AS h
+        FROM documents)
+    WHERE (lang = 'en' AND h < 10) OR (lang <> 'en' AND h < 50)
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    h = knuth_fold_expr(F.col("doc_id"), 100)
+    keep = ((F.col("lang") == "en") & (h < 10)) | ((F.col("lang") != "en") & (h < 50))
+    return d.filter(keep).select("doc_id", "lang")
