@@ -21,6 +21,7 @@ from ..streaming import (
     events_stream,
     run_available_now,
     session_windows,
+    sliding_value_stats,
     streaming_ewm,
     tumbling_counts,
 )
@@ -121,3 +122,62 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
     return run_available_now(streaming_ewm(ev, alpha=0.3), output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# Streaming sliding windows (1 h width, 30 min slide): every event
+# lands in exactly width/slide = 2 overlapping epoch-aligned windows.
+# Oracle: explode each event to its two window starts and group —
+# the deterministic batch meaning of a slide.
+# --------------------------------------------------------------------------
+SLIDE_US = 30 * 60 * 1_000_000
+
+
+@q(
+    "q_stream_sliding",
+    f"""
+    WITH ev AS (
+        SELECT epoch_us(ts) AS t, value FROM events
+    ), wins AS (
+        SELECT unnest([(t // {SLIDE_US}) * {SLIDE_US},
+                       (t // {SLIDE_US}) * {SLIDE_US} - {SLIDE_US}]) AS window_start_us,
+               value
+        FROM ev
+    )
+    SELECT window_start_us,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS value_sum,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max
+    FROM wins
+    GROUP BY window_start_us
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    return run_available_now(
+        sliding_value_stats(ev, width="1 hour", slide="30 minutes"),
+        output_mode="complete",
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming exact dedup with bounded state: distinct (user_id,
+# event_type) keys via dropDuplicatesWithinWatermark.  Only the key
+# columns are returned — first-seen-wins payloads depend on arrival
+# order, the key set itself does not.
+# --------------------------------------------------------------------------
+@q(
+    "q_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import dedup_within_watermark
+
+    ev = events_stream(spark, sf_dir)
+    deduped = dedup_within_watermark(ev, keys=["user_id", "event_type"])
+    return run_available_now(
+        deduped.select("user_id", "event_type"), output_mode="append"
+    )
