@@ -1,0 +1,76 @@
+"""M6/M7/M8 coverage (SURVEY §2.10): ridge meta-stacking, fixed-weight
+model averaging, and the StandardScaler pipeline path — the ensemble
+pieces not exercised by the end-to-end tracking test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nfl26_bigdatabowl_prediction_spark.ml.folds import with_fold
+from nfl26_bigdatabowl_prediction_spark.ml.gbt import (
+    ResidualGBTConfig,
+    predict_fold_mean,
+    ridge_stack,
+    train_residual_gbt,
+    weighted_average,
+)
+
+
+def test_weighted_average_exact(spark):
+    """M7 — pred = Σ w_m·pred_m / Σ w (main_cuda.py:85-90), exact."""
+    a = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 0.0, 4.0)], "id int, pred_x double, pred_y double"
+    )
+    b = spark.createDataFrame(
+        [(1, 20.0, 40.0), (2, 2.0, 0.0)], "id int, pred_x double, pred_y double"
+    )
+    rows = {
+        r.id: r
+        for r in weighted_average(
+            {"m1": a, "m2": b}, {"m1": 3.0, "m2": 1.0}, ["id"]
+        ).collect()
+    }
+    assert rows[1].pred_x == 12.5 and rows[1].pred_y == 25.0
+    assert rows[2].pred_x == 0.5 and rows[2].pred_y == 3.0
+
+
+def test_ridge_stack_recovers_linear_combination(spark):
+    """M6 — LinearRegression(elasticNet=0) on OOF meta-features
+    (main_cuda.py:1298-1310).  With regParam=0 it is OLS and must
+    recover an exactly-linear label."""
+    rows = [(float(i), float(2 * i % 7), 2.0 * i + 3.0 * (2 * i % 7) + 1.0) for i in range(40)]
+    oof = spark.createDataFrame(rows, "m1 double, m2 double, label double")
+    model = ridge_stack(oof, ["m1", "m2"], "label", reg=0.0)
+    err = (
+        model.transform(oof)
+        .select(F.max(F.abs(F.col("stack_label") - F.col("label"))).alias("e"))
+        .first()
+        .e
+    )
+    assert err < 1e-6, err
+
+
+def test_scaled_pipeline_trains_and_predicts(spark):
+    """M8 — the StandardScaler stage (nn-mps.py:908-916) wired into
+    the fold pipeline; predictions must be finite for every row."""
+    rows = [
+        (i, float(i % 13), float((i * 7) % 5), 0.1 * (i % 13), -0.2 * ((i * 7) % 5))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "gid int, f1 double, f2 double, res_x double, res_y double"
+    ).withColumn("baseline_x", F.lit(50.0)).withColumn("baseline_y", F.lit(25.0))
+    df = with_fold(df, ["gid"], k=2)
+    models = train_residual_gbt(
+        df,
+        ["f1", "f2"],
+        k=2,
+        cfg=ResidualGBTConfig(max_iter=3, max_depth=3, scale_features=True),
+    )
+    pred = predict_fold_mean(models, df)
+    n_bad = pred.filter(
+        F.isnan("pred_x") | F.isnan("pred_y") | F.col("pred_x").isNull()
+    ).count()
+    assert n_bad == 0
+    assert pred.count() == 120
