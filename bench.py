@@ -78,6 +78,14 @@ HEADLINE = {
     "q_minhash_lsh",
     "q_embed_cosine_topk",
     "q_embed_ivf_topk",
+    "q_star_join",
+    "q_sessionize",
+    "q_quantile",
+    "q_stratified_sample",
+    "q_dedup_components",
+    "q_embed_neardup",
+    "q_multimodal_decode",
+    "q_frame_sample",
 }
 
 if __name__ == "__main__":

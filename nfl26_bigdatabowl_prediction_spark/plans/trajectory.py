@@ -642,3 +642,66 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_asof").alias("click_value"),
         F.col("ts_asof").alias("click_ts_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tolerance-bounded as-of join (pandas merge_asof(tolerance=...)):
+# same single-shuffle union+fill plan as q_asof_join, but a match
+# older than 2 h is nulled out — the staleness bound every
+# feature-store lookup needs.  Oracle: DuckDB ASOF JOIN with a CASE
+# that voids stale payloads; the match itself is unchanged, so the
+# deduped right side keeps both engines well-defined.
+# --------------------------------------------------------------------------
+ASOF_TOL_US = 2 * 3600 * 1_000_000
+
+
+@q(
+    "q_asof_tolerance",
+    f"""
+    WITH r0 AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, ts_us, event_id, value FROM r0 WHERE rn = 1
+    ), l AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    ), m AS (
+        SELECT l.user_id, l.event_id, l.value AS target_value, l.ts_us,
+               r.event_id AS click_event_id, r.value AS click_value,
+               r.ts_us AS click_ts_us
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    )
+    SELECT user_id, event_id, target_value,
+           CASE WHEN ts_us - click_ts_us > {ASOF_TOL_US} THEN NULL ELSE click_event_id END AS click_event_id,
+           CASE WHEN ts_us - click_ts_us > {ASOF_TOL_US} THEN NULL ELSE click_value END AS click_value,
+           CASE WHEN ts_us - click_ts_us > {ASOF_TOL_US} THEN NULL ELSE click_ts_us END AS click_ts_us
+    FROM m
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value", "event_type")
+    left = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    right = ev.filter(F.col("event_type") == "click").drop("event_type")
+    j = asof_join(
+        left,
+        right,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+        dedup_right=True,
+        tolerance_us=ASOF_TOL_US,
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("target_value"),
+        F.col("event_id_asof").alias("click_event_id"),
+        F.col("value_asof").alias("click_value"),
+        F.col("ts_asof").alias("click_ts_us"),
+    )
