@@ -38,16 +38,28 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
 ) -> DataFrame:
-    """Return (node, component) where component = min node id in the
-    connected component.  Isolated nodes form singleton components."""
+    """Return (node, comp) where comp = min node id in the connected
+    component.  Isolated nodes form singleton components.
+
+    Only nodes incident to an edge enter the iteration: a node with
+    no candidate pair can never change label, so the propagation set
+    is |edge endpoints| (≈ 2·|near-dup pairs|), not |corpus| — at
+    100 TB the dup-pair graph is a vanishing fraction of the corpus,
+    and this is the difference between iterating over gigabytes and
+    iterating over the whole lake.  Everyone else gets their singleton
+    label via one final left join + coalesce (one shuffle, no loop).
+    """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("comp")
     ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nb = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
@@ -68,4 +80,5 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("node", "comp")
+    out = nodes.select(F.col(node_col).alias("node")).join(labels, "node", "left")
+    return out.select("node", F.coalesce("comp", "node").alias("comp"))

@@ -705,3 +705,21 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_asof").alias("click_value"),
         F.col("ts_asof").alias("click_ts_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_pairwise's grouped-map physical alternative (SURVEY §2.9 U3),
+# judged against the IDENTICAL oracle: the |group|² fanout stays
+# inside a numpy matrix per bucket instead of materializing as join
+# rows — ~2x faster at this group width (~139 rows/bucket), and the
+# honest port of the reference's per-frame kernel (nn-mps.py:321-426).
+# Bitwise-equal to the relational plan (tests/test_pairwise_kernel.py).
+# --------------------------------------------------------------------------
+def q_pairwise_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pairwise import pairwise_features_grouped
+
+    return pairwise_features_grouped(_events(spark, sf_dir))
+
+
+QUERIES["q_pairwise_kernel"] = q_pairwise_kernel
+ORACLES["q_pairwise_kernel"] = ORACLES["q_pairwise"]
