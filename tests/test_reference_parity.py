@@ -102,3 +102,58 @@ def test_cumcount_matches_pandas(spark):
     )
     got = QUERIES["q_cumcount"](spark, SF_DIR).toPandas()
     _check(got, ref, ["frames_elapsed"])
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """General as-of (operators/asof.py) vs pandas merge_asof — the
+    reference-engine semantics for backward as-of with exact-match
+    inclusion and tolerance, on the real events table."""
+    from nfl26_bigdatabowl_prediction_spark.operators.asof import asof_join
+
+    ev = table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    left = ev.filter(ev.event_type == "purchase").drop("event_type")
+    right = ev.filter(ev.event_type == "click").drop("event_type")
+    tol = 2 * 3600 * 1_000_000
+    got = (
+        asof_join(
+            left,
+            right,
+            on="ts",
+            by=["user_id"],
+            right_cols=["event_id", "value"],
+            tiebreak="event_id",
+            dedup_right=True,
+            tolerance_us=tol,
+        )
+        .select("user_id", "event_id", "ts", "event_id_asof", "value_asof")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    lp = left.toPandas().sort_values("ts").reset_index(drop=True)
+    rp = right.toPandas()
+    # dedup_right: keep the max-event_id row per (user_id, ts)
+    rp = (
+        rp.sort_values(["user_id", "ts", "event_id"])
+        .groupby(["user_id", "ts"], as_index=False)
+        .tail(1)
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lp,
+        rp.rename(columns={"event_id": "event_id_asof", "value": "value_asof"}),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        tolerance=tol,
+    ).sort_values("event_id").reset_index(drop=True)
+
+    assert len(got) == len(want) > 0
+    for c in ["event_id_asof", "value_asof"]:
+        g, w = got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float)
+        both_nan = np.isnan(g) & np.isnan(w)
+        assert (both_nan | (g == w)).all(), c
