@@ -141,6 +141,26 @@ def weighted_average(preds: dict[str, DataFrame], weights: dict[str, float], key
     return out.withColumn("pred_x", wx).withColumn("pred_y", wy)
 
 
+def save_models(models: list[FoldModel], path: str) -> None:
+    """S5 — model sink (main_cuda.py:1544-1559 pickle bundle →
+    MLlib native persistence): one directory per fold per target."""
+    for fm in models:
+        fm.model_x.write().overwrite().save(f"{path}/fold{fm.fold}/x")
+        fm.model_y.write().overwrite().save(f"{path}/fold{fm.fold}/y")
+
+
+def load_models(path: str, k: int) -> list[FoldModel]:
+    """S5 — model source (main_cuda.py:1483-1488 pickle load)."""
+    return [
+        FoldModel(
+            fold,
+            PipelineModel.load(f"{path}/fold{fold}/x"),
+            PipelineModel.load(f"{path}/fold{fold}/y"),
+        )
+        for fold in range(k)
+    ]
+
+
 def ridge_stack(
     oof: DataFrame, meta_cols: list[str], label: str, reg: float = 1.0
 ) -> PipelineModel:

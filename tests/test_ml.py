@@ -74,3 +74,27 @@ def test_scaled_pipeline_trains_and_predicts(spark):
     ).count()
     assert n_bad == 0
     assert pred.count() == 120
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """S5 — MLlib persistence replaces the reference's pickle bundle:
+    reloaded fold models must predict identically."""
+    from nfl26_bigdatabowl_prediction_spark.ml.gbt import load_models, save_models
+
+    rows = [
+        (i, float(i % 13), float((i * 7) % 5), 0.1 * (i % 13), -0.2 * ((i * 7) % 5))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "gid int, f1 double, f2 double, res_x double, res_y double"
+    ).withColumn("baseline_x", F.lit(50.0)).withColumn("baseline_y", F.lit(25.0))
+    df = with_fold(df, ["gid"], k=2)
+    models = train_residual_gbt(
+        df, ["f1", "f2"], k=2, cfg=ResidualGBTConfig(max_iter=3, max_depth=3)
+    )
+    save_models(models, str(tmp_path / "bundle"))
+    reloaded = load_models(str(tmp_path / "bundle"), k=2)
+    a = predict_fold_mean(models, df).select("gid", "pred_x", "pred_y").toPandas().sort_values("gid")
+    b = predict_fold_mean(reloaded, df).select("gid", "pred_x", "pred_y").toPandas().sort_values("gid")
+    assert (a["pred_x"].to_numpy() == b["pred_x"].to_numpy()).all()
+    assert (a["pred_y"].to_numpy() == b["pred_y"].to_numpy()).all()
