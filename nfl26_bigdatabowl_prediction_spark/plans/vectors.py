@@ -457,3 +457,31 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.filter(F.col("cosine") >= 0.3)
+
+
+# --------------------------------------------------------------------------
+# MLlib k-means over the embedding column — the trained-centroid
+# upgrade the IVF docstring promises (q_embed_ivf_topk uses exact
+# per-label means; production IVF trains cells instead).  Iterative
+# MLlib fit → rows-only driver check per the contract's
+# non-SQL-expressible clause; determinism within one engine comes
+# from the fixed seed.  array_to_vector bridges array<float> to
+# VectorUDT without a Python UDF.
+# --------------------------------------------------------------------------
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=5).fit(e)
+    return (
+        model.transform(e)
+        .groupBy(F.col("prediction").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+QUERIES["q_embed_kmeans"] = q_embed_kmeans
+# no oracle: iterative MLlib clustering → rows-only check
