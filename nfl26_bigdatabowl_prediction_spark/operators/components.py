@@ -60,25 +60,45 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    prev_ckpt: DataFrame | None = labels
     for _ in range(max_iter):
-        nb = (
+        # min over neighbor labels, pre-aggregated before the join back
+        # so the per-round state join is labels⋈(one row per node).
+        nbmin = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .select(F.col("a").alias("node"), "comp")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("nb_comp"))
         )
-        new_labels = (
-            labels.unionByName(nb)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+        # One materialization carries BOTH the updated label and the
+        # convergence signal: the fixpoint check is a shuffle-free
+        # filter-count over the checkpointed rows, not a second
+        # labels⋈labels join job per round.
+        joined = (
+            labels.join(nbmin, "node", "left")
+            .select(
+                "node",
+                "comp",
+                F.least("comp", F.coalesce("nb_comp", "comp")).alias("new_comp"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        # The superseded round's blocks are dead the moment the new
+        # checkpoint exists; without explicit unpersist they pile up in
+        # executor storage memory across rounds (and across calls in a
+        # long-lived session), degrading every later job.
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = joined
+        changed = joined.filter(F.col("new_comp") < F.col("comp")).count()
+        labels = joined.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
     out = nodes.select(F.col(node_col).alias("node")).join(labels, "node", "left")
-    return out.select("node", F.coalesce("comp", "node").alias("comp"))
+    out = out.select("node", F.coalesce("comp", "node").alias("comp"))
+    # Materialize the result before releasing the inputs it reads from:
+    # the returned frame must not depend on blocks we are about to free.
+    out = out.localCheckpoint()
+    sym.unpersist()
+    if prev_ckpt is not None:
+        prev_ckpt.unpersist()
+    return out

@@ -561,7 +561,7 @@ def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey"
     )
     return o.join(
-        rich, o.o_custkey == rich.c_custkey, "left_semi"
+        F.broadcast(rich), o.o_custkey == rich.c_custkey, "left_semi"
     ).select("o_orderkey", "o_custkey")
 
 
@@ -579,7 +579,7 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey"
     )
     return o.join(
-        rich, o.o_custkey == rich.c_custkey, "left_anti"
+        F.broadcast(rich), o.o_custkey == rich.c_custkey, "left_anti"
     ).select("o_orderkey", "o_custkey")
 
 
@@ -854,8 +854,8 @@ def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.3 bonus — multi-way star join (TPC-H Q5 shape): fact chain
 # lineitem→orders→customer with the supplier/nation/region dimension
 # arms, local-supplier predicate, revenue per nation.  Scale shape:
-# Catalyst broadcasts every dimension (customer/supplier/nation/
-# region) so the ONLY repartition-scale work is the
+# every dimension (customer/supplier/nation/region) carries an
+# explicit broadcast hint so the ONLY repartition-scale work is the
 # lineitem⋈orders key shuffle; join reordering + pushdown of the
 # region filter prune the nation arm before it touches the fact.
 # --------------------------------------------------------------------------
@@ -888,13 +888,17 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name").isin("ASIA", "EUROPE")
     ).select("r_regionkey")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Explicit broadcast on every dimension arm (auto-broadcast is off,
+    # session.py): customer/supplier/nation/region stay dimension-sized
+    # at any fact scale, so the ONLY repartition-scale work is the
+    # lineitem⋈orders key shuffle.
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return (
         j.groupBy(F.col("n_name").alias("nation"))

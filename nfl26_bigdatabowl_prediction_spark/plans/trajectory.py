@@ -478,13 +478,26 @@ def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.event_id").alias("event_id"),
             F.col("a.user_id").alias("user_id"),
             "nb_event_id",
-            "nb_value",
             F.abs(F.col("a.value") - F.col("nb_value")).alias("dist"),
             F.when(F.col("a.event_type") == F.col("nb_type"), F.lit(1))
             .otherwise(F.lit(0))
             .alias("is_ally"),
         )
     )
+    # Pair-less events survive the aggregation via a null SEED row per
+    # event unioned under the same groupBy — the union is absorbed by
+    # the aggregation's own shuffle, replacing the left join back to
+    # the full event table (two extra exchanges + a join stage) that a
+    # fanout-only plan would need.  At fact scale that join-back is a
+    # second full-table shuffle; the seed union is free.
+    seeds = ev.select(
+        "event_id",
+        "user_id",
+        F.lit(None).cast("bigint").alias("nb_event_id"),
+        F.lit(None).cast("double").alias("dist"),
+        F.lit(0).alias("is_ally"),
+    )
+    pairs = pairs.unionByName(seeds)
     micro = lambda c: F.round(c * F.lit(1000000.0), 0).cast("bigint")  # noqa: E731
     # Single aggregation pass over the pair fanout: argmin-with-carry
     # as a PACKED-LONG min — (dist_micros << 32) | nb_event_id — so the
@@ -498,7 +511,8 @@ def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the aggregated (not fanned-out) rows.
     packed = micro(F.col("dist")) * F.lit(4294967296) + F.col("nb_event_id")
     pair_agg = pairs.groupBy("event_id").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("user_id").alias("user_id"),
+        F.count("nb_event_id").alias("n_pairs"),
         F.sum("is_ally").alias("n_ally"),
         (
             F.sum(F.when(F.col("is_ally") == 1, micro(F.col("dist"))).otherwise(F.lit(0)))
@@ -513,17 +527,14 @@ def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("nearest_event_id"),
         F.col("value").alias("nearest_value"),
     )
-    pair_agg = pair_agg.withColumn(
-        "nearest_event_id", F.col("_np") % F.lit(4294967296)
-    ).join(nb_vals, "nearest_event_id", "left")
     return (
-        ev.select("event_id", "user_id")
-        .join(pair_agg, "event_id", "left")
+        pair_agg.withColumn("nearest_event_id", F.col("_np") % F.lit(4294967296))
+        .join(nb_vals, "nearest_event_id", "left")
         .select(
             "event_id",
             "user_id",
-            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
-            F.coalesce(F.col("n_ally"), F.lit(0)).alias("n_ally"),
+            "n_pairs",
+            "n_ally",
             "mean_dist_ally",
             "min_dist",
             "max_dist",

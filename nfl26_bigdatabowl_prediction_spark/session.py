@@ -30,9 +30,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast only on explicit hints.  The size estimator reads
+        # compressed on-disk bytes, so a 600k-row snappy parquet table
+        # slips under the default 10 MB threshold; the resulting
+        # broadcast-hash join then serializes the probe side onto the
+        # scan's task count (single-row-group files scan as ONE task).
+        # Plans mark known-small dimensions with F.broadcast(...)
+        # explicitly — the only broadcast decision that stays correct
+        # when the fact side is 100 TB and stats are stale.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 16g, not bigger: local-mode driver+executor share one heap,
+        # and an oversized heap trades steady-state speed for
+        # multi-second GC pauses (measured 4-5x p95 spikes at 48g on
+        # the sf0.1 bench; none at 16g).  Real clusters size executor
+        # heaps to partition working set, not machine RAM.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
