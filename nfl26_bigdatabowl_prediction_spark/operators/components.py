@@ -30,6 +30,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(edges_pdf) -> "dict[int, int]":
+    """Exact union-find (path-halving + union by min root) over an
+    edge list that fits on the driver; returns node → min-id-in-
+    component for every edge-incident node."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges_pdf["a"].to_numpy(), edges_pdf["b"].to_numpy()):
+        a, b = int(a), int(b)
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id keeps the root = component label invariant
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {v: find(v) for v in parent}
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -37,6 +65,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Return (node, comp) where comp = min node id in the connected
     component.  Isolated nodes form singleton components.
@@ -48,12 +77,47 @@ def connected_components(
     and this is the difference between iterating over gigabytes and
     iterating over the whole lake.  Everyone else gets their singleton
     label via one final left join + coalesce (one shuffle, no loop).
+
+    Two physical strategies behind one semantic:
+    * |edges| ≤ ``driver_edge_threshold``: collect the (narrow,
+      2-column) edge list and run exact union-find on the driver —
+      one job instead of O(log diameter) shuffle rounds.  Dup-pair
+      graphs are sparse, so this is the common case even under a
+      huge corpus; the result is identical (min id per component).
+    * otherwise: distributed hash-to-min with pointer jumping,
+      O(log diameter) rounds of bounded shuffles.
     """
+    e2 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    n_edges = e2.count()
+    if n_edges <= driver_edge_threshold:
+        spark = edges.sparkSession
+        comp_map = _driver_union_find(e2.toPandas())
+        e2.unpersist()
+        if comp_map:
+            import pandas as pd
+
+            labels = spark.createDataFrame(
+                pd.DataFrame(
+                    {"node": list(comp_map.keys()), "comp": list(comp_map.values())}
+                )
+            )
+            # the mapping is |edge-incident nodes| — broadcast-sized
+            # whenever the driver path was chosen at all
+            labels = F.broadcast(labels)
+            out = nodes.select(F.col(node_col).alias("node")).join(
+                labels, "node", "left"
+            )
+        else:
+            out = nodes.select(F.col(node_col).alias("node")).withColumn(
+                "comp", F.lit(None).cast("long")
+            )
+        return out.select("node", F.coalesce("comp", "node").alias("comp"))
+
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e2.unionByName(e2.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     ).localCheckpoint()
+    e2.unpersist()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -69,16 +133,27 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("nb_comp"))
         )
+        upd = labels.join(nbmin, "node", "left").select(
+            "node",
+            "comp",
+            F.least("comp", F.coalesce("nb_comp", "comp")).alias("c1"),
+        )
+        # Pointer jumping: follow the fresh label one hop —
+        # c2(v) = c1(c1(v)) — so label distances halve per round and
+        # convergence is O(log diameter), not O(diameter).  A label is
+        # always a member node id, so the self-join lookup always hits.
+        # Measured on the sf0.1 LSH graph: 7 rounds → 4.
+        hop = upd.select(F.col("node").alias("c1"), F.col("c1").alias("c2"))
         # One materialization carries BOTH the updated label and the
         # convergence signal: the fixpoint check is a shuffle-free
         # filter-count over the checkpointed rows, not a second
         # labels⋈labels join job per round.
         joined = (
-            labels.join(nbmin, "node", "left")
+            upd.join(hop, "c1", "left")
             .select(
                 "node",
                 "comp",
-                F.least("comp", F.coalesce("nb_comp", "comp")).alias("new_comp"),
+                F.least("c1", F.coalesce("c2", "c1")).alias("new_comp"),
             )
             .localCheckpoint()
         )
