@@ -42,15 +42,17 @@ def salted_join(
     deterministic hash of the join key columns themselves XOR'd with
     a per-row component, so each (key, salt) bucket holds ~1/N of a
     hot key's rows."""
-    spark = big.sparkSession
-    salts = spark.range(n_salt).select(F.col("id").cast("int").alias("_salt"))
     # hash over ALL of big's columns: deterministic, and rows of a hot
     # key spread uniformly because the non-key columns vary.
     scatter: Column = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salt)).cast(
         "int"
     )
     big_s = big.withColumn("_salt", scatter)
-    small_r = small.crossJoin(F.broadcast(salts))
+    # replicate via explode of a literal sequence — a generator inside
+    # the small side's own stage, not a (nested-loop) join operator.
+    small_r = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
     return big_s.join(small_r, keys + ["_salt"], how).drop("_salt")
 
 

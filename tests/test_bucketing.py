@@ -40,6 +40,10 @@ def test_bucketed_join_has_no_exchange(spark):
         )
         # broadcast would trivially have no shuffle — force the
         # merge path to prove bucket co-location does the work.
+        # NB: restore the SESSION's value afterwards — conf.unset
+        # falls back to the Spark DEFAULT (10 MB), silently re-enabling
+        # auto-broadcast for every later test in the shared session.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             ops = _ops(joined)
@@ -47,7 +51,7 @@ def test_bucketed_join_has_no_exchange(spark):
             assert ops.count("Exchange") == 0, ops
             got = joined.count()
         finally:
-            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         expect = li.join(o, li.l_orderkey == o.o_orderkey).count()
         assert got == expect > 0
     finally:

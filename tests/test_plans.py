@@ -89,11 +89,22 @@ def test_window_suite_single_exchange(spark):
         assert _ops(plan).count("Exchange") == 1, f"{name}:\n{plan}"
 
 
-def test_small_dim_join_broadcasts(spark):
+def test_fact_fact_join_shuffles_not_broadcasts(spark):
+    # q_join_inner joins lineitem⋈orders — BOTH sides scale with the
+    # fact data, so the plan must key-shuffle, never broadcast (the
+    # size estimator would happily broadcast a compressed 600k-row
+    # parquet at bench SF; auto-broadcast is disabled for exactly that
+    # reason — see session.py).
     plan = _plan(spark, "q_join_inner")
-    # orders is far below the broadcast threshold at test SF; the
-    # fact side must not be shuffled for this join.
-    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    # explicit broadcast hints are the only broadcast path; q_semi's
+    # filtered customer side carries one.
+    plan = _plan(spark, "q_semi")
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_ewm_single_shuffle(spark):
@@ -102,12 +113,27 @@ def test_ewm_single_shuffle(spark):
 
 
 def test_star_join_broadcasts_all_dims(spark):
-    # q_star_join: every dimension arm (orders/customer/supplier/
-    # nation/region) must broadcast — the fact table is never
-    # shuffled for a dimension, only for its own aggregation.
+    # q_star_join: the four true dimension arms (customer/supplier/
+    # nation/region) broadcast via explicit hints; lineitem⋈orders is
+    # the ONE key shuffle (orders scales with the fact side, so
+    # broadcasting it would be wrong at scale).
     plan = _plan(spark, "q_star_join")
-    assert _ops(plan).count("BroadcastHashJoin") >= 4, plan
-    assert "SortMergeJoin" not in plan
+    ops = _ops(plan)
+    assert ops.count("BroadcastHashJoin") == 4, plan
+    assert ops.count("SortMergeJoin") + ops.count("ShuffledHashJoin") == 1, plan
+
+
+def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
+    # Registry-wide scale guard: an equi-join that degenerates into
+    # BroadcastNestedLoopJoin or CartesianProduct is O(n·m) at the
+    # executor — fine at sf0.001, fatal at 100 TB.  Every batch plan
+    # must stay in hash/sort-merge land.
+    for name in sorted(QUERIES):
+        if name.startswith("q_stream") or name == "q_embed_kmeans":
+            continue  # streaming plans / iterative MLlib fit
+        plan = _plan(spark, name)
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert bad not in plan, f"{name} compiles to {bad}"
 
 
 def test_frame_sample_is_shuffle_free(spark):
