@@ -57,3 +57,27 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_parquet(partition_by=...) must yield scans that prune at
+    the PARTITION level: a filter on the partition key appears as a
+    PartitionFilter (directory pruning — at 100 TB the difference
+    between listing one directory and reading the lake), and the
+    pruned scan reads strictly fewer files than the full scan."""
+    from nfl26_bigdatabowl_prediction_spark.sources.io import write_parquet
+
+    ev = table(spark, SF_DIR, "events").select("event_id", "user_id", "event_type")
+    path = str(tmp_path / "events_by_type")
+    write_parquet(ev, path, partition_by=["event_type"])
+
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0], plan
+    # and the data actually matches the unpartitioned filter
+    expect = ev.filter(F.col("event_type") == "purchase").count()
+    assert back.count() == expect > 0
