@@ -35,6 +35,7 @@ def events_stream(
     spark: SparkSession,
     sf_dir: str,
     max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
 ) -> DataFrame:
     """``readStream`` over the events parquet with event-time column.
 
@@ -47,7 +48,7 @@ def events_stream(
     # The file stream source requires a *directory*; pathGlobFilter
     # selects just the events table out of the shared sf_dir.
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
-        "pathGlobFilter", "events.parquet"
+        "pathGlobFilter", glob
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -79,3 +79,49 @@ def test_dedup_within_watermark_drops_dupes(spark):
     )
     assert len(got) == len(got.drop_duplicates())
     assert len(got) == len(expect)
+
+
+def test_stateful_ewm_carries_state_across_microbatches(spark, tmp_path):
+    """The applyInPandasWithState EWM must produce the SAME per-key
+    recurrence whether the trajectory arrives in one micro-batch or
+    four: the carry (last_ewm, n_seen) lives in the state store
+    between triggers.  Events are split into 4 time-ordered parquet
+    files and drained with maxFilesPerTrigger=1, so the file source
+    schedules 4 micro-batches; expected values are the reference
+    recurrence (pandas ewm(alpha=0.3, adjust=False)) over the whole
+    trajectory."""
+    import time as _time
+
+    from nfl26_bigdatabowl_prediction_spark.streaming import events_stream, run_available_now
+    from nfl26_bigdatabowl_prediction_spark.streaming.stateful import streaming_ewm
+
+    # raw nanos (the on-disk representation the streaming source expects)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    src = tmp_path / "ev_stream"
+    src.mkdir()
+    n = len(raw)
+    for i in range(4):  # oldest quartile first: file mtime = batch order
+        raw.iloc[i * n // 4 : (i + 1) * n // 4].to_parquet(
+            src / f"chunk{i}.parquet", index=False
+        )
+        _time.sleep(0.05)
+
+    got = run_available_now(
+        streaming_ewm(
+            events_stream(spark, str(src), max_files_per_trigger=1, glob="chunk*.parquet")
+        ),
+        output_mode="append",
+    ).toPandas()
+
+    pdf = raw.assign(ts=raw["ts"] // 1000).sort_values(["user_id", "ts", "event_id"])
+    pdf["expect"] = pdf.groupby("user_id")["value"].transform(
+        lambda s: s.ewm(alpha=0.3, adjust=False).mean()
+    )
+    merged = got.merge(pdf[["event_id", "expect"]], on="event_id")
+    assert len(merged) == n > 0
+    assert (merged["ewm03"].values == merged["expect"].values).all()
