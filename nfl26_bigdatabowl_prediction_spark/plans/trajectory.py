@@ -478,6 +478,7 @@ def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.event_id").alias("event_id"),
             F.col("a.user_id").alias("user_id"),
             "nb_event_id",
+            "nb_value",
             F.abs(F.col("a.value") - F.col("nb_value")).alias("dist"),
             F.when(F.col("a.event_type") == F.col("nb_type"), F.lit(1))
             .otherwise(F.lit(0))
@@ -494,6 +495,7 @@ def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.lit(None).cast("bigint").alias("nb_event_id"),
+        F.lit(None).cast("double").alias("nb_value"),
         F.lit(None).cast("double").alias("dist"),
         F.lit(0).alias("is_ally"),
     )
@@ -510,6 +512,13 @@ def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The neighbor's value is recovered with one narrow self-join on
     # the aggregated (not fanned-out) rows.
     packed = micro(F.col("dist")) * F.lit(4294967296) + F.col("nb_event_id")
+    # min_by carries the winning neighbor's VALUE through the same
+    # aggregation (MaxMinBy is a declarative aggregate — stays in
+    # whole-stage codegen, unlike min(struct)), so no join back to the
+    # event table is needed to recover it; packed is unique per
+    # neighbor within a group, so the argmin is tie-free, and rows
+    # with a NULL ordering (the seeds) are ignored — pair-less events
+    # surface NULL nearest_* exactly like the oracle's left join.
     pair_agg = pairs.groupBy("event_id").agg(
         F.max("user_id").alias("user_id"),
         F.count("nb_event_id").alias("n_pairs"),
@@ -522,25 +531,18 @@ def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist").alias("min_dist"),
         F.max("dist").alias("max_dist"),
         F.min(packed).alias("_np"),
+        F.min_by("nb_value", packed).alias("nearest_value"),
     )
-    nb_vals = ev.select(
-        F.col("event_id").alias("nearest_event_id"),
-        F.col("value").alias("nearest_value"),
-    )
-    return (
-        pair_agg.withColumn("nearest_event_id", F.col("_np") % F.lit(4294967296))
-        .join(nb_vals, "nearest_event_id", "left")
-        .select(
-            "event_id",
-            "user_id",
-            "n_pairs",
-            "n_ally",
-            "mean_dist_ally",
-            "min_dist",
-            "max_dist",
-            "nearest_event_id",
-            "nearest_value",
-        )
+    return pair_agg.select(
+        "event_id",
+        "user_id",
+        "n_pairs",
+        "n_ally",
+        "mean_dist_ally",
+        "min_dist",
+        "max_dist",
+        (F.col("_np") % F.lit(4294967296)).alias("nearest_event_id"),
+        "nearest_value",
     )
 
 
