@@ -420,41 +420,42 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The vector (and its precomputed norm) ride along in the bucket
+    # shuffle as struct fields, so the confirm step reads them straight
+    # off the exploded pair — ONE scan, ONE exchange, zero joins.  The
+    # former join-back form broadcast the entire embedding table twice,
+    # which is exactly what cannot scale when the corpus is the fact
+    # side; a bucket-keyed shuffle of the corpus can.
     e = table(spark, sf_dir, "embeddings")
-    sigs = e.select("vec_id", F.expr(_PLANE_SPARK).alias("bucket"))
+    sigs = e.select(
+        F.expr(_PLANE_SPARK).alias("bucket"),
+        F.struct(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("emb"),
+            F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("nrm"),
+        ).alias("v"),
+    )
     buckets = (
         sigs.groupBy("bucket")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ds"))
+        .agg(F.array_sort(F.collect_list("v")).alias("ds"))  # sorts by id (first field)
         .filter(F.size("ds") > 1)
     )
-    cand = buckets.select(
+    pairs = buckets.select(
         F.explode(
             F.expr(
                 "flatten(transform(ds, (a, i) -> "
                 "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                "b -> struct(a AS vec_a, b AS vec_b))))"
+                "b -> struct(a AS va, b AS vb))))"
             )
         ).alias("p")
-    ).select("p.vec_a", "p.vec_b")
-    vecs = e.select(
-        "vec_id",
-        F.col("embedding").alias("emb"),
-        F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("nrm"),
     )
-    ja = vecs.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
-    )
-    jb = vecs.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
-    )
-    scored = (
-        cand.join(F.broadcast(ja), "vec_a")
-        .join(F.broadcast(jb), "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (F.expr(_dot_spark("ea", "eb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
-        )
+    scored = pairs.select(
+        F.col("p.va.id").alias("vec_a"),
+        F.col("p.vb.id").alias("vec_b"),
+        (
+            F.expr(_dot_spark("p.va.emb", "p.vb.emb"))
+            / (F.col("p.va.nrm") * F.col("p.vb.nrm"))
+        ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= 0.3)
 
