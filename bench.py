@@ -91,6 +91,7 @@ HEADLINE = {
     "q_topk_per_group",
     "q_asof",
     "q_asof_join",
+    "q_range_join",
     "q_gnn_lite",
     "q_pairwise",
     "q_dedup_exact",

@@ -736,3 +736,68 @@ def q_pairwise_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_pairwise_kernel"] = q_pairwise_kernel
 ORACLES["q_pairwise_kernel"] = ORACLES["q_pairwise"]
+
+
+# --------------------------------------------------------------------------
+# Range join WITHOUT an equi key — the bucket-decomposition pattern
+# (brief: "an operator Spark lacks (… range join) … as a composition
+# of existing DataFrame ops").  Windows = per event type, the hour
+# following its first occurrence; every event joins every window
+# containing its timestamp.  A naive BETWEEN join has no equi key and
+# degenerates to a nested loop (forbidden by tests/test_plans.py);
+# decomposing each window into the hour buckets it covers turns it
+# into a plain hash join on the bucket — each event's bucket is
+# unique, so no dedup pass is needed.  At 100 TB the windows side is
+# dimension-sized (broadcast hint) and the fact side never shuffles:
+# bucket derivation is scan-side arithmetic.
+# --------------------------------------------------------------------------
+@q(
+    "q_range_join",
+    f"""
+    WITH w AS (
+        SELECT event_type AS wtype,
+               MIN(epoch_us(ts)) AS w_start,
+               MIN(epoch_us(ts)) + {HOUR_US} AS w_end
+        FROM events GROUP BY event_type
+    )
+    SELECT w.wtype,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           SUM(CAST(round(e.value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
+    FROM events e JOIN w
+      ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) <= w.w_end
+    GROUP BY w.wtype
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = ev.groupBy(F.col("event_type").alias("wtype")).agg(
+        F.min("ts").alias("w_start"),
+        (F.min("ts") + F.lit(HOUR_US)).alias("w_end"),
+    )
+    # explode each window into the hour buckets it covers (a 1-hour
+    # window spans at most 2 buckets); the range predicate then only
+    # refines within the matched bucket.
+    wb = w.select(
+        "wtype",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_start div {HOUR_US}"), F.expr(f"w_end div {HOUR_US}")
+            )
+        ).alias("bucket"),
+    )
+    eb = ev.select(
+        "user_id", "ts", "value", F.expr(f"ts div {HOUR_US}").alias("bucket")
+    )
+    j = eb.join(F.broadcast(wb), "bucket").filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end"))
+    )
+    return j.groupBy("wtype").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0).alias(
+            "value_sum"
+        ),
+    )
