@@ -940,3 +940,104 @@ def q_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.90)), 4).alias("qty_p90"),
         F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("price_median"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.1 S-family extensions — ORC and JSON-lines round-trips (the two
+# other splittable formats a lake ingests; same sink→schema'd-scan
+# shape as q_scan_csv).  Explicit schemas: production never infers.
+# --------------------------------------------------------------------------
+@q("q_scan_orc", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "nfl26_orc_roundtrip_nation")
+    table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@q("q_scan_json", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "nfl26_json_roundtrip_nation")
+    table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
+# --------------------------------------------------------------------------
+# Hypertable rollup — multi-resolution time aggregates where the DAY
+# level is computed FROM the HOUR level's partials (sum-of-sums /
+# sum-of-counts), never from raw rows: the continuous-aggregate
+# pattern.  At 100 TB the raw table is touched once for the finest
+# resolution and every coarser rollup reads partials that are orders
+# of magnitude smaller; counts and integer-scaled sums re-aggregate
+# losslessly (averages would need (sum, count) carried separately).
+# --------------------------------------------------------------------------
+@q(
+    "q_hypertable_rollup",
+    """
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+        FROM events GROUP BY 1, 2
+    ), daily AS (
+        SELECT bucket // 24 AS bucket, event_type,
+               SUM(n_events) AS n_events, SUM(value_cents) AS value_cents
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'hour' AS resolution, bucket, event_type, n_events,
+           value_cents / 100.0 AS value_sum
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS resolution, bucket, event_type, n_events,
+           value_cents / 100.0 AS value_sum
+    FROM daily
+    """,
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour_us = 3600 * 10**6
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.expr(f"ts div {hour_us}").alias("bucket"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vc").alias("value_cents"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.expr("bucket div 24").alias("bucket"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+    as_out = lambda df, res: df.select(  # noqa: E731
+        F.lit(res).alias("resolution"),
+        "bucket",
+        "event_type",
+        "n_events",
+        (F.col("value_cents") / 100.0).alias("value_sum"),
+    )
+    return as_out(hourly, "hour").unionByName(as_out(daily, "day"))
