@@ -98,3 +98,23 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     b = predict_fold_mean(reloaded, df).select("gid", "pred_x", "pred_y").toPandas().sort_values("gid")
     assert (a["pred_x"].to_numpy() == b["pred_x"].to_numpy()).all()
     assert (a["pred_y"].to_numpy() == b["pred_y"].to_numpy()).all()
+
+
+def test_train_and_predict_end_to_end(spark):
+    """E1 lifecycle as one call (ml/pipeline.py): features → as-of
+    labels → grouped folds → residual GBT → fold-mean predictions →
+    official metric, with the reference's own acceptance anchor
+    (ensemble beats dead reckoning)."""
+    from nfl26_bigdatabowl_prediction_spark.ml.gbt import ResidualGBTConfig
+    from nfl26_bigdatabowl_prediction_spark.ml.pipeline import train_and_predict
+    from nfl26_bigdatabowl_prediction_spark.testing import make_tracking_tables
+
+    inp, outp = make_tracking_tables(spark)
+    res = train_and_predict(
+        inp, outp, k=3, cfg=ResidualGBTConfig(max_iter=10, max_depth=4)
+    )
+    assert res.feature_cols  # declared∩present is non-empty
+    assert res.predictions.count() > 0
+    assert res.rmse_ensemble < res.rmse_baseline, (
+        f"ensemble {res.rmse_ensemble} !< baseline {res.rmse_baseline}"
+    )
