@@ -1041,3 +1041,36 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value_cents") / 100.0).alias("value_sum"),
     )
     return as_out(hourly, "hour").unionByName(as_out(daily, "day"))
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates — the 100 TB path for q_distinct_agg /
+# q_quantile.  HLL++ and t-digest sketches are mergeable partial
+# aggregates: map-side sketch per partition, one tiny merge at the
+# reducer, so cost is O(rows) with constant shuffle — vs the exact
+# forms' full shuffle of distinct values / sort of every group.
+# Sketch estimates are engine-specific, so there is no DuckDB value
+# oracle (rows-only driver check); tests/test_approx.py bounds the
+# estimates against the exact twins instead (rsd=0.05, tolerant
+# percentile band).
+# --------------------------------------------------------------------------
+@q("q_approx_distinct", None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@q("q_quantile_approx", None)
+def q_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "price_median_approx"
+        ),
+        F.approx_percentile("l_quantity", F.lit(0.9), F.lit(10000)).alias(
+            "qty_p90_approx"
+        ),
+    )
