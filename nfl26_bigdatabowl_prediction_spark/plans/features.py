@@ -102,6 +102,100 @@ def sequence_features(
     return out
 
 
+def sequence_features_rich(df: DataFrame) -> DataFrame:
+    """The main_mps.py sequence-feature variant (main_mps.py:185-223):
+    lags 1..8 over 8 cols, rolling {3,5,7,10} mean/std PLUS max/min,
+    and second derivatives (speed_jerk).  Same single trajectory
+    partitioning as sequence_features — the wider column set adds no
+    exchange."""
+    out = sequence_features(
+        df,
+        lag_cols=("x", "y", "s", "a", "dir", "dist_to_ball", "vx", "vy"),
+        lags=range(1, 9),
+        roll_windows=(3, 5, 7, 10),
+    )
+    w = _traj_window()
+    for win in (3, 5, 7, 10):
+        wf = w.rowsBetween(-(win - 1), 0)
+        for c in ("s", "a"):
+            out = out.withColumn(f"{c}_roll{win}_max", F.max(c).over(wf))
+            out = out.withColumn(f"{c}_roll{win}_min", F.min(c).over(wf))
+    return out.withColumn(
+        "speed_jerk", F.col("speed_change") - F.lag("speed_change", 1).over(w)
+    )
+
+
+def ewm_features(
+    df: DataFrame,
+    cols: tuple[str, ...] = ("x", "y", "s", "a", "dist_to_ball"),
+    alphas: tuple[float, ...] = (0.3, 0.5, 0.7),
+) -> DataFrame:
+    """EWM feature columns (main_mps.py:233-240, ewm(alpha,
+    adjust=False)): the y_t = a*x_t + (1-a)*y_{t-1} recurrence has no
+    windowed-builtin form, so each trajectory is collected in frame
+    order, folded once per (col, alpha) — O(frames) per trajectory —
+    and exploded back; the result rejoins on (trajectory, frame_id),
+    landing on the SAME key partitioning the window suite already
+    shuffled by.  State per fold step is one double: this is the
+    batch twin of streaming/stateful.py's applyInPandasWithState
+    operator, with identical literals so both match pandas bitwise."""
+    tags = [f"{c}_ewm{int(a * 10):02d}" for c in cols for a in alphas]
+    packed = F.struct(
+        F.col("frame_id").alias("f"), *[F.col(c).alias(c) for c in cols]
+    )
+    g = df.groupBy(*TRAJECTORY_KEY).agg(
+        F.array_sort(F.collect_list(packed)).alias("traj")
+    )
+    sel = [*TRAJECTORY_KEY, F.expr("transform(traj, x -> x.f)").alias("_f")]
+    for c in cols:
+        for a in alphas:
+            tag = f"{c}_ewm{int(a * 10):02d}"
+            # pandas NaN semantics (ewm(alpha, adjust=False),
+            # ignore_na=False): a NaN row emits the carried EWM and
+            # widens the gap; the next valid value after g NaNs blends
+            # with old-weight k=(1-alpha)^(g+1), normalized by (k+a);
+            # a gapless step is the plain recurrence.  Verified
+            # bitwise against pandas in tests/test_tracking_pipeline.
+            om = 1.0 - a
+            upd = f"{a}d * v + {om}d * acc.y"
+            k = f"power({om}d, acc.g + 1)"
+            gap_upd = f"({k} * acc.y + {a}d * v) / ({k} + {a}d)"
+            sel.append(
+                F.expr(
+                    f"""
+                    aggregate(
+                        transform(traj, x -> cast(x.{c} as double)),
+                        struct(cast(array() as array<double>) as o,
+                               cast(null as double) as y, 0 as g),
+                        (acc, v) -> case
+                            when v is null or isnan(v)
+                                then struct(array_append(acc.o, acc.y) as o,
+                                            acc.y as y, acc.g + 1 as g)
+                            when acc.y is null
+                                then struct(array_append(acc.o, v) as o,
+                                            v as y, 0 as g)
+                            when acc.g = 0
+                                then struct(array_append(acc.o, {upd}) as o,
+                                            {upd} as y, 0 as g)
+                            else struct(array_append(acc.o, {gap_upd}) as o,
+                                        {gap_upd} as y, 0 as g)
+                        end,
+                        acc -> acc.o)
+                    """
+                ).alias(tag)
+            )
+    arr = g.select(*sel)
+    z = arr.select(
+        *TRAJECTORY_KEY, F.explode(F.arrays_zip("_f", *tags)).alias("z")
+    )
+    feat = z.select(
+        *TRAJECTORY_KEY,
+        F.col("z._f").alias("frame_id"),
+        *[F.col(f"z.{t}").alias(t) for t in tags],
+    )
+    return df.join(feat, [*TRAJECTORY_KEY, "frame_id"], "left")
+
+
 def ensemble_features(df: DataFrame) -> DataFrame:
     """Formation stats + cyclical encodings (main_cuda.py:237-294):
     per-(game,play,side) transform stats of x/y/s, frame cyclical

@@ -127,3 +127,60 @@ def test_fold_assignment_is_group_pure(tracking):
         .count()
     )
     assert impure == 0
+
+
+def test_rich_sequence_and_ewm_match_pandas(spark, tracking):
+    """main_mps.py:185-240 parity: rolling max/min, speed_jerk, and
+    every (col, alpha) EWM column equal pandas groupby transforms on
+    the same frames (ewm(alpha, adjust=False), bitwise)."""
+    import pandas as pd
+
+    from nfl26_bigdatabowl_prediction_spark.plans.features import (
+        ewm_features,
+        sequence_features_rich,
+    )
+
+    inp, _ = tracking
+    base = advanced_features(inp)
+    got = (
+        ewm_features(sequence_features_rich(base))
+        .select(
+            "game_id", "play_id", "nfl_id", "frame_id",
+            "s_roll7_max", "s_roll10_min", "speed_jerk",
+            "s_ewm03", "x_ewm05", "dist_to_ball_ewm07",
+        )
+        .toPandas()
+        .sort_values(["game_id", "play_id", "nfl_id", "frame_id"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        base.select(
+            "game_id", "play_id", "nfl_id", "frame_id", "x", "s", "dist_to_ball"
+        )
+        .toPandas()
+        .sort_values(["game_id", "play_id", "nfl_id", "frame_id"])
+        .reset_index(drop=True)
+    )
+    grp = ref.groupby(["game_id", "play_id", "nfl_id"])
+    ref["s_roll7_max"] = grp["s"].transform(
+        lambda v: v.rolling(7, min_periods=1).max()
+    )
+    ref["s_roll10_min"] = grp["s"].transform(
+        lambda v: v.rolling(10, min_periods=1).min()
+    )
+    ref["speed_jerk"] = grp["s"].transform(lambda v: v.diff().diff())
+    ref["s_ewm03"] = grp["s"].transform(
+        lambda v: v.ewm(alpha=0.3, adjust=False).mean()
+    )
+    ref["x_ewm05"] = grp["x"].transform(
+        lambda v: v.ewm(alpha=0.5, adjust=False).mean()
+    )
+    ref["dist_to_ball_ewm07"] = grp["dist_to_ball"].transform(
+        lambda v: v.ewm(alpha=0.7, adjust=False).mean()
+    )
+    for c in ("s_roll7_max", "s_roll10_min", "speed_jerk",
+              "s_ewm03", "x_ewm05", "dist_to_ball_ewm07"):
+        a, b = got[c], ref[c]
+        both = a.notna() & b.notna()
+        assert (a.isna() == b.isna()).all(), c
+        assert (a[both].values == b[both].values).all(), c
