@@ -753,3 +753,84 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
         (F.sum(_cents(F.col("value"))) / 100.0).alias("value_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# W7 extension — the main_mps.py multi-alpha EWM bank
+# (main_mps.py:233-240: ewm(alpha, adjust=False) for α∈{0.3,0.5,0.7}):
+# ONE fold per trajectory carries all three accumulators, so the cost
+# is one collect + one pass regardless of how many alphas the feature
+# bank wants.  Same single-shuffle profile as q_ewm.
+# --------------------------------------------------------------------------
+@q(
+    "q_ewm_multi",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER ({DW}) AS rn
+        FROM events
+    ), rec AS (
+        SELECT user_id, event_id, rn, value,
+               value AS ewm03, value AS ewm05, value AS ewm07
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_id, b.rn, b.value,
+               0.3 * b.value + 0.7 * e.ewm03,
+               0.5 * b.value + 0.5 * e.ewm05,
+               0.7 * b.value + 0.3 * e.ewm07
+        FROM base b JOIN rec e ON b.user_id = e.user_id AND b.rn = e.rn + 1
+    )
+    SELECT user_id, event_id, value, ewm03, ewm05, ewm07 FROM rec
+    """,
+)
+def q_ewm_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("traj")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+            traj,
+            struct(cast(array() as array<struct<e3:double,e5:double,e7:double>>) as o,
+                   cast(null as double) as y3, cast(null as double) as y5,
+                   cast(null as double) as y7),
+            (acc, x) -> case
+                when acc.y3 is null then struct(
+                    array_append(acc.o, struct(cast(x.value as double) as e3,
+                                               cast(x.value as double) as e5,
+                                               cast(x.value as double) as e7)) as o,
+                    cast(x.value as double) as y3,
+                    cast(x.value as double) as y5,
+                    cast(x.value as double) as y7)
+                else struct(
+                    array_append(acc.o, struct(
+                        0.3d * x.value + 0.7d * acc.y3 as e3,
+                        0.5d * x.value + 0.5d * acc.y5 as e5,
+                        0.7d * x.value + 0.3d * acc.y7 as e7)) as o,
+                    0.3d * x.value + 0.7d * acc.y3 as y3,
+                    0.5d * x.value + 0.5d * acc.y5 as y5,
+                    0.7d * x.value + 0.3d * acc.y7 as y7)
+            end,
+            acc -> acc.o)
+        """
+    ).alias("ew")
+    arr = grouped.select(
+        "user_id",
+        F.expr("transform(traj, x -> x.event_id)").alias("ids"),
+        F.expr("transform(traj, x -> x.value)").alias("vals"),
+        fold,
+    )
+    z = arr.select(
+        "user_id", F.explode(F.arrays_zip("ids", "vals", "ew")).alias("z")
+    )
+    return z.select(
+        "user_id",
+        F.col("z.ids").alias("event_id"),
+        F.col("z.vals").alias("value"),
+        F.col("z.ew.e3").alias("ewm03"),
+        F.col("z.ew.e5").alias("ewm05"),
+        F.col("z.ew.e7").alias("ewm07"),
+    )
