@@ -88,6 +88,8 @@ HEADLINE = {
     "q_lag",
     "q_rolling",
     "q_ewm",
+    "q_ewm_multi",
+    "q_hypertable_rollup",
     "q_topk_per_group",
     "q_asof",
     "q_asof_join",
