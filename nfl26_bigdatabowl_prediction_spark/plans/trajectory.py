@@ -509,8 +509,12 @@ def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fanout; a row_number window would re-shuffle the whole fanout).
     # Bounds: dist_micros < 2^31 and event_id < 2^32; wider domains
     # re-pack into two longs or fall back to min(struct).
-    # The neighbor's value is recovered with one narrow self-join on
-    # the aggregated (not fanned-out) rows.
+    # Rejected alternative: a single-shuffle groupBy(bucket)+collect
+    # with per-member HOF aggregates (the q_embed_neardup shape) —
+    # measured 9.9 s vs 2.4 s here, because array-lambda evaluation is
+    # interpreted per element and this fanout has ~100k tiny groups;
+    # HOF collection only wins when per-pair work is heavy enough to
+    # amortize it (64-dim dots) or the row count is small.
     packed = micro(F.col("dist")) * F.lit(4294967296) + F.col("nb_event_id")
     # min_by carries the winning neighbor's VALUE through the same
     # aggregation (MaxMinBy is a declarative aggregate — stays in
