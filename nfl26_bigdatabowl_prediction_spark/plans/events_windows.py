@@ -834,3 +834,39 @@ def q_ewm_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.ew.e5").alias("ewm05"),
         F.col("z.ew.e7").alias("ewm07"),
     )
+
+
+# --------------------------------------------------------------------------
+# W3 extension — time-based trailing window (RANGE frame).  The whole
+# reference suite uses ROWS frames (frame counts ARE time at 10 Hz);
+# with irregular event times the hour-trailing aggregate needs a RANGE
+# frame over the integer timestamp.  Value-based frames are peer-
+# deterministic (ties share a frame), so no tiebreaker is needed —
+# and it shares the suite's one user_id shuffle.
+# --------------------------------------------------------------------------
+@q(
+    "q_rolling_time",
+    """
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_1h,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w / 100.0 AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-3600 * 10**6, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).over(w) / 100.0).alias(
+            "sum_1h"
+        ),
+    )
