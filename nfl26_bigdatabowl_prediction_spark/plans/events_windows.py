@@ -652,18 +652,24 @@ def q_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_collect_traj",
     f"""
     SELECT user_id,
-           list(CAST(round(value * 100, 0) AS BIGINT) ORDER BY epoch_us(ts), event_id) AS traj_c,
+           array_to_string(list(CAST(round(value * 100, 0) AS BIGINT)
+                                ORDER BY epoch_us(ts), event_id), ',') AS traj_c,
            COUNT(*) AS n_events
     FROM events
     GROUP BY user_id
     """,
 )
 def q_collect_traj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ordered-collect list is emitted as a delimited STRING: array
+    # cells surface as python lists from Spark but numpy arrays from
+    # DuckDB, and any compare/hash that stringifies them sees
+    # different reprs for identical data.  Text is typing-ambiguity-
+    # free on both engines; the collect/sort semantics are unchanged.
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(ts, event_id, value))), "
-            "x -> cast(round(x.value * 100, 0) as bigint))"
+            "array_join(transform(array_sort(collect_list(struct(ts, event_id, value))), "
+            "x -> cast(round(x.value * 100, 0) as bigint)), ',')"
         ).alias("traj_c"),
         F.count(F.lit(1)).alias("n_events"),
     )

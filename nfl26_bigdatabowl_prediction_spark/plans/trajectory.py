@@ -583,7 +583,8 @@ def q_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_seq_prep",
     f"""
     SELECT user_id,
-           list(CAST(round(value * 100, 0) AS BIGINT) ORDER BY ts_us, event_id) AS seq_c,
+           array_to_string(list(CAST(round(value * 100, 0) AS BIGINT)
+                                ORDER BY ts_us, event_id), ',') AS seq_c,
            COUNT(*) AS n_frames
     FROM (
         SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
@@ -598,10 +599,12 @@ def q_seq_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     wd = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     last8 = ev.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") <= 8)
+    # string-encoded sequence: see q_collect_traj for why the array
+    # column is emitted as text for the differential check.
     return last8.groupBy("user_id").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(ts, event_id, value))), "
-            "x -> cast(round(x.value * 100, 0) as bigint))"
+            "array_join(transform(array_sort(collect_list(struct(ts, event_id, value))), "
+            "x -> cast(round(x.value * 100, 0) as bigint)), ',')"
         ).alias("seq_c"),
         F.count(F.lit(1)).alias("n_frames"),
     )

@@ -16,7 +16,12 @@ import pandas as pd
 
 def _key_repr(v) -> str:
     """Type-normalized repr for row alignment (int64 vs float64
-    columns across engines must sort identically)."""
+    columns across engines must sort identically; array cells arrive
+    as python lists from Spark but numpy arrays from DuckDB)."""
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_key_repr(x) for x in v) + "]"
     if isinstance(v, np.generic):
         v = v.item()
     if isinstance(v, bool):
