@@ -17,11 +17,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..streaming import (
     events_stream,
     run_available_now,
     session_windows,
     sliding_value_stats,
+    stream_static_enrich,
+    stream_stream_interval_join,
     streaming_ewm,
     tumbling_counts,
 )
@@ -181,3 +185,72 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         deduped.select("user_id", "event_type"), output_mode="append"
     )
+
+
+# --------------------------------------------------------------------------
+# Watermarked stream-stream interval join (conversion funnel): each
+# click pairs with the same user's purchases landing within 1 hour
+# after it.  Inner joins emit matches as both rows arrive, so the
+# drained stream equals the batch interval join — the oracle below.
+# State is bounded: the time-range join condition + both watermarks
+# let each side evict rows the other side can no longer match.
+# --------------------------------------------------------------------------
+HORIZON_US = 60 * 60 * 1_000_000
+
+
+@q(
+    "q_stream_join",
+    f"""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + {HORIZON_US}
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    joined = stream_stream_interval_join(
+        ev, left_type="click", right_type="purchase", horizon="1 hour"
+    )
+    return run_available_now(joined, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# Stream-static broadcast enrichment: the feature-lookup pattern —
+# live events joined to a batch-computed per-user dimension (exact
+# integer-cent mean so stream and oracle agree bitwise).  Stateless:
+# no watermark, no state store; the stream side never shuffles.
+# --------------------------------------------------------------------------
+@q(
+    "q_stream_static_join",
+    """
+    WITH stats AS (
+        SELECT user_id,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) AS user_mean_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           s.user_mean_cents,
+           CAST(round(e.value * 100, 0) AS BIGINT) - s.user_mean_cents AS dev_cents
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import table
+
+    static = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("user_mean_cents")
+        )
+    )
+    ev = events_stream(spark, sf_dir)
+    return run_available_now(stream_static_enrich(ev, static), output_mode="append")

@@ -20,6 +20,8 @@ from .pipelines import (
     sliding_value_stats,
     session_windows,
     dedup_within_watermark,
+    stream_stream_interval_join,
+    stream_static_enrich,
 )
 from .stateful import streaming_ewm
 from .run import run_available_now
@@ -30,6 +32,8 @@ __all__ = [
     "sliding_value_stats",
     "session_windows",
     "dedup_within_watermark",
+    "stream_stream_interval_join",
+    "stream_static_enrich",
     "streaming_ewm",
     "run_available_now",
 ]

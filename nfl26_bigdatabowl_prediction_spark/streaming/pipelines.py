@@ -109,6 +109,82 @@ def session_windows(
     )
 
 
+def stream_stream_interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each ``left_type``
+    event pairs with the same user's ``right_type`` events that land
+    strictly after it and within ``horizon`` (the conversion-funnel
+    join).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so each side's state store evicts rows once
+    the other side's watermark passes ``ts + horizon`` — bounded state
+    on an unbounded stream.  Inner joins emit each match the moment
+    both rows have arrived (append mode), so draining a finite source
+    yields exactly the batch join — outer variants would withhold
+    unmatched rows behind the final watermark and are not
+    batch-equivalent on a drained source.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col("user_id").alias("left_user"),
+            F.col("ts").alias("left_ts"),
+            F.col("event_time").alias("left_time"),
+        )
+        .withWatermark("left_time", watermark)
+    )
+    buys = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("right_user"),
+            F.col("ts").alias("right_ts"),
+            F.col("event_time").alias("right_time"),
+        )
+        .withWatermark("right_time", watermark)
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("left_user") == F.col("right_user"))
+        & (F.col("right_time") > F.col("left_time"))
+        & (F.col("right_time") <= F.col("left_time") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+    return joined.select(
+        F.col("left_user").alias("user_id"),
+        F.col("left_id").alias("click_id"),
+        F.col("right_id").alias("purchase_id"),
+        (F.col("right_ts") - F.col("left_ts")).alias("gap_us"),
+    )
+
+
+def stream_static_enrich(events: DataFrame, user_stats: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment: every incoming event is
+    joined to a precomputed per-user dimension (the feature-lookup
+    pattern — model features, account metadata, quality priors).
+
+    The static side is broadcast once per micro-batch planning cycle,
+    so the stream side never shuffles — at 100 TB/day of events the
+    per-event cost is a hash probe.  No watermark is needed: stream-
+    static joins are stateless.
+    """
+    return events.join(F.broadcast(user_stats), "user_id", "inner").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "user_mean_cents",
+        (_cents(F.col("value")) - F.col("user_mean_cents")).alias("dev_cents"),
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
 ) -> DataFrame:
