@@ -8,6 +8,7 @@ shuffle-partition coalescing, Arrow for the pandas-UDF slow path).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
@@ -55,3 +56,39 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextlib.contextmanager
+def runtime_bloom_filter(
+    spark: SparkSession, application_side_scan_threshold: str = "0"
+):
+    """Scope with Catalyst's runtime Bloom-filter join pruning forced on.
+
+    A selective dimension filter builds a Bloom filter over the join
+    keys (``bloom_filter_agg``) and Catalyst injects a
+    ``might_contain`` predicate into the fact side's scan — rows that
+    cannot join are dropped BEFORE the shuffle.  At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~selectivity fraction that survives; the production default
+    (10 GB application-side threshold) already injects it there, so no
+    conf is needed on a real cluster.  Local test data sits far under
+    the threshold, hence this scope: it lowers the application-side
+    threshold so the plan SHAPE is testable at sf0.001, then restores
+    the session's previous values.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": application_side_scan_threshold,
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)

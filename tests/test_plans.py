@@ -141,3 +141,38 @@ def test_frame_sample_is_shuffle_free(spark):
     # generate, zero exchanges.
     plan = _plan(spark, "q_frame_sample")
     assert _ops(plan).count("Exchange") == 0, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    # A selective dim-side filter must turn into a Bloom filter probed
+    # BEFORE the fact shuffle (Catalyst runtime filter injection): at
+    # 100 TB only the ~selectivity fraction of lineitem crosses the
+    # wire.  The scope lowers the application-side size threshold so
+    # the injection is observable at test scale; the production
+    # default already injects on a real fact table.
+    from pyspark.sql import functions as F
+
+    from nfl26_bigdatabowl_prediction_spark.session import runtime_bloom_filter
+    from nfl26_bigdatabowl_prediction_spark.sources.io import table
+
+    def join(sess):
+        li = table(sess, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        o = (
+            table(sess, SF_DIR, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey")
+        )
+        return li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint")).alias("qty_cents")
+        )
+
+    baseline = join(spark).collect()[0][0]
+    with runtime_bloom_filter(spark):
+        df = join(spark)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan  # build side: dim keys → filter
+        assert "might_contain" in plan, plan  # probe side: guards the fact scan
+        assert df.collect()[0][0] == baseline  # pruning never changes the answer
+    # scope restored: the same plan outside carries no bloom probe
+    plan_after = join(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" not in plan_after
