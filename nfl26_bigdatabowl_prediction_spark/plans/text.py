@@ -143,6 +143,47 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Vocabulary heavy hitters: corpus-wide top-50 tokens by occurrence
+# with document frequency — the vocab-building / stopword-discovery
+# pass of a tokenizer pipeline.  Scale shape: explode → map-side
+# partial aggregation keyed by token (each mapper emits at most one
+# row per distinct token, so hot tokens like "the" never skew the
+# shuffle — the combine absorbs them), then a global top-50 that
+# compiles to TakeOrderedAndProject (per-partition 50-heaps, never a
+# full sort).  (n_occurrences DESC, token ASC) is a total order, so
+# the LIMIT boundary is deterministic on both engines.  At 100 TB the
+# same question can be answered one-pass/approximately with Spark's
+# count_min_sketch aggregate when exact doc-frequencies aren't needed.
+# --------------------------------------------------------------------------
+@q(
+    "q_vocab_topn",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS_DUCK}) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM toks
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 50
+    """,
+)
+def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        _with_words(d, "doc_id")
+        .select("doc_id", F.explode("words").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return agg.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(50)
+
+
+# --------------------------------------------------------------------------
 # Quality scoring: stopword ratio, vocabulary diversity, max word
 # length — the length/punct/stopword heuristics of corpus filtering.
 # --------------------------------------------------------------------------
