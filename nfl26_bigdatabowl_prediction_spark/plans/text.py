@@ -563,3 +563,119 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = knuth_fold_expr(F.col("doc_id"), 100)
     keep = ((F.col("lang") == "en") & (h < 10)) | ((F.col("lang") != "en") & (h < 50))
     return d.filter(keep).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# Greedy sequence packing — training-batch prep: documents are length-
+# bucketed (similar sizes pack together, minimizing padding), ordered
+# deterministically inside each (lang, bucket) stratum, and assigned
+# to fixed-budget packs by exclusive-prefix-sum // budget.  Scale
+# shape: ONE window shuffle keyed by (lang, bucket) — packing is
+# embarrassingly parallel across strata, never a global ordered pass
+# (a single global cumsum would serialize onto one task at 100 TB).
+# The prefix-sum formulation is the distributed stand-in for stateful
+# first-fit: a doc may straddle a pack boundary; production either
+# splits it across the two packs or pads — either way the pack
+# assignment below is the shuffle that matters.
+# --------------------------------------------------------------------------
+PACK_BUDGET = 512  # tokens per pack
+
+
+@q(
+    "q_seq_pack",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               len({_WORDS_DUCK}) AS n_words,
+               len({_WORDS_DUCK}) // 16 AS bucket
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, lang, bucket, n_words,
+               COALESCE(SUM(n_words) OVER (
+                   PARTITION BY lang, bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM sized
+    )
+    SELECT doc_id, lang, bucket, n_words,
+           cum_before // {PACK_BUDGET} AS pack_id,
+           cum_before % {PACK_BUDGET} AS pack_offset
+    FROM packed
+    """,
+)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sized = _with_words(d, "doc_id", "lang").select(
+        "doc_id",
+        "lang",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.expr("cast(size(words) as bigint) div 16").alias("bucket"),
+    )
+    wp = (
+        W.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn("cum_before", F.coalesce(F.sum("n_words").over(wp), F.lit(0)))
+    return packed.select(
+        "doc_id",
+        "lang",
+        "bucket",
+        "n_words",
+        F.expr(f"cum_before div {PACK_BUDGET}").alias("pack_id"),
+        (F.col("cum_before") % PACK_BUDGET).alias("pack_offset"),
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation — the composed pipeline a pretraining
+# corpus actually runs: exact-dedup (keep the min-id copy of each
+# byte-identical text), quality gate (length floor + stopword-ratio
+# ceiling), then a deterministic hash sample of the survivors.  One
+# digest groupBy + one semi join + scan-side predicates: the dedup
+# shuffle is keyed by content hash (uniform by construction — no
+# skew), the semi join back is on doc_id, and the quality/sample
+# predicates never shuffle at all.  Composition of q_dedup_exact +
+# q_quality_score + q_stratified_sample semantics as ONE lazy plan —
+# Catalyst fuses the scans; nothing is materialized between stages.
+# --------------------------------------------------------------------------
+@q(
+    "q_corpus_curate",
+    f"""
+    WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), scored AS (
+        SELECT doc_id, lang,
+               len({_WORDS_DUCK}) AS n_words,
+               CAST(len(list_filter({_WORDS_DUCK}, w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+                 / len({_WORDS_DUCK}) AS stop_ratio
+        FROM documents
+    )
+    SELECT s.doc_id, s.lang, s.n_words, s.stop_ratio
+    FROM scored s JOIN keep k ON s.doc_id = k.doc_id
+    WHERE s.n_words >= 20 AND s.stop_ratio <= 0.4
+      AND {knuth_fold_sql('s.doc_id', 100)} < 50
+    """,
+)
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    keep = (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    scored = _with_words(d, "doc_id", "lang").select(
+        "doc_id",
+        "lang",
+        F.size("words").alias("n_words"),
+        (
+            F.expr(f"cast(size(filter(words, w -> w IN ({stop_list}))) as double)")
+            / F.size("words")
+        ).alias("stop_ratio"),
+    )
+    h = knuth_fold_expr(F.col("doc_id"), 100)
+    return (
+        scored.join(keep, "doc_id", "left_semi")
+        .filter((F.col("n_words") >= 20) & (F.col("stop_ratio") <= 0.4) & (h < 50))
+    )
