@@ -108,6 +108,9 @@ HEADLINE = {
     "q_embed_neardup",
     "q_multimodal_decode",
     "q_frame_sample",
+    "q_vocab_topn",
+    "q_seq_pack",
+    "q_corpus_curate",
 }
 
 if __name__ == "__main__":
