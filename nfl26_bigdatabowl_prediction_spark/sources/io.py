@@ -100,3 +100,27 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+
+
+def write_range_clustered(
+    df: DataFrame, path: str, cluster_col: str, n_files: int = 8
+) -> None:
+    """Range-clustered parquet layout for min/max data skipping.
+
+    ``repartitionByRange`` gives every output file a disjoint value
+    range of ``cluster_col`` and the within-partition sort tightens
+    each row group's min/max stats, so a pushed-down range predicate
+    skips whole files (footer stats) and whole row groups before any
+    IO happens.  At 100 TB this is the read-path complement to
+    ``write_bucketed``: bucketing kills the join shuffle, range
+    clustering kills the scan — a time- or key-range query touches
+    only the files its range maps to.  The pattern generalizes to
+    multi-column Z-ordering; one-dimensional range clustering is the
+    degenerate (and most common) case.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

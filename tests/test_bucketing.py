@@ -81,3 +81,38 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # and the data actually matches the unpartitioned filter
     expect = ev.filter(F.col("event_type") == "purchase").count()
     assert back.count() == expect > 0
+
+
+def test_range_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
+    # Range clustering is the data-skipping layout: every parquet file
+    # owns a disjoint slice of the cluster column, so a range predicate
+    # can skip whole files on footer min/max stats alone.  pyarrow
+    # reads the same stats the scanner's skipping logic uses.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nfl26_bigdatabowl_prediction_spark.sources.io import write_range_clustered
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    out = str(tmp_path / "li_range")
+    write_range_clustered(li, out, "l_orderkey", n_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_orderkey")
+        mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # enough files for skipping to mean anything
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint slices: a range filter prunes files
+
+    # round-trip integrity: clustering reorders rows, never drops them
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    got = back.agg(F.sum("l_quantity").alias("s")).collect()[0][0]
+    want = li.agg(F.sum("l_quantity").alias("s")).collect()[0][0]
+    assert got == want
