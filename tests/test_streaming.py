@@ -125,3 +125,86 @@ def test_stateful_ewm_carries_state_across_microbatches(spark, tmp_path):
     merged = got.merge(pdf[["event_id", "expect"]], on="event_id")
     assert len(merged) == n > 0
     assert (merged["ewm03"].values == merged["expect"].values).all()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics of the watermarked tumbling aggregation,
+    pinned empirically for this Spark version:
+
+    * the late-row filter uses a LAGGED watermark (one batch behind
+      the eviction watermark), so a row arriving one batch after its
+      window closed may still be absorbed before finalization —
+      but a row arriving two-plus batches late is dropped
+      (numRowsDroppedByWatermark) and can never resurrect state;
+    * append mode emits each window EXACTLY once — the late row
+      neither re-emits the flushed window nor changes its count.
+
+    Batches: [W0 rows] → [t+2h rows: watermark passes W0] →
+    [t+3h row: watermark advances again] → [late row inside W0].
+    """
+    import tempfile
+    import time as _time
+    import uuid
+
+    import pandas as pd
+
+    from nfl26_bigdatabowl_prediction_spark.streaming import (
+        events_stream,
+        tumbling_counts,
+    )
+
+    base_s = 1704067200  # 2024-01-01 00:00:00 UTC, hour-aligned
+    ns = lambda offset_min: (base_s + offset_min * 60) * 1_000_000_000  # noqa: E731
+
+    def chunk(rows):
+        return pd.DataFrame(
+            {
+                "event_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "ts": pd.array([ns(r[1]) for r in rows], dtype="int64"),
+                "user_id": pd.array([1] * len(rows), dtype="int64"),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    src = tmp_path / "late_stream"
+    src.mkdir()
+    batches = [
+        [(1, 5), (2, 10), (3, 20)],  # W0 = [base, base+1h)
+        [(5, 120), (6, 125)],  # watermark passes W0's end after commit
+        [(7, 180)],  # watermark advances again (filter watermark lags)
+        [(8, 30)],  # late row inside W0, two batches behind: dropped
+    ]
+    for i, rows in enumerate(batches):
+        chunk(rows).to_parquet(src / f"chunk{i}.parquet", index=False)
+        _time.sleep(1.1)  # file-source batch order = mtime order
+
+    sdf = tumbling_counts(
+        events_stream(spark, str(src), max_files_per_trigger=1, glob="chunk*.parquet"),
+        watermark="1 hour",
+    )
+    name = "late" + uuid.uuid4().hex[:8]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="spark_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        (p.get("stateOperators") or [{}])[0].get("numRowsDroppedByWatermark") or 0
+        for p in q.recentProgress
+    )
+    got = spark.table(name).toPandas()
+
+    assert dropped == 1  # the two-batches-late row was rejected pre-state
+    by_win = dict(zip(got["window_start_us"], got["n_events"]))
+    w0 = base_s * 1_000_000
+    # W0 emitted exactly once, on-time rows only; tail windows (t+2h,
+    # t+3h) stay withheld — the drained source never advances the
+    # watermark past them
+    assert by_win == {w0: 3}
+    assert len(got) == 1
