@@ -21,24 +21,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize an ``ts`` event-time column to int64 epoch-MICROS.
+
+    Integer time is the representation we want at scale (exact
+    arithmetic, no session-timezone semantics); micros specifically
+    because DuckDB — the correctness oracle — truncates nanosecond
+    parquet timestamps to microseconds, so the result is bit-identical
+    to DuckDB's ``epoch_us(ts)`` for every physical layout the driver
+    has shipped:
+
+    - TIMESTAMP(NANOS): Spark rejects it by default; the
+      ``nanosAsLong`` conf surfaces int64 epoch-nanos → ``div 1000``.
+    - TIMESTAMP(MICROS): arrives as TIMESTAMP_NTZ (or TIMESTAMP);
+      with the UTC session timezone (session.py) ``unix_micros`` of
+      the cast is the exact wall-clock epoch.
+    """
+    kind = dict(df.dtypes).get("ts")
+    if kind == "bigint":
+        return df.withColumn("ts", F.expr("ts div 1000"))
+    return df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic test table (parquet is self-describing, so
     no schema inference cost; Catalyst prunes columns at the scan).
-
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark rejects
-    by default; ``nanosAsLong`` reads it as int64 epoch-nanos, then we
-    truncate to epoch-MICROS.  Integer time is the representation we
-    want at scale (exact arithmetic, no session-timezone semantics);
-    micros specifically because DuckDB — the correctness oracle —
-    truncates nanosecond parquet timestamps to microseconds, so
-    ``ts`` here is bit-identical to DuckDB's ``epoch_us(ts)``.
+    ``events.ts`` is normalized to int64 epoch-micros (normalize_ts).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .withColumn("ts", F.expr("ts div 1000"))
-        )
+        return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

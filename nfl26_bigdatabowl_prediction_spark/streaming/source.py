@@ -14,21 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# Explicit schema: streaming file sources never infer.  ``ts`` is
-# INT64 TIMESTAMP(NANOS) in the driver's parquet; with the
-# ``nanosAsLong`` conf it surfaces as plain int64 nanos.
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from nfl26_bigdatabowl_prediction_spark.sources.io import normalize_ts
 
 
 def events_stream(
@@ -43,17 +30,22 @@ def events_stream(
     engine's canonical exact time) plus ``event_time`` TIMESTAMP for
     watermarks/windows.  UTC session timezone (session.py) makes
     ``unix_micros(event_time) == ts`` exactly.
+
+    Streaming file sources never infer, so the explicit schema is
+    probed from one batch-read footer — this keeps the source correct
+    for both physical ``ts`` layouts the driver has shipped
+    (TIMESTAMP(NANOS) via ``nanosAsLong`` → int64; TIMESTAMP(MICROS)
+    → timestamp_ntz), with the same normalize_ts as the batch twin.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    )
     # The file stream source requires a *directory*; pathGlobFilter
     # selects just the events table out of the shared sf_dir.
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
-        "pathGlobFilter", glob
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return (
-        reader.parquet(sf_dir)
-        .withColumn("ts", F.expr("ts div 1000"))
-        .withColumn("event_time", F.timestamp_micros(F.col("ts")))
+    return normalize_ts(reader.parquet(sf_dir)).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts"))
     )

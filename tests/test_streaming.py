@@ -95,7 +95,8 @@ def test_stateful_ewm_carries_state_across_microbatches(spark, tmp_path):
     from nfl26_bigdatabowl_prediction_spark.streaming import events_stream, run_available_now
     from nfl26_bigdatabowl_prediction_spark.streaming.stateful import streaming_ewm
 
-    # raw nanos (the on-disk representation the streaming source expects)
+    # raw on-disk representation: the chunks must round-trip whatever
+    # physical ts type the driver shipped (int64 nanos or timestamp)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
@@ -118,7 +119,7 @@ def test_stateful_ewm_carries_state_across_microbatches(spark, tmp_path):
         output_mode="append",
     ).toPandas()
 
-    pdf = raw.assign(ts=raw["ts"] // 1000).sort_values(["user_id", "ts", "event_id"])
+    pdf = raw.sort_values(["user_id", "ts", "event_id"])
     pdf["expect"] = pdf.groupby("user_id")["value"].transform(
         lambda s: s.ewm(alpha=0.3, adjust=False).mean()
     )
