@@ -109,6 +109,9 @@ HEADLINE = {
     "q_multimodal_decode",
     "q_frame_sample",
     "q_vocab_topn",
+    "q_bigram_topn",
+    "q_zscore_outliers",
+    "q_winsorize",
     "q_seq_pack",
     "q_corpus_curate",
 }

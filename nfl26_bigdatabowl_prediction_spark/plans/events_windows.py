@@ -876,3 +876,81 @@ def q_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_1h"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Curation extension — per-group z-score outlier detection (the
+# measurement-cleaning pass a training pipeline runs before feature
+# extraction).  Mean is exact (integer cents over an exact count);
+# std is rounded to 6 like every libm-adjacent stat in the suite; the
+# filter compares the ROUNDED z on both engines, so the survivor set
+# is identical.  Scale: one window shuffle on the trajectory key —
+# shares the suite's user_id exchange, no join-back needed.
+# --------------------------------------------------------------------------
+@q(
+    "q_zscore_outliers",
+    """
+    WITH scored AS (
+        SELECT event_id, user_id, value,
+               round((value -
+                      SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (PARTITION BY user_id)
+                        / COUNT(*) OVER (PARTITION BY user_id) / 100.0)
+                     / round(stddev_samp(value) OVER (PARTITION BY user_id), 6), 6) AS z
+        FROM events
+    )
+    SELECT event_id, user_id, value, z
+    FROM scored WHERE abs(z) > 2.0
+    """,
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wp = W.partitionBy("user_id")
+    mean = F.sum(_cents(F.col("value"))).over(wp) / F.count(F.lit(1)).over(wp) / 100.0
+    std = F.round(F.stddev_samp("value").over(wp), 6)
+    z = F.round((F.col("value") - mean) / std, 6)
+    return (
+        ev.select("event_id", "user_id", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.0)
+    )
+
+
+# --------------------------------------------------------------------------
+# Curation extension — per-group winsorization: clamp each value to
+# its group's [p05, p95] band (quantile-based outlier treatment; the
+# robust alternative to the z-score drop above).  Bounds are exact
+# sort-based percentiles rounded to 4 (the q_quantile convention);
+# clamped values are either the original double (bit-identical on
+# both engines) or a rounded bound — deterministic either way.
+# Scale: bounds are one groupBy over event_type (dimension-sized
+# output), broadcast back onto the fact scan — no fact-side shuffle
+# at all; at 100 TB swap percentile → approx_percentile (t-digest)
+# and keep the identical plan shape.
+# --------------------------------------------------------------------------
+@q(
+    "q_winsorize",
+    """
+    WITH bounds AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.05), 4) AS lo,
+               round(quantile_cont(value, 0.95), 4) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           greatest(b.lo, least(b.hi, e.value)) AS value_winsorized
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("hi"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))).alias(
+            "value_winsorized"
+        ),
+    )

@@ -184,6 +184,60 @@ def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bigram heavy hitters: corpus top-50 token bigrams with document
+# frequency — the n-gram counting pass of language-model data prep
+# (phrase vocabularies, contamination fingerprints, boilerplate
+# detection).  Same scale shape as q_vocab_topn: bigrams materialize
+# from the projected `words` array (never the inline split — see
+# _SHINGLES_FROM_WORDS note), explode feeds a map-side partial agg
+# keyed by bigram, and the global top-50 compiles to
+# TakeOrderedAndProject (per-partition 50-heaps, no full sort).
+# (n_occurrences DESC, bigram ASC) totally orders the LIMIT boundary.
+# --------------------------------------------------------------------------
+@q(
+    "q_bigram_topn",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_WORDS_DUCK} AS words FROM documents
+    ), bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words)),
+                                     i -> words[i] || ' ' || words[i + 1])) AS bigram
+        FROM toks WHERE len(words) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram ASC
+    LIMIT 50
+    """,
+)
+def q_bigram_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bigrams = (
+        _with_words(d, "doc_id")
+        .filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    """
+                    transform(sequence(1, size(words) - 1),
+                              i -> concat_ws(' ', element_at(words, i),
+                                              element_at(words, i + 1)))
+                    """
+                )
+            ).alias("bigram"),
+        )
+    )
+    agg = bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return agg.orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc()).limit(50)
+
+
+# --------------------------------------------------------------------------
 # Quality scoring: stopword ratio, vocabulary diversity, max word
 # length — the length/punct/stopword heuristics of corpus filtering.
 # --------------------------------------------------------------------------

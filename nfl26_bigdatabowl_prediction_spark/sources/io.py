@@ -136,3 +136,59 @@ def write_range_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _morton32(a, b):
+    """Interleave the low 16 bits of two integer columns into one
+    32-bit Morton (Z-order) code — pure bit arithmetic, stays inside
+    whole-stage codegen."""
+    code = F.lit(0).cast("long")
+    for i in range(16):
+        code = (
+            code
+            + F.shiftleft(F.shiftright(a.cast("long"), i) % 2, 2 * i + 1)
+            + F.shiftleft(F.shiftright(b.cast("long"), i) % 2, 2 * i)
+        )
+    return code
+
+
+def write_zorder_clustered(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 8
+) -> None:
+    """Two-dimensional Z-order clustered parquet layout.
+
+    Range clustering (write_range_clustered) skips files for
+    predicates on ONE column; Z-ordering interleaves the bits of two
+    key columns into a Morton code and range-clusters on THAT, so each
+    file owns a compact rectangle of the (a, b) key space and footer
+    min/max stats prune files for predicates on EITHER column.  At
+    100 TB this is how a table serves two access paths (e.g. by user
+    and by time) from one layout without a second sorted copy.
+
+    Each column is min/max-normalized to 16 bits before interleaving —
+    Morton locality requires comparable bit-widths, otherwise the wider
+    column's high bits dominate the code and the narrow column degrades
+    to unclustered.  The normalization bounds cost one scalar min/max
+    aggregate (map-side partials, negligible next to the write); the
+    Morton column is dropped before write — it exists only to order
+    the rows.
+    """
+    lo_a, hi_a, lo_b, hi_b = (
+        df.agg(
+            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        ).first()
+    )
+    norm = lambda c, lo, hi: (  # noqa: E731
+        (c.cast("double") - lo) * 65535.0 / max(hi - lo, 1)
+    ).cast("long")
+    code = _morton32(
+        norm(F.col(col_a), lo_a, hi_a), norm(F.col(col_b), lo_b, hi_b)
+    )
+    (
+        df.withColumn("__zorder", code)
+        .repartitionByRange(n_files, F.col("__zorder"))
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -116,3 +116,46 @@ def test_range_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
     got = back.agg(F.sum("l_quantity").alias("s")).collect()[0][0]
     want = li.agg(F.sum("l_quantity").alias("s")).collect()[0][0]
     assert got == want
+
+
+def test_zorder_clustered_write_skips_on_both_columns(spark, tmp_path):
+    # Z-ordering must give file-level min/max locality on BOTH key
+    # columns: for each column, most files' [min,max] span must be a
+    # strict fraction of the global range, so a point/range predicate
+    # on either column prunes files.  (One-column range clustering
+    # would leave the other column spanning the full range in every
+    # file.)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nfl26_bigdatabowl_prediction_spark.sources.io import write_zorder_clustered
+
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out = str(tmp_path / "li_zorder")
+    write_zorder_clustered(li, out, "l_partkey", "l_suppkey", n_files=8)
+
+    spans = {"l_partkey": [], "l_suppkey": []}
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for col in spans:
+            idx = md.schema.names.index(col)
+            mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            spans[col].append((min(mins), max(maxs)))
+    assert len(spans["l_partkey"]) >= 4
+    for col, file_spans in spans.items():
+        glo = min(s[0] for s in file_spans)
+        ghi = max(s[1] for s in file_spans)
+        frac_tight = sum(
+            1 for lo, hi in file_spans if (hi - lo) <= 0.75 * (ghi - glo)
+        ) / len(file_spans)
+        assert frac_tight >= 0.5, (col, file_spans)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    got = back.agg(F.sum("l_quantity").alias("s")).collect()[0][0]
+    want = li.agg(F.sum("l_quantity").alias("s")).collect()[0][0]
+    assert got == want
