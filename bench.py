@@ -110,6 +110,7 @@ HEADLINE = {
     "q_frame_sample",
     "q_vocab_topn",
     "q_bigram_topn",
+    "q_tfidf_topk",
     "q_zscore_outliers",
     "q_winsorize",
     "q_seq_pack",

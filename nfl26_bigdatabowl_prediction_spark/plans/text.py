@@ -238,6 +238,125 @@ def q_bigram_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TF-IDF top terms per document — the keyword-extraction / relevance
+# pass of a corpus pipeline.  Scale shape: one explode feeds BOTH aggs
+# — term frequency keyed by (doc, token) and document frequency keyed
+# by token (each with map-side combine) — then tf⋈df joins on the
+# token key both sides are already partitioned by, and the per-doc
+# top-3 is a WindowGroupLimit (rank-then-filter, never a full sort).
+# The corpus size N rides in as a broadcast scalar.  ln is libm ⇒
+# tfidf rounded to 6 on both engines, and the rank orders by the
+# ROUNDED score with the token as tiebreaker so the top-3 boundary is
+# deterministic.
+# --------------------------------------------------------------------------
+@q(
+    "q_tfidf_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS_DUCK}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM toks WHERE token <> '' GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token ASC) AS rn
+        FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        _with_words(d, "doc_id")
+        .select("doc_id", F.explode("words").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # Corpus size N: a broadcast 1-ROW build side.  This compiles to
+    # BroadcastNestedLoopJoin — the one NL shape that is scale-safe
+    # (O(n·1); it is exactly how Spark executes scalar subqueries),
+    # hence the named exemption in the registry plan guard.
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition score — duplicate-trigram fraction per document (the
+# Gopher-style boilerplate/repetition quality gate).  Pure array
+# arithmetic on the projected `words` column: zero shuffles, exact
+# integer counts, and the ratio is a single IEEE division — bitwise
+# parity without any rounding.
+# --------------------------------------------------------------------------
+@q(
+    "q_repetition_score",
+    f"""
+    SELECT doc_id,
+           greatest(len({_WORDS_DUCK}) - 2, 0) AS n_trigrams,
+           CASE WHEN len({_WORDS_DUCK}) < 3 THEN 0
+                ELSE len(list_distinct(list_transform(
+                         range(1, len({_WORDS_DUCK}) - 1),
+                         i -> {_WORDS_DUCK}[i] || ' ' || {_WORDS_DUCK}[i + 1]
+                              || ' ' || {_WORDS_DUCK}[i + 2])))
+           END AS n_distinct_trigrams,
+           CASE WHEN len({_WORDS_DUCK}) < 3 THEN NULL
+                ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                         range(1, len({_WORDS_DUCK}) - 1),
+                         i -> {_WORDS_DUCK}[i] || ' ' || {_WORDS_DUCK}[i + 1]
+                              || ' ' || {_WORDS_DUCK}[i + 2]))) AS DOUBLE)
+                         / (len({_WORDS_DUCK}) - 2)
+           END AS rep_ratio
+    FROM documents
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    base = _with_words(d, "doc_id").select(
+        "doc_id",
+        F.greatest(F.size("words") - 2, F.lit(0)).alias("n_trigrams"),
+        F.expr(f"size({_SHINGLES_FROM_WORDS})").alias("n_distinct_trigrams"),
+    )
+    return base.select(
+        "doc_id",
+        "n_trigrams",
+        "n_distinct_trigrams",
+        F.when(F.col("n_trigrams") < 1, F.lit(None).cast("double"))
+        .otherwise(
+            1.0
+            - F.col("n_distinct_trigrams").cast("double") / F.col("n_trigrams")
+        )
+        .alias("rep_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Quality scoring: stopword ratio, vocabulary diversity, max word
 # length — the length/punct/stopword heuristics of corpus filtering.
 # --------------------------------------------------------------------------
