@@ -95,6 +95,7 @@ HEADLINE = {
     "q_asof_join",
     "q_range_join",
     "q_gnn_lite",
+    "q_ensemble_features",
     "q_pairwise",
     "q_dedup_exact",
     "q_minhash_lsh",

@@ -808,3 +808,56 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Composed ensemble-feature pipeline (main_cuda.py:237-294
+# add_ensemble_features): per-side formation stats broadcast to rows
+# (A5), cyclical time encoding (F10), arithmetic feature crosses and
+# normalized deviation (F9) — the §7 step-6 composition proof for the
+# block that q_team_stats / q_softmax_group cover piecewise.  ONE
+# window shuffle on (user_id, event_type) carries all four stat
+# columns; every other feature is row-local arithmetic fused into the
+# same whole-stage-codegen stage.  Mean exact via integer cents; std
+# and the libm trig rounded to 6 like the rest of the suite; the
+# deviation z-score divides by the ROUNDED std so both engines agree
+# bitwise.
+# --------------------------------------------------------------------------
+@q(
+    "q_ensemble_features",
+    """
+    SELECT event_id, user_id, event_type,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w / COUNT(*) OVER w / 100.0 AS grp_mean,
+           round(stddev_samp(value) OVER w, 6) AS grp_std,
+           MIN(value) OVER w AS grp_min,
+           MAX(value) OVER w AS grp_max,
+           round(sin(2 * pi() * ((epoch_us(ts) // 3600000000) % 24) / 24.0), 6) AS hour_sin,
+           round(cos(2 * pi() * ((epoch_us(ts) // 3600000000) % 24) / 24.0), 6) AS hour_cos,
+           value * (SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w / COUNT(*) OVER w / 100.0) AS value_x_mean,
+           round((value - SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w / COUNT(*) OVER w / 100.0)
+                 / round(stddev_samp(value) OVER w, 6), 6) AS value_dev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type)
+    """,
+)
+def q_ensemble_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    wp = W.partitionBy("user_id", "event_type")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    grp_mean = F.sum(cents).over(wp) / F.count(F.lit(1)).over(wp) / 100.0
+    grp_std = F.round(F.stddev_samp("value").over(wp), 6)
+    hour = (F.expr(f"ts div {HOUR_US}") % 24).cast("double")
+    two_pi = 2 * 3.141592653589793
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        grp_mean.alias("grp_mean"),
+        grp_std.alias("grp_std"),
+        F.min("value").over(wp).alias("grp_min"),
+        F.max("value").over(wp).alias("grp_max"),
+        F.round(F.sin(F.lit(two_pi) * hour / 24.0), 6).alias("hour_sin"),
+        F.round(F.cos(F.lit(two_pi) * hour / 24.0), 6).alias("hour_cos"),
+        (F.col("value") * grp_mean).alias("value_x_mean"),
+        F.round((F.col("value") - grp_mean) / grp_std, 6).alias("value_dev"),
+    )
