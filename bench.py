@@ -112,6 +112,7 @@ HEADLINE = {
     "q_vocab_topn",
     "q_bigram_topn",
     "q_tfidf_topk",
+    "q_decontaminate",
     "q_zscore_outliers",
     "q_winsorize",
     "q_seq_pack",

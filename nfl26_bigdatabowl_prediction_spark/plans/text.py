@@ -852,3 +852,61 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.join(keep, "doc_id", "left_semi")
         .filter((F.col("n_words") >= 20) & (F.col("stop_ratio") <= 0.4) & (h < 50))
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination — fraction of each document's distinct
+# trigrams that also occur in a held-out benchmark set (doc_id % 100
+# == 0 stands in for the eval suite).  The de-overlap gate an LLM
+# training pipeline runs before a corpus ships.  Scale shape: both
+# sides explode to (shingle, doc) with map-side distinct; the
+# benchmark side collapses to a distinct shingle set that is
+# dimension-sized (|benchmark| ≪ |corpus|) and broadcasts, so the
+# corpus side never shuffles for the probe — only the final per-doc
+# count aggregates (left join keeps zero-overlap docs via count of
+# matches).
+# --------------------------------------------------------------------------
+@q(
+    "q_decontaminate",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len({_WORDS_DUCK}) - 1, 1)),
+                   i -> {_WORDS_DUCK}[i] || ' ' || {_WORDS_DUCK}[i + 1]
+                        || ' ' || {_WORDS_DUCK}[i + 2]))) AS shingle
+        FROM documents WHERE len({_WORDS_DUCK}) >= 3
+    ), bench AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+                   range(1, greatest(len({_WORDS_DUCK}) - 1, 1)),
+                   i -> {_WORDS_DUCK}[i] || ' ' || {_WORDS_DUCK}[i + 1]
+                        || ' ' || {_WORDS_DUCK}[i + 2]))) AS shingle
+        FROM documents WHERE len({_WORDS_DUCK}) >= 3 AND doc_id % 100 = 0
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(b.shingle) AS n_contaminated,
+           CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*) AS contamination
+    FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    shingled = (
+        _with_words(d, "doc_id")
+        .filter(F.size("words") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES_FROM_WORDS)).alias("shingle"))
+    )
+    bench = (
+        _with_words(d.filter(F.col("doc_id") % 100 == 0), "doc_id")
+        .filter(F.size("words") >= 3)
+        .select(F.explode(F.expr(_SHINGLES_FROM_WORDS)).alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probed = shingled.join(F.broadcast(bench), "shingle", "left")
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("hit").alias("n_contaminated"),
+        (F.count("hit").cast("double") / F.count(F.lit(1))).alias("contamination"),
+    )

@@ -486,3 +486,42 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_embed_kmeans"] = q_embed_kmeans
 # no oracle: iterative MLlib clustering → rows-only check
+
+
+# --------------------------------------------------------------------------
+# Scalar int8 quantization — the storage/bandwidth half of an ANN
+# system: per-vector symmetric quantization q_i = round(127·x_i/max|x|)
+# plus the scale needed to dequantize.  Pure per-row array arithmetic
+# (zero shuffles, fused into the scan); deterministic because the
+# max-abs reduction is order-free and round() agrees on both engines.
+# At 100 TB this is 4× less vector IO for the refine step of every
+# search in exchange for one scan-side pass.
+# --------------------------------------------------------------------------
+@q(
+    "q_embed_quantize",
+    """
+    SELECT vec_id,
+           round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS scale,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)
+                               / round(list_max(list_transform(embedding,
+                                       y -> abs(CAST(y AS DOUBLE)))), 6) * 127, 0) AS INT)) AS q
+    FROM embeddings
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "embedding",
+        F.round(
+            F.expr("array_max(transform(embedding, x -> abs(cast(x as double))))"), 6
+        ).alias("scale"),
+    )
+    return base.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) / scale * 127, 0) as int))"
+        ).alias("q"),
+    )
