@@ -254,3 +254,30 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = events_stream(spark, sf_dir)
     return run_available_now(stream_static_enrich(ev, static), output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized view (foreachBatch sink): each micro-batch
+# appends per-hour PARTIAL aggregates to a parquet delta log; the
+# reader merges with DISTINCT (collapses replayed batches) +
+# sum-of-sums.  The streaming face of q_hypertable_rollup — counts and
+# integer-scaled sums re-aggregate losslessly, so the merged view is
+# bit-identical to the batch hourly rollup the oracle computes.
+# --------------------------------------------------------------------------
+@q(
+    "q_stream_mv_rollup",
+    """
+    SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming import incremental_hourly_rollup, read_hourly_rollup
+
+    path = tempfile.mkdtemp(prefix="mv_rollup_") + "/log"
+    incremental_hourly_rollup(events_stream(spark, sf_dir), path)
+    return read_hourly_rollup(spark, path)

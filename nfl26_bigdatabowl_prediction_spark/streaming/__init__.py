@@ -25,6 +25,11 @@ from .pipelines import (
 )
 from .stateful import streaming_ewm
 from .run import run_available_now
+from .sink import (
+    incremental_hourly_rollup,
+    read_hourly_rollup,
+    write_hourly_partials,
+)
 
 __all__ = [
     "events_stream",
@@ -36,4 +41,7 @@ __all__ = [
     "stream_static_enrich",
     "streaming_ewm",
     "run_available_now",
+    "incremental_hourly_rollup",
+    "read_hourly_rollup",
+    "write_hourly_partials",
 ]

@@ -1,0 +1,83 @@
+"""Incremental materialized-view sink (foreachBatch).
+
+The streaming face of the continuous-aggregate pattern
+(plans/relational.py q_hypertable_rollup): each micro-batch appends
+its PARTIAL hourly aggregates — never raw rows — to a parquet delta
+log, and readers merge partials with sum-of-sums.  Counts and
+integer-scaled sums re-aggregate losslessly, so the merged view is
+bit-identical to the batch rollup over the same events.
+
+Scale/fault-tolerance design:
+* Append-only writes: no read-modify-write, so the sink never
+  contends and object stores (S3/GCS) are first-class targets.
+* Replay-safe: foreachBatch re-executes a batch after a failure.
+  Each partial row carries its batch_id, and a replayed batch
+  produces byte-identical partials, so the reader's DISTINCT
+  collapses replays exactly — effectively-once without transactions.
+  (batch_id in the key keeps legitimately identical partials from
+  DIFFERENT batches apart.)
+* Compaction: the delta log grows one tiny file set per trigger;
+  a periodic job can fold old partials into one row per key (same
+  sum-of-sums merge) without changing readers.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HOUR_US = 3600 * 10**6
+
+
+def write_hourly_partials(batch_df: DataFrame, batch_id: int, path: str) -> None:
+    """One micro-batch → per-(hour, event_type) partial aggregates,
+    appended with the batch id.  Called by foreachBatch; also callable
+    directly (that is how the replay-idempotence test re-runs a
+    batch)."""
+    (
+        batch_df.select(
+            F.expr(f"ts div {HOUR_US}").alias("bucket"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vc").alias("value_cents"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def incremental_hourly_rollup(
+    events: DataFrame, path: str, timeout_sec: int = 300
+) -> None:
+    """Drain the events stream into the partial-aggregate delta log at
+    ``path`` (Trigger.AvailableNow)."""
+    ckpt = tempfile.mkdtemp(prefix="spark_ckpt_mv_")
+    query = (
+        events.writeStream.foreachBatch(
+            lambda bdf, bid: write_hourly_partials(bdf, bid, path)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    if query.isActive:  # pragma: no cover - defensive
+        query.stop()
+        raise TimeoutError(f"incremental rollup did not drain in {timeout_sec}s")
+
+
+def read_hourly_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Merge the delta log into the current view: DISTINCT collapses
+    replayed batches, sum-of-sums merges partials."""
+    partials = spark.read.parquet(path).distinct()
+    return partials.groupBy("bucket", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        (F.sum("value_cents") / 100.0).alias("value_sum"),
+    )

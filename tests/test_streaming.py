@@ -209,3 +209,75 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # watermark past them
     assert by_win == {w0: 3}
     assert len(got) == 1
+
+
+def test_incremental_rollup_is_replay_idempotent(spark, tmp_path):
+    """The foreachBatch materialized-view sink must (a) equal the
+    batch hourly rollup after draining a multi-batch stream and
+    (b) be IDEMPOTENT under batch replay: re-appending one batch's
+    partials with the same batch_id (what foreachBatch does after a
+    failure) must not change the merged view."""
+    import time as _time
+
+    from nfl26_bigdatabowl_prediction_spark.sources.io import table
+    from nfl26_bigdatabowl_prediction_spark.streaming import (
+        events_stream,
+        incremental_hourly_rollup,
+        read_hourly_rollup,
+        write_hourly_partials,
+    )
+
+    raw = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    src = tmp_path / "ev_mv"
+    src.mkdir()
+    n = len(raw)
+    for i in range(4):
+        raw.iloc[i * n // 4 : (i + 1) * n // 4].to_parquet(
+            src / f"chunk{i}.parquet", index=False
+        )
+        _time.sleep(0.05)
+
+    log = str(tmp_path / "mv_log")
+    incremental_hourly_rollup(
+        events_stream(spark, str(src), max_files_per_trigger=1, glob="chunk*.parquet"),
+        log,
+    )
+    got = read_hourly_rollup(spark, log).toPandas().sort_values(["bucket", "event_type"])
+
+    ev = table(spark, SF_DIR, "events")
+    hour_us = 3600 * 10**6
+    from pyspark.sql import functions as F
+
+    want = (
+        ev.select(
+            F.expr(f"ts div {hour_us}").alias("bucket"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("vc") / 100.0).alias("value_sum"),
+        )
+        .toPandas()
+        .sort_values(["bucket", "event_type"])
+    )
+    assert len(got) == len(want) > 0
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (got["value_sum"].to_numpy() == want["value_sum"].to_numpy()).all()
+
+    # replay batch 0: identical partials with the same batch_id —
+    # the merged view must not move.
+    replay = events_stream(spark, str(src), glob="chunk0.parquet")
+    # materialize the same micro-batch DataFrame foreachBatch saw
+    batch0 = spark.read.parquet(str(src / "chunk0.parquet"))
+    from nfl26_bigdatabowl_prediction_spark.sources.io import normalize_ts
+
+    write_hourly_partials(normalize_ts(batch0), 0, log)
+    again = read_hourly_rollup(spark, log).toPandas().sort_values(["bucket", "event_type"])
+    assert (again["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (again["value_sum"].to_numpy() == want["value_sum"].to_numpy()).all()
