@@ -910,3 +910,47 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_contaminated"),
         (F.count("hit").cast("double") / F.count(F.lit(1))).alias("contamination"),
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (U-family extension): rows-in → rows-out table function
+# via LATERAL — sentence segmentation per document.  The one §2.9
+# surface not covered by pandas grouped-map/mapInPandas: a UDTF emits
+# a VARIABLE number of rows per input row with per-row python logic.
+# Slow path by design (kernel runs in python workers); production
+# flips spark.sql.execution.pythonUDTF.arrow.enabled for Arrow batch
+# transfer, and anything expressible as explode(split(...)) should
+# stay relational (q_frame_sample) — this query exists to pin the
+# UDTF plumbing: registration, LATERAL correlation, schema contract.
+# Kernel strips spaces only (python strip(' ') == SQL trim default)
+# so the oracle matches bitwise.
+# --------------------------------------------------------------------------
+@q(
+    "q_udtf_sentences",
+    """
+    SELECT doc_id, i AS sent_idx, trim(parts[i]) AS sentence
+    FROM (SELECT doc_id, string_split(text, '.') AS parts FROM documents),
+         LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) s
+    WHERE trim(parts[i]) <> ''
+    """,
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            for i, part in enumerate((text or "").split("."), start=1):
+                s = part.strip(" ")
+                if s:
+                    yield doc_id, i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("nfl26_docs_udtf")
+    return spark.sql(
+        """
+        SELECT f.doc_id, f.sent_idx, f.sentence
+        FROM nfl26_docs_udtf d,
+             LATERAL split_sentences(d.doc_id, d.text) f
+        """
+    )
