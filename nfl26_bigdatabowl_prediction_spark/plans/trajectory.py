@@ -861,3 +861,86 @@ def q_ensemble_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") * grp_mean).alias("value_x_mean"),
         F.round((F.col("value") - grp_mean) / grp_std, 6).alias("value_dev"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cogrouped pandas kernel (U-family extension): the two-sided
+# grouped-map — ``cogroup(...).applyInPandas`` pairs each user's
+# purchases with their clicks and runs pandas ``merge_asof`` per
+# group.  Physical twin of q_asof_join (same oracle): both sides
+# shuffle once on user_id into co-located groups, then the kernel is
+# per-group python.  Like operators/pairwise.py vs q_pairwise, this
+# exists to pin the cogroup plumbing — when the per-group logic IS
+# expressible relationally, the union+window form (operators/asof.py)
+# stays JVM-side and wins; cogroup is for kernels that are not.
+# --------------------------------------------------------------------------
+@q(
+    "q_cogroup_asof",
+    """
+    WITH r0 AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, ts_us, event_id, value FROM r0 WHERE rn = 1
+    ), l AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id, l.event_id, l.value AS target_value,
+           r.event_id AS click_event_id, r.value AS click_value,
+           r.ts_us AS click_ts_us
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """,
+)
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    left = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    right = ev.filter(F.col("event_type") == "click").drop("event_type")
+
+    def kernel(l, r):
+        import pandas as pd
+
+        if len(l) == 0:
+            m = l.assign(click_event_id=None, click_value=None, click_ts_us=None)
+        else:
+            l = l.sort_values(["ts", "event_id"])
+            if len(r):
+                # last event_id per ts: merge_asof needs a unique right
+                # key, and the oracle dedups the same way (rn=1 by
+                # event_id DESC)
+                r = r.sort_values(["ts", "event_id"]).groupby("ts", as_index=False).last()
+                r2 = pd.DataFrame(
+                    {
+                        "ts": r["ts"],
+                        "click_event_id": r["event_id"],
+                        "click_value": r["value"],
+                        "click_ts_us": r["ts"],
+                    }
+                )
+                m = pd.merge_asof(l, r2, on="ts", direction="backward")
+            else:
+                m = l.assign(click_event_id=None, click_value=None, click_ts_us=None)
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"].astype("int64"),
+                "event_id": m["event_id"].astype("int64"),
+                "target_value": m["value"].astype("float64"),
+                "click_event_id": m["click_event_id"].astype("Int64"),
+                "click_value": m["click_value"].astype("float64"),
+                "click_ts_us": m["click_ts_us"].astype("Int64"),
+            }
+        )
+
+    schema = (
+        "user_id bigint, event_id bigint, target_value double, "
+        "click_event_id bigint, click_value double, click_ts_us bigint"
+    )
+    return (
+        left.groupBy("user_id")
+        .cogroup(right.groupBy("user_id"))
+        .applyInPandas(kernel, schema)
+    )
