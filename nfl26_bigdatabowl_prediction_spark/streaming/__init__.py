@@ -26,6 +26,7 @@ from .pipelines import (
 from .stateful import streaming_ewm
 from .run import run_available_now
 from .sink import (
+    compact_rollup,
     incremental_hourly_rollup,
     read_hourly_rollup,
     write_hourly_partials,
@@ -41,6 +42,7 @@ __all__ = [
     "stream_static_enrich",
     "streaming_ewm",
     "run_available_now",
+    "compact_rollup",
     "incremental_hourly_rollup",
     "read_hourly_rollup",
     "write_hourly_partials",

@@ -47,7 +47,7 @@ def write_hourly_partials(batch_df: DataFrame, batch_id: int, path: str) -> None
             F.count(F.lit(1)).alias("n_events"),
             F.sum("vc").alias("value_cents"),
         )
-        .withColumn("batch_id", F.lit(batch_id))
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
         .write.mode("append")
         .parquet(path)
     )
@@ -80,4 +80,32 @@ def read_hourly_rollup(spark: SparkSession, path: str) -> DataFrame:
     return partials.groupBy("bucket", "event_type").agg(
         F.sum("n_events").alias("n_events"),
         (F.sum("value_cents") / 100.0).alias("value_sum"),
+    )
+
+
+def compact_rollup(spark: SparkSession, src_path: str, dst_path: str) -> None:
+    """Fold the delta log into ONE partial row per key (the periodic
+    maintenance job the sink docstring promises).
+
+    The same sum-of-sums merge readers apply, materialized: the folded
+    row keeps the exact integer value_cents, so ``read_hourly_rollup``
+    over the compacted log is bit-identical to the uncompacted view.
+    Folded rows carry batch_id = -1 — a compaction epoch, disjoint
+    from stream batch ids (which are >= 0), so later stream appends
+    keep accumulating on top.  Production swaps dst for src atomically
+    (table-format commit or directory rename); only batches already
+    folded must never replay afterwards — which the streaming
+    checkpoint guarantees for anything older than the last trigger.
+    """
+    partials = spark.read.parquet(src_path).distinct()
+    (
+        partials.groupBy("bucket", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dst_path)
     )

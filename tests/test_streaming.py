@@ -281,3 +281,52 @@ def test_incremental_rollup_is_replay_idempotent(spark, tmp_path):
     again = read_hourly_rollup(spark, log).toPandas().sort_values(["bucket", "event_type"])
     assert (again["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
     assert (again["value_sum"].to_numpy() == want["value_sum"].to_numpy()).all()
+
+
+def test_compacted_rollup_preserves_view_and_shrinks_files(spark, tmp_path):
+    """compact_rollup folds the delta log to one partial per key:
+    the merged view must be bit-identical before and after, the
+    compacted log must have fewer partial rows, and stream appends on
+    top of a compacted log must keep accumulating correctly."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from nfl26_bigdatabowl_prediction_spark.sources.io import normalize_ts
+    from nfl26_bigdatabowl_prediction_spark.streaming import (
+        compact_rollup,
+        read_hourly_rollup,
+        write_hourly_partials,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = ev.count()
+    log = str(tmp_path / "log")
+    # three "batches" appended directly (same path foreachBatch takes)
+    b = normalize_ts(ev)
+    for i in range(3):
+        write_hourly_partials(b.filter(F.col("event_id") % 3 == i), i, log)
+    before = read_hourly_rollup(spark, log).toPandas().sort_values(
+        ["bucket", "event_type"]
+    ).reset_index(drop=True)
+    n_partials_before = spark.read.parquet(log).count()
+
+    compacted = str(tmp_path / "log_c")
+    compact_rollup(spark, log, compacted)
+    after = read_hourly_rollup(spark, compacted).toPandas().sort_values(
+        ["bucket", "event_type"]
+    ).reset_index(drop=True)
+    n_partials_after = spark.read.parquet(compacted).count()
+
+    assert len(before) == len(after) > 0
+    assert (before["n_events"].to_numpy() == after["n_events"].to_numpy()).all()
+    assert (before["value_sum"].to_numpy() == after["value_sum"].to_numpy()).all()
+    assert int(before["n_events"].sum()) == n
+    assert n_partials_after < n_partials_before
+    assert len(glob.glob(f"{compacted}/part-*.parquet")) == 1
+
+    # appends keep accumulating after compaction (batch ids >= 0 are
+    # disjoint from the -1 compaction epoch)
+    write_hourly_partials(b.filter(F.col("event_id") % 3 == 0), 99, compacted)
+    grown = read_hourly_rollup(spark, compacted)
+    assert int(grown.agg(F.sum("n_events")).first()[0]) > n
