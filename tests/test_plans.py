@@ -112,6 +112,50 @@ def test_ewm_single_shuffle(spark):
     assert _ops(plan).count("Exchange") == 1, plan
 
 
+def test_heavy_hitter_queries_never_fully_sort(spark):
+    # vocab/bigram top-50: the global LIMIT must compile to
+    # TakeOrderedAndProject (per-partition 50-heaps), and the token
+    # aggregation must combine map-side so hot tokens can't skew the
+    # shuffle.
+    for name in ["q_vocab_topn", "q_bigram_topn"]:
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}:\n{plan}"
+        assert "partial_count" in plan, f"{name}:\n{plan}"
+
+
+def test_tfidf_topk_uses_window_group_limit(spark):
+    plan = _plan(spark, "q_tfidf_topk")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_outlier_suite_plan_shapes(spark):
+    # z-score: the whole per-trajectory stat pass on ONE exchange (it
+    # must share the suite's user_id shuffle, not add its own).
+    plan = _plan(spark, "q_zscore_outliers")
+    assert _ops(plan).count("Exchange") == 1, plan
+    # winsorize: the quantile bounds broadcast — the fact side must
+    # never shuffle for the clamp join.
+    plan = _plan(spark, "q_winsorize")
+    assert "BroadcastHashJoin" in plan, plan
+    ops = _ops(plan)
+    assert ops.count("SortMergeJoin") + ops.count("ShuffledHashJoin") == 0, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # the benchmark shingle set is dimension-sized and must broadcast;
+    # the corpus fanout only shuffles for its own per-doc aggregation.
+    plan = _plan(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    ops = _ops(plan)
+    assert ops.count("SortMergeJoin") + ops.count("ShuffledHashJoin") == 0, plan
+
+
+def test_quantize_is_shuffle_free(spark):
+    # per-vector scan-side arithmetic: zero exchanges.
+    plan = _plan(spark, "q_embed_quantize")
+    assert _ops(plan).count("Exchange") == 0, plan
+
+
 def test_star_join_broadcasts_all_dims(spark):
     # q_star_join: the four true dimension arms (customer/supplier/
     # nation/region) broadcast via explicit hints; lineitem⋈orders is
