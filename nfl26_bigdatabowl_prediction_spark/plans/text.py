@@ -954,3 +954,39 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL split_sentences(d.doc_id, d.text) f
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Document-length histogram — the length-distribution pass of corpus
+# analysis (choosing truncation caps, spotting boilerplate spikes).
+# Fixed-width integer buckets (100 chars, capped at 20) so the bucket
+# arithmetic is exact int division on both engines; one map-side
+# partial agg over ≤21 keys — at 100 TB the shuffle carries a few
+# dozen rows per mapper regardless of corpus size.
+# --------------------------------------------------------------------------
+@q(
+    "q_histogram",
+    """
+    SELECT least(n_chars // 100, 20) AS bucket,
+           least(n_chars // 100, 20) * 100 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = F.least(F.expr("n_chars div 100"), F.lit(20).cast("bigint"))
+    return (
+        d.select(
+            bucket.alias("bucket"),
+            (bucket * 100).alias("bucket_lo"),
+            "n_chars",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
