@@ -1074,3 +1074,32 @@ def q_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_p90_approx"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (wide → long) — the inverse of q_pivot (A9): measure columns
+# melt into (metric, val) rows.  `df.unpivot` compiles to a Generate
+# (executor-side expand, zero shuffles) — the schema-normalization
+# step that turns a wide feature table back into the long keyed form
+# every §2.5 window operator consumes.  At 100 TB this is a map-only
+# transform: output is 3× the rows but the plan never exchanges.
+# --------------------------------------------------------------------------
+@q(
+    "q_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+          FROM lineitem)
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
