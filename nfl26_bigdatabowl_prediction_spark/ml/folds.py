@@ -31,3 +31,19 @@ def with_fold(
     return df.withColumn(
         fold_col, F.pmod(F.xxhash64(*[F.col(c) for c in group_cols]), F.lit(k))
     )
+
+
+def with_validation_flag(
+    df: DataFrame,
+    group_cols: list[str],
+    frac_denominator: int = 5,
+    flag_col: str = "is_val",
+) -> DataFrame:
+    """Deterministic group-safe validation holdout: every row of a
+    group gets the same boolean, ~1/frac_denominator of groups True.
+
+    Feeds GBTRegressor's ``validationIndicatorCol`` (the reference's
+    eval_set early stopping, SURVEY §4) — a second, salted hash so the
+    holdout is independent of the fold assignment."""
+    h = F.xxhash64(F.lit("val_salt"), *[F.col(c) for c in group_cols])
+    return df.withColumn(flag_col, F.pmod(h, F.lit(frac_denominator)) == 0)

@@ -8,7 +8,9 @@ MLlib mapping (SURVEY §2.10): GBTRegressor per target replaces each
 booster (parity is metric-level, not bitwise — the reference's own
 logs are its only spec); LinearRegression(regParam=1, elasticNet=0)
 is the Ridge meta-learner; weighted averaging is column arithmetic.
-Early stopping has no MLlib analog → fixed maxIter (SURVEY §4).
+Early stopping: GBT's validationIndicatorCol + validationTol emulate
+the reference's eval_set (SURVEY §4) via folds.with_validation_flag;
+default stays a fixed maxIter budget.
 
 Everything stays distributed: VectorAssembler keeps features in
 DataFrames; per-fold training iterates over K cached filtered views.
@@ -33,6 +35,12 @@ class ResidualGBTConfig:
     subsample: float = 0.8
     seed: int = 42
     scale_features: bool = False
+    # eval_set early stopping (CatBoost :759 / XGB :852 / LGB :946):
+    # name of a boolean holdout column (folds.with_validation_flag) —
+    # GBT stops adding trees once the holdout error improves by less
+    # than validation_tol.  None = fixed iteration budget.
+    validation_col: str | None = None
+    validation_tol: float = 0.01
 
 
 @dataclass
@@ -57,6 +65,12 @@ def _pipeline(feature_cols: list[str], label: str, cfg: ResidualGBTConfig) -> Pi
             )
         )
         feat_col = "_features"
+    kwargs = {}
+    if cfg.validation_col is not None:
+        kwargs = {
+            "validationIndicatorCol": cfg.validation_col,
+            "validationTol": cfg.validation_tol,
+        }
     stages.append(
         GBTRegressor(
             featuresCol=feat_col,
@@ -67,6 +81,7 @@ def _pipeline(feature_cols: list[str], label: str, cfg: ResidualGBTConfig) -> Pi
             stepSize=cfg.step_size,
             subsamplingRate=cfg.subsample,
             seed=cfg.seed,
+            **kwargs,
         )
     )
     return Pipeline(stages=stages)

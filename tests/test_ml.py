@@ -118,3 +118,41 @@ def test_train_and_predict_end_to_end(spark):
     assert res.rmse_ensemble < res.rmse_baseline, (
         f"ensemble {res.rmse_ensemble} !< baseline {res.rmse_baseline}"
     )
+
+
+def test_gbt_early_stopping_caps_tree_count(spark):
+    """validation_col early stopping (the reference's eval_set,
+    SURVEY §4): with a validation holdout and a loose tolerance the
+    booster must stop before the full iteration budget, and the
+    resulting models must still predict finite values everywhere."""
+    from nfl26_bigdatabowl_prediction_spark.ml.folds import with_validation_flag
+
+    rows = [
+        (i, float(i % 13), float((i * 7) % 5), 0.1 * (i % 13), -0.2 * ((i * 7) % 5))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "gid int, f1 double, f2 double, res_x double, res_y double"
+    ).withColumn("baseline_x", F.lit(50.0)).withColumn("baseline_y", F.lit(25.0))
+    df = with_fold(df, ["gid"], k=2)
+    df = with_validation_flag(df, ["gid"], frac_denominator=4)
+    # group-safety: every gid maps to exactly one flag value
+    assert (
+        df.groupBy("gid").agg(F.countDistinct("is_val").alias("n"))
+        .filter(F.col("n") > 1).count() == 0
+    )
+    budget = 40
+    models = train_residual_gbt(
+        df,
+        ["f1", "f2"],
+        k=2,
+        cfg=ResidualGBTConfig(
+            max_iter=budget, max_depth=2, validation_col="is_val", validation_tol=0.5
+        ),
+    )
+    # the label is an exact linear function of the features, so the
+    # holdout error plateaus almost immediately under a loose tol
+    n_trees = models[0].model_x.stages[-1].getNumTrees
+    assert 0 < n_trees < budget, n_trees
+    pred = predict_fold_mean(models, df)
+    assert pred.filter(F.isnan("pred_x") | F.col("pred_x").isNull()).count() == 0
