@@ -990,3 +990,49 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Balanced corpus mixing — data-DERIVED sampling rates (vs the fixed
+# rates of q_stratified_sample): every source is downsampled toward
+# the smallest source's count, the "equal representation" mixture of
+# training-data prep.  Rates are integer percents computed from the
+# per-source counts (floor(100·min_cnt/N_s) — exact integer math on
+# both engines) and the coin is the portable hash, so the kept set is
+# deterministic.  Scale shape: one tiny groupBy builds the per-source
+# rate table (|sources| rows), it broadcasts, and the mixture is a
+# scan-side filter on the fact table — no fact shuffle at all.
+# --------------------------------------------------------------------------
+@q(
+    "q_corpus_mix",
+    f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_s,
+               MIN(COUNT(*)) OVER () AS min_cnt
+        FROM documents GROUP BY lang
+    ), rates AS (
+        -- integer floor division: DuckDB's double->int CAST rounds
+        -- while Spark's truncates, so // keeps the engines aligned
+        SELECT lang, (100 * min_cnt) // n_s AS rate_pct FROM counts
+    )
+    SELECT d.doc_id, d.lang, r.rate_pct
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {knuth_fold_sql('d.doc_id', 100)} < r.rate_pct
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    # unpartitioned window over the |langs|-row aggregate — fine:
+    # the single partition holds a handful of rows, never fact data.
+    rates = counts.select(
+        "lang",
+        (F.lit(100) * F.min("n_s").over(W.partitionBy())).alias("_num"),
+        "n_s",
+    ).select("lang", F.expr("_num div n_s").alias("rate_pct"))
+    h = knuth_fold_expr(F.col("doc_id"), 100)
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(h < F.col("rate_pct"))
+        .select("doc_id", "lang", "rate_pct")
+    )
