@@ -1036,3 +1036,48 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h < F.col("rate_pct"))
         .select("doc_id", "lang", "rate_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# mapInArrow (U-family completion): the zero-copy python-batch API —
+# RecordBatches flow straight from Tungsten through Arrow into
+# pyarrow.compute kernels with no pandas materialization, the right
+# surface when the per-batch work is itself Arrow-native (tokenizer
+# runtimes, Arrow-backed models).  Kernel: per-doc UTF-8 byte length
+# vs char length (multibyte detection for encoding QA).  Exact
+# integer outputs ⇒ bitwise oracle parity.
+# --------------------------------------------------------------------------
+@q(
+    "q_arrow_map",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_py,
+           strlen(text) AS n_bytes,
+           CASE WHEN strlen(text) > length(text) THEN 1 ELSE 0 END AS has_multibyte
+    FROM documents
+    """,
+)
+def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            n_chars = pc.utf8_length(text)
+            n_bytes = pc.binary_length(text.cast(pa.binary()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    n_chars.cast(pa.int64()),
+                    n_bytes.cast(pa.int64()),
+                    pc.cast(pc.greater(n_bytes, n_chars), pa.int32()),
+                ],
+                names=["doc_id", "n_chars_py", "n_bytes", "has_multibyte"],
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        kernel,
+        schema="doc_id bigint, n_chars_py bigint, n_bytes bigint, has_multibyte int",
+    )
