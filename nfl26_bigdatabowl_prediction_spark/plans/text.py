@@ -1081,3 +1081,38 @@ def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema="doc_id bigint, n_chars_py bigint, n_bytes bigint, has_multibyte int",
     )
+
+
+# --------------------------------------------------------------------------
+# Regex pattern scan (F11 extension — the reference uses no regex):
+# the redaction-triage shape of corpus curation — count pattern spans
+# per document and flag carriers.  Production instantiates the same
+# plan with PII patterns (emails '[a-z0-9._]+@[a-z0-9.]+', URLs
+# 'https?://\\S+'); the synthetic corpus carries neither, so the
+# judged patterns are engine-word alternations and s-prefixed tokens
+# that actually fire.  Patterns stay in the subset java.util.regex
+# (Spark) and RE2 (DuckDB) agree on — alternation, classes, \\b —
+# and counts are exact ints.  Pure scan-side row work: zero
+# shuffles, JVM-side regexp_count, no python.
+# --------------------------------------------------------------------------
+@q(
+    "q_regex_scan",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\b(scan|sort|stream|spark)\b')) AS n_engine_terms,
+           len(regexp_extract_all(text, '\bs[a-z]+')) AS n_s_tokens,
+           CASE WHEN len(regexp_extract_all(text, '\b(scan|sort|stream|spark)\b')) > 0
+                THEN 1 ELSE 0 END AS has_engine_term
+    FROM documents
+    """,
+)
+def q_regex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    terms = F.regexp_count(F.col("text"), F.lit(r"\b(scan|sort|stream|spark)\b"))
+    s_tok = F.regexp_count(F.col("text"), F.lit(r"\bs[a-z]+"))
+    return d.select(
+        "doc_id",
+        terms.cast("bigint").alias("n_engine_terms"),
+        s_tok.cast("bigint").alias("n_s_tokens"),
+        F.when(terms > 0, F.lit(1)).otherwise(F.lit(0)).alias("has_engine_term"),
+    )
