@@ -117,6 +117,14 @@ HEADLINE = {
     "q_winsorize",
     "q_seq_pack",
     "q_corpus_curate",
+    "q_corpus_mix",
+    "q_histogram",
+    "q_regex_scan",
+    "q_unpivot",
+    # NOT q_cogroup_asof: the python-cogroup surface pays ~10k per-group
+    # kernel invocations at sf0.1 (~9 s) — its relational twin q_asof_join
+    # (above, ~0.5 s) is the recommended path and represents the family.
+    "q_arrow_map",
 }
 
 if __name__ == "__main__":
