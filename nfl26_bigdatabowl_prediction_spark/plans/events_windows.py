@@ -892,6 +892,7 @@ def q_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH scored AS (
         SELECT event_id, user_id, value,
+               round(stddev_samp(value) OVER (PARTITION BY user_id), 6) AS grp_std,
                round((value -
                       SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (PARTITION BY user_id)
                         / COUNT(*) OVER (PARTITION BY user_id) / 100.0)
@@ -899,7 +900,7 @@ def q_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_id, user_id, value, z
-    FROM scored WHERE abs(z) > 2.0
+    FROM scored WHERE grp_std > 0 AND abs(z) > 2.0
     """,
 )
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,9 +909,13 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.sum(_cents(F.col("value"))).over(wp) / F.count(F.lit(1)).over(wp) / 100.0
     std = F.round(F.stddev_samp("value").over(wp), 6)
     z = F.round((F.col("value") - mean) / std, 6)
+    # std > 0 guard: zero-variance groups diverge across engines
+    # (Spark non-ANSI division -> NULL, DuckDB IEEE -> ±inf/NaN), so
+    # exclude them identically on both sides.
     return (
-        ev.select("event_id", "user_id", "value", z.alias("z"))
-        .filter(F.abs(F.col("z")) > 2.0)
+        ev.select("event_id", "user_id", "value", std.alias("grp_std"), z.alias("z"))
+        .filter((F.col("grp_std") > 0) & (F.abs(F.col("z")) > 2.0))
+        .drop("grp_std")
     )
 
 

@@ -659,11 +659,11 @@ def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     """
     SELECT o_orderstatus,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p_urgent,
-           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p_high,
-           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p_medium,
-           SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p_notspec,
-           SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p_low
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -1000,11 +1000,13 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(n_events) AS n_events, SUM(value_cents) AS value_cents
         FROM hourly GROUP BY 1, 2
     )
-    SELECT 'hour' AS resolution, bucket, event_type, n_events,
+    SELECT 'hour' AS resolution, bucket, event_type,
+           CAST(n_events AS BIGINT) AS n_events,
            value_cents / 100.0 AS value_sum
     FROM hourly
     UNION ALL
-    SELECT 'day' AS resolution, bucket, event_type, n_events,
+    SELECT 'day' AS resolution, bucket, event_type,
+           CAST(n_events AS BIGINT) AS n_events,
            value_cents / 100.0 AS value_sum
     FROM daily
     """,

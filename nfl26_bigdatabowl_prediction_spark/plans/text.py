@@ -1071,7 +1071,9 @@ def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                     b.column("doc_id"),
                     n_chars.cast(pa.int64()),
                     n_bytes.cast(pa.int64()),
-                    pc.cast(pc.greater(n_bytes, n_chars), pa.int32()),
+                    # fill_null: NULL text must yield 0 (the oracle's
+                    # CASE ... ELSE 0), not a propagated null
+                    pc.fill_null(pc.cast(pc.greater(n_bytes, n_chars), pa.int32()), 0),
                 ],
                 names=["doc_id", "n_chars_py", "n_bytes", "has_multibyte"],
             )

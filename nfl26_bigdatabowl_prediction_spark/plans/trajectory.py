@@ -930,7 +930,7 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id": m["event_id"].astype("int64"),
                 "target_value": m["value"].astype("float64"),
                 "click_event_id": m["click_event_id"].astype("Int64"),
-                "click_value": m["click_value"].astype("float64"),
+                "click_value": m["click_value"].astype("Float64"),
                 "click_ts_us": m["click_ts_us"].astype("Int64"),
             }
         )

@@ -93,18 +93,28 @@ def compact_rollup(spark: SparkSession, src_path: str, dst_path: str) -> None:
     Folded rows carry batch_id = -1 — a compaction epoch, disjoint
     from stream batch ids (which are >= 0), so later stream appends
     keep accumulating on top.  Production swaps dst for src atomically
-    (table-format commit or directory rename); only batches already
-    folded must never replay afterwards — which the streaming
-    checkpoint guarantees for anything older than the last trigger.
+    (table-format commit or directory rename).
+
+    The streaming checkpoint only guarantees batches OLDER than the
+    last trigger never replay — the most recent batch CAN replay after
+    a crash.  So the fold excludes the max batch_id: that batch's
+    partials are kept verbatim (still deduped by DISTINCT on replay),
+    and only strictly-older partials are folded into the -1 epoch row.
     """
     partials = spark.read.parquet(src_path).distinct()
-    (
-        partials.groupBy("bucket", "event_type")
+    max_bid = partials.agg(F.max("batch_id")).first()[0]
+    foldable = partials.filter(F.col("batch_id") < F.lit(max_bid))
+    keep = partials.filter(F.col("batch_id") >= F.lit(max_bid))
+    folded = (
+        foldable.groupBy("bucket", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
             F.sum("value_cents").alias("value_cents"),
         )
         .withColumn("batch_id", F.lit(-1).cast("long"))
+    )
+    (
+        folded.unionByName(keep.select(*folded.columns))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(dst_path)

@@ -272,7 +272,6 @@ def test_incremental_rollup_is_replay_idempotent(spark, tmp_path):
 
     # replay batch 0: identical partials with the same batch_id —
     # the merged view must not move.
-    replay = events_stream(spark, str(src), glob="chunk0.parquet")
     # materialize the same micro-batch DataFrame foreachBatch saw
     batch0 = spark.read.parquet(str(src / "chunk0.parquet"))
     from nfl26_bigdatabowl_prediction_spark.sources.io import normalize_ts
@@ -324,6 +323,17 @@ def test_compacted_rollup_preserves_view_and_shrinks_files(spark, tmp_path):
     assert int(before["n_events"].sum()) == n
     assert n_partials_after < n_partials_before
     assert len(glob.glob(f"{compacted}/part-*.parquet")) == 1
+
+    # the checkpoint only protects batches OLDER than the last trigger:
+    # the max batch_id (2) may replay after compaction.  Its partials
+    # must have been kept verbatim (not folded), so the replayed
+    # duplicates collapse under DISTINCT and the view does not move.
+    write_hourly_partials(b.filter(F.col("event_id") % 3 == 2), 2, compacted)
+    replayed = read_hourly_rollup(spark, compacted).toPandas().sort_values(
+        ["bucket", "event_type"]
+    ).reset_index(drop=True)
+    assert (replayed["n_events"].to_numpy() == before["n_events"].to_numpy()).all()
+    assert (replayed["value_sum"].to_numpy() == before["value_sum"].to_numpy()).all()
 
     # appends keep accumulating after compaction (batch ids >= 0 are
     # disjoint from the -1 compaction epoch)
