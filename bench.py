@@ -121,9 +121,10 @@ HEADLINE = {
     "q_histogram",
     "q_regex_scan",
     "q_unpivot",
-    # NOT q_cogroup_asof: the python-cogroup surface pays ~10k per-group
-    # kernel invocations at sf0.1 (~9 s) — its relational twin q_asof_join
-    # (above, ~0.5 s) is the recommended path and represents the family.
+    # re-admitted after bucketing the cogroup key (64 users per kernel
+    # call, merge_asof by=user_id inside): ~9 s → ~1 s at sf0.1, at
+    # parity with its relational twin q_asof_join.
+    "q_cogroup_asof",
     "q_arrow_map",
 }
 

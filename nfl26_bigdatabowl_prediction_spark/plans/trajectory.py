@@ -35,6 +35,7 @@ HOUR_US = 3600 * 10**6
 RADIUS = 50.0  # neighbor radius (reference RADIUS=30 yd, main_cuda.py:336)
 K_NEIGH = 5  # top-K neighbors (reference K_NEIGH=6/5, main_cuda.py:344)
 TAU = 10.0  # softmax temperature (reference τ, main_cuda.py:350)
+COGROUP_BUCKETS = 64  # users per cogroup kernel call: invocation-count knob
 
 
 def q(name: str, oracle: str | None):
@@ -895,33 +896,72 @@ def q_ensemble_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogroup key = ``pmod(user_id, COGROUP_BUCKETS)``, not user_id:
+    per-group python invocation cost dominates tiny groups (~10k users
+    at sf0.1 cost ~9 s of kernel startup; 64 buckets bring the same
+    work to ~invocation parity with the relational twin).  Inside the
+    kernel ``merge_asof(by='user_id')`` restores exact per-user
+    matching, so the oracle is unchanged.  At cluster scale, bucket
+    count is the parallelism knob: set it to a small multiple of the
+    executor-core count; per-bucket data stays ~n/buckets."""
     ev = _events(spark, sf_dir).select(
         "user_id", "ts", "event_id", "value", "event_type"
     )
     left = ev.filter(F.col("event_type") == "purchase").drop("event_type")
     right = ev.filter(F.col("event_type") == "click").drop("event_type")
+    bucketed = lambda df: df.withColumn(  # noqa: E731
+        "bkt", F.pmod(F.col("user_id"), F.lit(COGROUP_BUCKETS))
+    )
 
     def kernel(l, r):
         import pandas as pd
 
+        # Under a count-only plan Catalyst prunes the cogroup children
+        # down to the grouping attributes (no output column is read,
+        # so no input column is owed): the kernel must stay callable
+        # on pruned inputs.  Output cardinality is len(l) either way —
+        # merge_asof is a left join — so emit null-valued rows of the
+        # right SHAPE and let the unread values be unread.
+        needed = {"user_id", "ts", "event_id", "value"}
+        if not needed <= set(l.columns):
+            n = len(l)
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([None] * n, dtype="Int64"),
+                    "event_id": pd.Series([None] * n, dtype="Int64"),
+                    "target_value": pd.Series([None] * n, dtype="Float64"),
+                    "click_event_id": pd.Series([None] * n, dtype="Int64"),
+                    "click_value": pd.Series([None] * n, dtype="Float64"),
+                    "click_ts_us": pd.Series([None] * n, dtype="Int64"),
+                }
+            )
+        r_usable = len(r) > 0 and needed <= set(r.columns)
+
         if len(l) == 0:
             m = l.assign(click_event_id=None, click_value=None, click_ts_us=None)
         else:
-            l = l.sort_values(["ts", "event_id"])
-            if len(r):
-                # last event_id per ts: merge_asof needs a unique right
-                # key, and the oracle dedups the same way (rn=1 by
-                # event_id DESC)
-                r = r.sort_values(["ts", "event_id"]).groupby("ts", as_index=False).last()
+            l = l.sort_values(["ts", "user_id", "event_id"], kind="mergesort")
+            if r_usable:
+                # last event_id per (user, ts): merge_asof needs a
+                # unique right key per by-group, and the oracle dedups
+                # the same way (rn=1 by event_id DESC)
+                r = (
+                    r.sort_values(["user_id", "ts", "event_id"])
+                    .groupby(["user_id", "ts"], as_index=False)
+                    .last()
+                )
                 r2 = pd.DataFrame(
                     {
+                        "user_id": r["user_id"],
                         "ts": r["ts"],
                         "click_event_id": r["event_id"],
                         "click_value": r["value"],
                         "click_ts_us": r["ts"],
                     }
+                ).sort_values("ts", kind="mergesort")
+                m = pd.merge_asof(
+                    l, r2, on="ts", by="user_id", direction="backward"
                 )
-                m = pd.merge_asof(l, r2, on="ts", direction="backward")
             else:
                 m = l.assign(click_event_id=None, click_value=None, click_ts_us=None)
         return pd.DataFrame(
@@ -940,7 +980,7 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_event_id bigint, click_value double, click_ts_us bigint"
     )
     return (
-        left.groupBy("user_id")
-        .cogroup(right.groupBy("user_id"))
+        bucketed(left).groupBy("bkt")
+        .cogroup(bucketed(right).groupBy("bkt"))
         .applyInPandas(kernel, schema)
     )

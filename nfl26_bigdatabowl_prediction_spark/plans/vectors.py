@@ -96,6 +96,13 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Brute-force cosine top-K: query subset (vec_id % 20 == 0) × corpus,
 # rank by (cosine DESC, neighbor id) — the ANN correctness baseline.
 # --------------------------------------------------------------------------
+MAX_BRUTE_QUERIES = 1 << 16
+"""Hard cap on the brute-force query side.  Brute force is O(n_q ×
+n_corpus) by definition — with an unbounded query set neither the
+driver collect nor the compute survives a 100× corpus; past the cap
+the ANN path (q_embed_ivf_topk) is the supported query shape."""
+
+
 @q(
     "q_embed_cosine_topk",
     f"""
@@ -117,8 +124,10 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched brute-force scoring kernel.
 
-    The query matrix (n/20 vectors) is collected once and shipped in
-    the UDF closure — the pandas-UDF analog of a broadcast join; each
+    The query matrix (n/20 vectors) is collected once, guarded by
+    ``MAX_BRUTE_QUERIES``, and shipped via ``sparkContext.broadcast``
+    (torrent protocol: executors fetch it once per node, not once per
+    task closure) — the pandas-UDF analog of a broadcast join; each
     corpus partition scores locally (mapInPandas, no shuffle before
     the final per-query top-K window).  The per-dimension loop is a
     strict left fold (acc = acc + c_i·q_i, float64, dim order), each
@@ -133,13 +142,22 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings")
-    qpdf = (
-        e.filter(F.col("vec_id") % 20 == 0).select("vec_id", "embedding").toPandas()
+    qside = e.filter(F.col("vec_id") % 20 == 0).select("vec_id", "embedding")
+    # bounded probe: LIMIT cap+1 so the guard job never scans more
+    # than it must to prove the violation
+    if qside.select("vec_id").limit(MAX_BRUTE_QUERIES + 1).count() > MAX_BRUTE_QUERIES:
+        raise ValueError(
+            f"q_embed_cosine_topk: query side exceeds MAX_BRUTE_QUERIES="
+            f"{MAX_BRUTE_QUERIES}; brute force does not scale past this — "
+            "use q_embed_ivf_topk (ANN) for corpus-proportional query sets"
+        )
+    qpdf = qside.toPandas()
+    bq = spark.sparkContext.broadcast(
+        (qpdf["vec_id"].to_numpy(), np.stack(qpdf["embedding"].to_numpy()))
     )
-    qids = qpdf["vec_id"].to_numpy()
-    Q = np.stack(qpdf["embedding"].to_numpy())  # (nq, dim) float32
 
     def score(batches):
+        qids, Q = bq.value  # (nq,) ids, (nq, dim) float32
         for b in batches:
             if not len(b):
                 continue

@@ -223,3 +223,26 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     # scope restored: the same plan outside carries no bloom probe
     plan_after = join(spark)._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" not in plan_after
+
+
+def test_brute_force_topk_query_side_is_bounded(spark, monkeypatch):
+    # Brute-force cosine top-K collects its query side to the driver:
+    # legal only under an explicit cardinality cap (past it, the IVF
+    # path is the supported shape).  The guard must fire BEFORE any
+    # unbounded toPandas().
+    import pytest as _pytest
+
+    from nfl26_bigdatabowl_prediction_spark.plans import vectors
+
+    monkeypatch.setattr(vectors, "MAX_BRUTE_QUERIES", 3)
+    with _pytest.raises(ValueError, match="MAX_BRUTE_QUERIES"):
+        vectors.q_embed_cosine_topk(spark, SF_DIR)
+
+
+def test_cogroup_kernel_survives_count_pruned_inputs(spark):
+    # Under a count-only plan Catalyst prunes the cogroup children to
+    # the grouping attributes; the kernel must still run and produce
+    # the same cardinality it does with full columns (its output count
+    # is len(left) by construction).
+    df = QUERIES["q_cogroup_asof"](spark, SF_DIR)
+    assert df.count() == len(df.collect())
