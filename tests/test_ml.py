@@ -115,8 +115,11 @@ def test_train_and_predict_end_to_end(spark):
     )
     assert res.feature_cols  # declared∩present is non-empty
     assert res.predictions.count() > 0
-    assert res.rmse_ensemble < res.rmse_baseline, (
-        f"ensemble {res.rmse_ensemble} !< baseline {res.rmse_baseline}"
+    # with-margin anchor (MEASURED.md): measured ratio 1.90x at this
+    # config; 1.3x is the regression floor, not the target.
+    assert res.rmse_ensemble * 1.3 < res.rmse_baseline, (
+        f"ensemble {res.rmse_ensemble} not 1.3x better than baseline "
+        f"{res.rmse_baseline}"
     )
 
 
