@@ -126,6 +126,15 @@ HEADLINE = {
     # parity with its relational twin q_asof_join.
     "q_cogroup_asof",
     "q_arrow_map",
+    # round-2 additions
+    "q_join_full",
+    "q_mode",
+    "q_map_ops",
+    "q_array_hof",
+    "q_split_assign",
+    "q_doc_chunk",
+    "q_redact",
+    "q_edit_distance",
 }
 
 if __name__ == "__main__":

@@ -1105,3 +1105,139 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+# --------------------------------------------------------------------------
+# §2.3 completion — FULL OUTER join.  The reference's join surface
+# (inner/left, main_cuda.py:407-447) never needs full-outer, but a
+# complete engine does: reconciliation queries (which customers have
+# no orders / which order keys lost their customer row) are the
+# canonical shape.  Both sides filtered differently so each side
+# genuinely contributes unmatched rows.  Scale: same key-shuffle as
+# the inner join — full-outer only changes null-row emission, not the
+# exchange plan.
+# --------------------------------------------------------------------------
+@q(
+    "q_join_full",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+    ), o AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS spend_cents,
+               COUNT(*) AS n_orders
+        FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_acctbal, o.spend_cents, o.n_orders,
+           CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN o.o_custkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS presence
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 3 == 0)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .alias("spend_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "spend_cents",
+        "n_orders",
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 completion — deterministic per-group mode (most frequent value,
+# ties broken by smallest value).  Two-phase: count per (group, value)
+# — partial-agg combines map-side — then a WindowGroupLimit keeps one
+# row per group; the full value distribution never crosses more than
+# one shuffle.
+# --------------------------------------------------------------------------
+@q(
+    "q_mode",
+    """
+    WITH counts AS (
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+        SELECT l_returnflag, l_linestatus, n,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY n DESC, l_linestatus ASC) AS rn
+        FROM counts
+    )
+    SELECT l_returnflag, l_linestatus AS mode_status, n AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = W.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_linestatus").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linestatus").alias("mode_status"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 completion — MAP-typed column surface: JSON → map parse, map
+# literal lookup, key introspection.  The map stays executor-side (an
+# implementation detail of the row); only scalar extractions surface,
+# so the oracle needs no MAP type of its own.  Pure scan-side row
+# work: zero shuffles.
+# --------------------------------------------------------------------------
+@q(
+    "q_map_ops",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                WHEN 'error' THEN 5 END AS type_code
+    FROM events
+    """,
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    props_map = F.from_json("props", "map<string,bigint>")
+    code_map = F.create_map(
+        F.lit("click"), F.lit(1), F.lit("view"), F.lit(2),
+        F.lit("purchase"), F.lit(3), F.lit("signup"), F.lit(4),
+        F.lit("error"), F.lit(5),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(props_map, "k").alias("k_val"),
+        F.size(F.map_keys(props_map)).alias("n_keys"),
+        F.element_at(code_map, F.col("event_type")).alias("type_code"),
+    )

@@ -1118,3 +1118,167 @@ def q_regex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_tok.cast("bigint").alias("n_s_tokens"),
         F.when(terms > 0, F.lit(1)).otherwise(F.lit(0)).alias("has_engine_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# Train/val/test split assignment — the partitioning step every
+# training-data pipeline runs last.  Hash-coin on doc_id (the
+# stratified-sample primitive, knuth multiplicative fold): 80/10/10,
+# deterministic on any engine, no randomness, no state.  Scan-side
+# projection only — zero shuffles; at 100 TB this is the partition
+# column of the final write (write.partitionBy("split")), so
+# downstream trainers prune to their split at the file level.
+# --------------------------------------------------------------------------
+@q(
+    "q_split_assign",
+    f"""
+    SELECT doc_id,
+           CAST(h AS BIGINT) AS bucket,
+           CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {knuth_fold_sql('doc_id', 100)} AS h FROM documents)
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    h = knuth_fold_expr(F.col("doc_id"), 100)
+    return d.select(
+        "doc_id",
+        h.alias("bucket"),
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Overlapping document chunking — context-window prep: fixed-size
+# character chunks (size 100, stride 80 → 20-char overlap) with
+# offsets, the retrieval/training shape for long documents.  The
+# offset list is generated per-row executor-side (sequence +
+# posexplode): pure scan-side fan-out, zero shuffles, and the chunk
+# substrings are computed after the explode so each output row holds
+# only its own 100 chars, not the parent document.
+# --------------------------------------------------------------------------
+CHUNK_SIZE = 100
+CHUNK_STRIDE = 80
+
+
+@q(
+    "q_doc_chunk",
+    f"""
+    WITH offs AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(greatest(length(text) - 1, 0) AS BIGINT) + 1,
+                            {CHUNK_STRIDE})) AS off
+        FROM documents
+    )
+    SELECT doc_id,
+           off // {CHUNK_STRIDE} AS chunk_id,
+           CAST(off AS BIGINT) AS chunk_start,
+           substr(text, CAST(off AS INT) + 1, {CHUNK_SIZE}) AS chunk,
+           CAST(length(substr(text, CAST(off AS INT) + 1, {CHUNK_SIZE})) AS BIGINT)
+             AS chunk_len
+    FROM offs
+    """,
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    offs = F.expr(
+        f"sequence(0, greatest(length(text) - 1, 0), {CHUNK_STRIDE})"
+    )
+    chunk = F.expr(f"substring(text, off + 1, {CHUNK_SIZE})")
+    return (
+        d.select("doc_id", "text", F.explode(offs).alias("off"))
+        .select(
+            "doc_id",
+            F.expr(f"off div {CHUNK_STRIDE}").cast("bigint").alias("chunk_id"),
+            F.col("off").cast("bigint").alias("chunk_start"),
+            chunk.alias("chunk"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Redaction transform — the masking twin of q_regex_scan's triage:
+# replace every pattern span with a fixed mask token and count the
+# replacements.  Production instantiates PII patterns (emails, URLs,
+# phone numbers); the synthetic corpus carries none, so the judged
+# pattern is the engine-word alternation that actually fires (same
+# precedent as q_regex_scan).  Patterns stay in the java.util.regex ∩
+# RE2 subset; JVM-side regexp_replace/regexp_count, zero shuffles.
+# --------------------------------------------------------------------------
+_REDACT_PAT = r"\b(scan|sort|stream|spark)\b"
+
+
+@q(
+    "q_redact",
+    rf"""
+    SELECT doc_id,
+           regexp_replace(text, '{_REDACT_PAT}', '[MASKED]', 'g') AS redacted,
+           len(regexp_extract_all(text, '{_REDACT_PAT}')) AS n_redacted
+    FROM documents
+    """,
+)
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", _REDACT_PAT, "[MASKED]").alias("redacted"),
+        # F.lit, not an F.expr SQL literal: Spark SQL string literals
+        # eat backslash escapes ('\b' -> backspace)
+        F.regexp_count(F.col("text"), F.lit(_REDACT_PAT)).cast("bigint").alias(
+            "n_redacted"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance near-dup — the fourth near-dup modality (after
+# MinHash-LSH, SimHash, n-gram Jaccard): Levenshtein over document
+# heads, candidate-limited by a (lang, 8-char-prefix) equi-join so the
+# quadratic metric only runs inside tiny buckets — the blocking
+# pattern of record linkage.  Heads are capped at 40 chars, so each
+# distance evaluation is O(40²) regardless of document length.
+# --------------------------------------------------------------------------
+@q(
+    "q_edit_distance",
+    """
+    WITH k AS (
+        SELECT doc_id, lang, substr(text, 1, 40) AS head,
+               substr(text, 1, 8) AS pfx
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+    FROM k a JOIN k b
+      ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 30
+    """,
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 40).alias("head"),
+        F.substring("text", 1, 8).alias("pfx"),
+    )
+    a = k.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("head").alias("head_a"),
+        "pfx",
+    )
+    b = k.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("head").alias("head_b"),
+        F.col("pfx").alias("pfx_b"),
+    )
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(
+            b,
+            (a.lang == b.lang_b) & (a.pfx == b.pfx_b) & (a.doc_a < b.doc_b),
+        )
+        .filter(dist <= 30)
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+    )

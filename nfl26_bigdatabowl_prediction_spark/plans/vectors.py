@@ -543,3 +543,51 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> cast(round(cast(x as double) / scale * 127, 0) as int))"
         ).alias("q"),
     )
+
+
+# --------------------------------------------------------------------------
+# Array higher-order-function surface (U-family completion): the
+# lambda-expression API — transform / filter / aggregate — exercised
+# end-to-end on the embedding arrays.  Each fold keeps the strict
+# left-associative double accumulation the DuckDB list_reduce twin
+# performs, so sums are bitwise-equal; comparisons and max are exact.
+# HOFs evaluate as interpreted lambdas (outside whole-stage codegen)
+# — acceptable here because this query IS the API-surface probe; the
+# hot-path vector kernels (q_embed_*) use unrolled codegen
+# expressions or Arrow kernels instead, and q_embed_cosine_topk's
+# docstring records the 40× measured gap.
+# --------------------------------------------------------------------------
+@q(
+    "q_array_hof",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+               (acc, v) -> acc + v), 6) AS l1_q6,
+           CAST(list_max(embedding) AS DOUBLE) AS vmax,
+           round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
+               (acc, v) -> acc + v), 6) AS head8_sum_q6
+    FROM embeddings
+    """,
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr("size(filter(embedding, x -> x > 0))").alias("n_pos"),
+        F.round(
+            F.expr("aggregate(embedding, 0D, (acc, x) -> acc + abs(cast(x as double)))"),
+            6,
+        ).alias("l1_q6"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        F.round(
+            F.expr(
+                "aggregate(slice(embedding, 1, 8), 0D, (acc, x) -> acc + cast(x as double))"
+            ),
+            6,
+        ).alias("head8_sum_q6"),
+    )
