@@ -135,6 +135,11 @@ HEADLINE = {
     "q_doc_chunk",
     "q_redact",
     "q_edit_distance",
+    "q_sketch_bounds",
+    "q_text_normalize",
+    "q_unigram_logprob",
+    "q_embed_project",
+    "q_scan_partitioned",
 }
 
 if __name__ == "__main__":

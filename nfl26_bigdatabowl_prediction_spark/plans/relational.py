@@ -1241,3 +1241,80 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(props_map)).alias("n_keys"),
         F.element_at(code_map, F.col("event_type")).alias("type_code"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch error-bound audit — promotes the rows-only approx sketches
+# (q_approx_distinct / q_quantile_approx) to driver-verifiable
+# evidence.  Raw sketch estimates are engine-specific (HLL++ vs
+# DuckDB's HLL, t-digest vs Greenwald-Khanna), so they can never
+# value-hash across engines; what CAN is the *bound check*: each
+# engine asserts its own estimate lands inside the documented error
+# band around the exact answer.  Bands are deliberately loose (3× the
+# configured rsd for HLL; 2% of the value range for quantiles) so the
+# booleans are stable across engines and scale factors.  Exact
+# columns ride along under the house determinism rules.
+# --------------------------------------------------------------------------
+@q(
+    "q_sketch_bounds",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           (abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+              <= 0.15 * COUNT(DISTINCT l_orderkey)) AS distinct_ok,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50_exact,
+           (abs(approx_quantile(l_extendedprice, 0.5)
+                - quantile_cont(l_extendedprice, 0.5))
+              <= 0.02 * (MAX(l_extendedprice) - MIN(l_extendedprice)))
+             AS p50_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    exact_d = F.count_distinct(F.col("l_orderkey"))
+    approx_d = F.approx_count_distinct("l_orderkey", rsd=0.05)
+    exact_p = F.percentile("l_extendedprice", F.lit(0.5))
+    approx_p = F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000))
+    vrange = F.max("l_extendedprice") - F.min("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        exact_d.alias("exact_orders"),
+        (F.abs(approx_d - exact_d) <= 0.15 * exact_d).alias("distinct_ok"),
+        F.round(exact_p, 4).alias("price_p50_exact"),
+        (F.abs(approx_p - exact_p) <= 0.02 * vrange).alias("p50_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.1 completion — Hive-style partitioned sink + partition-pruned
+# scan round trip.  The write lays events out as
+# event_type=<v>/part-*.parquet; the read's predicate becomes a
+# PartitionFilters entry (directory pruning at planning time — files
+# for other types are never opened, the file-skipping primitive that
+# matters most at 100 TB).  tests/test_plans.py pins the pruning.
+# --------------------------------------------------------------------------
+@q(
+    "q_scan_partitioned",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "nfl26_partitioned_events")
+    (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "event_type", "value")
+    )

@@ -1282,3 +1282,92 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 30)
         .select("doc_a", "doc_b", dist.alias("edit_dist"))
     )
+
+
+# --------------------------------------------------------------------------
+# Text normalization — the canonicalization stage that runs before
+# dedup/tokenization in every corpus pipeline: lowercase, trim,
+# collapse whitespace runs.  Pure scan-side string kernels (JVM
+# regexp), zero shuffles; `changed` marks rows the normalizer touched
+# so downstream can audit mutation rates.
+# --------------------------------------------------------------------------
+@q(
+    "q_text_normalize",
+    r"""
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
+           (regexp_replace(lower(trim(text)), '\s+', ' ', 'g') <> text) AS changed,
+           CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT)
+             AS n_chars_norm
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model scoring — per-document average log-prob under
+# the corpus's own unigram distribution (the cheap LM-quality gate
+# before perplexity filtering with a real LM).  Two aggregations:
+# vocab frequencies (map-side combine absorbs hot tokens), then a
+# per-doc sum.  Determinism: ln() is libm, so each token's logprob is
+# scaled to an int64 micro-nat ONCE (round 6), and the per-doc sum is
+# integer — summation order cannot perturb it.  The vocab table is
+# dimension-sized and broadcast back onto the token stream: the fact
+# side shuffles only for its own doc_id aggregation.
+# --------------------------------------------------------------------------
+@q(
+    "q_unigram_logprob",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS_DUCK}) AS token FROM documents
+    ), freq AS (
+        SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> '' GROUP BY token
+    ), probs AS (
+        SELECT token,
+               CAST(round(ln(CAST(cnt AS DOUBLE) / SUM(cnt) OVER ()) * 1000000, 0)
+                    AS BIGINT) AS logp_u
+        FROM freq
+    ), scored AS (
+        SELECT t.doc_id, p.logp_u
+        FROM toks t JOIN probs p ON t.token = p.token
+        WHERE t.token <> ''
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(logp_u) AS BIGINT) AS logp_sum_u,
+           round(CAST(SUM(logp_u) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        _with_words(d, "doc_id")
+        .select("doc_id", F.explode("words").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(W.partitionBy())
+    probs = freq.select(
+        "token",
+        F.round(F.log(F.col("cnt").cast("double") / total) * 1000000, 0)
+        .cast("bigint")
+        .alias("logp_u"),
+    )
+    scored = toks.join(F.broadcast(probs), "token")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("logp_u").alias("logp_sum_u"),
+        F.round(
+            F.sum("logp_u").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("avg_logprob"),
+    )

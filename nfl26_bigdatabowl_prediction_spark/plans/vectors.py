@@ -591,3 +591,55 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("head8_sum_q6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson–Lindenstrauss
+# shape): 64 → 8 dims through a deterministic integer lattice matrix
+# (same coefficient family as the LSH hyperplanes, so the oracle can
+# recompute it; production broadcasts a seeded gaussian matrix — same
+# plan).  Each output dim is an unrolled left-fold dot product —
+# whole-stage-codegen'd, bitwise-equal to the DuckDB list_reduce fold,
+# no rounding needed (pure IEEE products/sums in fixed order).
+# Scan-side map: zero shuffles; at 100 TB this is the cheap first
+# stage before IVF/kmeans on the reduced space.
+# --------------------------------------------------------------------------
+PROJ_DIMS = 8
+
+
+def _proj_coef(j: int, i: int) -> int:
+    """Lattice coefficient for output dim j, input element i (1-based)."""
+    return ((j * 29 + (i - 1) * 23) % 15) - 7
+
+
+def _proj_spark(j: int, dim: int = EMBED_DIM) -> str:
+    terms = " + ".join(
+        f"cast(element_at(embedding, {i}) as double) * cast({_proj_coef(j, i)} as double)"
+        for i in range(1, dim + 1)
+    )
+    return f"(cast(0.0 as double) + {terms})"
+
+
+def _proj_duck(j: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) "
+        f"* CAST((({j} * 29 + (i - 1) * 23) % 15) - 7 AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+@q(
+    "q_embed_project",
+    "SELECT vec_id, label, "
+    + ", ".join(f"{_proj_duck(j)} AS p{j}" for j in range(PROJ_DIMS))
+    + " FROM embeddings",
+)
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        *[F.expr(_proj_spark(j)).alias(f"p{j}") for j in range(PROJ_DIMS)],
+    )

@@ -246,3 +246,13 @@ def test_cogroup_kernel_survives_count_pruned_inputs(spark):
     # is len(left) by construction).
     df = QUERIES["q_cogroup_asof"](spark, SF_DIR)
     assert df.count() == len(df.collect())
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    # the event_type predicate must become a PartitionFilters entry
+    # (planning-time directory pruning), NOT a post-scan filter.
+    df = QUERIES["q_scan_partitioned"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf, plan
