@@ -140,6 +140,8 @@ HEADLINE = {
     "q_unigram_logprob",
     "q_embed_project",
     "q_scan_partitioned",
+    "q_merge_upsert",
+    "q_sql_text",
 }
 
 if __name__ == "__main__":

@@ -1318,3 +1318,102 @@ def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin("click", "purchase"))
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+# --------------------------------------------------------------------------
+# MERGE / upsert semantics (Delta-style MERGE INTO, engine-agnostic):
+# base ⟗ updates on the key; matched rows take the update, unmatched
+# updates insert, unmatched base rows persist — with an action audit
+# column.  At scale this is one key shuffle (or a broadcast when the
+# update batch is dim-sized — hinted here); a transactional table
+# format (Delta/Iceberg) adds file-level rewrite on top of exactly
+# this join.
+# --------------------------------------------------------------------------
+@q(
+    "q_merge_upsert",
+    """
+    WITH base AS (
+        SELECT event_id, event_type, value FROM events
+    ), upd AS (
+        SELECT event_id, value + 1000.0 AS value FROM events WHERE event_id % 10 = 0
+        UNION ALL
+        SELECT event_id + 100000000, 1.5 FROM events WHERE event_id % 1000 = 0
+    )
+    SELECT COALESCE(b.event_id, u.event_id) AS event_id,
+           b.event_type,
+           COALESCE(u.value, b.value) AS value,
+           CASE WHEN b.event_id IS NULL THEN 'insert'
+                WHEN u.event_id IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN upd u ON b.event_id = u.event_id
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    base = ev.select("event_id", "event_type", "value")
+    upd = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .select("event_id", (F.col("value") + 1000.0).alias("value"))
+        .unionByName(
+            ev.filter(F.col("event_id") % 1000 == 0).select(
+                (F.col("event_id") + 100000000).alias("event_id"),
+                F.lit(1.5).alias("value"),
+            )
+        )
+        .withColumnRenamed("event_id", "u_event_id")
+        .withColumnRenamed("value", "u_value")
+    )
+    j = base.join(upd, base.event_id == upd.u_event_id, "full_outer")
+    return j.select(
+        F.coalesce("event_id", "u_event_id").alias("event_id"),
+        "event_type",
+        F.coalesce("u_value", "value").alias("value"),
+        F.when(F.col("event_id").isNull(), "insert")
+        .when(F.col("u_event_id").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL-text API surface — the same engine through ``spark.sql`` over
+# registered views (every other query uses the DataFrame API; a user
+# of the reference's SQL front-end lands here).  TPC-H-Q3-shaped:
+# segment-filtered revenue top-10.  Catalyst compiles both APIs to
+# the same plan — the broadcast hint arrives via SQL hint syntax.
+# --------------------------------------------------------------------------
+@q(
+    "q_sql_text",
+    """
+    SELECT l.l_orderkey,
+           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                    AS BIGINT)) / 100.0 AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(c) */ l.l_orderkey,
+               -- CAST the divisor: SQL-text 100.0 parses as DECIMAL in
+               -- Spark (DataFrame lit(100.0) is DOUBLE)
+               SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                        AS BIGINT)) / CAST(100.0 AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM v_customer c JOIN v_orders o ON c.c_custkey = o.o_custkey
+                          JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY l.l_orderkey
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """
+    )

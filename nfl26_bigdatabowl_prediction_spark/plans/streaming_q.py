@@ -281,3 +281,38 @@ def q_stream_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="mv_rollup_") + "/log"
     incremental_hourly_rollup(events_stream(spark, sf_dir), path)
     return read_hourly_rollup(spark, path)
+
+
+# --------------------------------------------------------------------------
+# State API v2 (transformWithStateInPandas, Spark 4.x): per-user
+# running stats with a typed ValueState handle.  Update mode emits
+# one row per key per micro-batch; the final emission per key (the
+# row with the largest running count — count is monotone) must equal
+# the batch groupBy, which is the oracle.  The final-row selection is
+# itself a WindowGroupLimit.
+# --------------------------------------------------------------------------
+@q(
+    "q_stream_running_stats",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(value) AS value_max,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..streaming import streaming_running_stats
+
+    ev = events_stream(spark, sf_dir)
+    updates = run_available_now(
+        streaming_running_stats(ev), output_mode="update"
+    )
+    wr = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
