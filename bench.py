@@ -142,6 +142,8 @@ HEADLINE = {
     "q_scan_partitioned",
     "q_merge_upsert",
     "q_sql_text",
+    "q_ffill",
+    "q_resample",
 }
 
 if __name__ == "__main__":

@@ -959,3 +959,94 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_winsorized"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Forward fill (LOCF) — gap repair for sensor/trajectory streams:
+# nulls inherit the last observed value in event order.  Nulls are
+# manufactured deterministically (event_id % 7) since the synthetic
+# feed has none.  One window on the suite's shared user_id exchange;
+# last(ignorenulls) is the running-carry primitive the reference's
+# pandas ffill maps to.
+# --------------------------------------------------------------------------
+@q(
+    "q_ffill",
+    f"""
+    WITH base AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT event_id, user_id, v,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+    FROM base
+    """,
+)
+def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = _w().rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(w).alias("v_ffill"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-filling hourly resample — the time-series regularization step
+# (hypertable family): every user gets a dense hourly grid across
+# their own observed span, empty hours filled with zeros.  Grid =
+# per-user span agg (dimension-sized) + sequence/explode; the join
+# back to the hourly partials is equi on (user, hour).  At 100 TB the
+# grid side stays |users|×|span| — orders smaller than the fact scan
+# — and the hourly partials reuse the rollup's aggregation.
+# --------------------------------------------------------------------------
+@q(
+    "q_resample",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS hb,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+    ), spans AS (
+        SELECT user_id, MIN(hb) AS h0, MAX(hb) AS h1 FROM e GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(range(h0, h1 + 1)) AS hb FROM spans
+    ), agg AS (
+        SELECT user_id, hb, COUNT(*) AS n_events,
+               CAST(SUM(vc) AS BIGINT) AS cents
+        FROM e GROUP BY user_id, hb
+    )
+    SELECT g.user_id, g.hb AS hour_bucket,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.cents, 0) / 100.0 AS value_sum
+    FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.hb = a.hb
+    """,
+)
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour_us = 3600 * 10**6
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr(f"ts div {hour_us}").alias("hb"),
+        _cents(F.col("value")).alias("vc"),
+    )
+    spans = e.groupBy("user_id").agg(
+        F.min("hb").alias("h0"), F.max("hb").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hb")
+    )
+    agg = e.groupBy("user_id", "hb").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("vc").alias("cents")
+    )
+    return grid.join(agg, ["user_id", "hb"], "left").select(
+        "user_id",
+        F.col("hb").alias("hour_bucket"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        (F.coalesce("cents", F.lit(0)) / 100.0).alias("value_sum"),
+    )
