@@ -144,6 +144,8 @@ HEADLINE = {
     "q_sql_text",
     "q_ffill",
     "q_resample",
+    "q_bucketed_join",
+    "q_group_corr",
 }
 
 if __name__ == "__main__":

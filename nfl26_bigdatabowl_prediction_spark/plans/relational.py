@@ -1417,3 +1417,106 @@ def q_sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join — the pay-the-shuffle-once primitive as a
+# first-class query (tests/test_bucketing.py pins the zero-exchange
+# plan; this entry makes it driver-verifiable).  Both sides are
+# written with the same bucket spec, so the join needs NO exchange:
+# at 100 TB the fact table's join shuffle is paid once at ingest and
+# never again.  Output is the per-status revenue rollup of the
+# bucket-joined rows.
+# --------------------------------------------------------------------------
+@q(
+    "q_bucketed_join",
+    """
+    SELECT o.o_orderstatus,
+           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                    AS BIGINT)) / 100.0 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import write_bucketed
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    write_bucketed(li, "li_bq", ["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"])
+    write_bucketed(o, "o_bq", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+    li_b, o_b = spark.table("li_bq"), spark.table("o_bq")
+    j = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey, "inner")
+    return j.groupBy("o_orderstatus").agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("bigint")
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact grouped correlation — Pearson r from integer power sums.
+# Native corr() is a streaming float aggregate whose partial-merge
+# order is engine- and partition-dependent (never bitwise portable);
+# here every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact int64 sum of
+# scaled integers, so the only float math is the final closed-form
+# division — identical on both engines, rounded once.  One map-side-
+# combined shuffle; the int64 headroom bounds are documented inline
+# (Σ(x_c·y_c) ≈ 5e10/row ⇒ exact to ~10^8 rows/group; production
+# swaps to DECIMAL(38) sums for more).
+# --------------------------------------------------------------------------
+@q(
+    "q_group_corr",
+    """
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sx,
+               SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+               SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxy,
+               SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                   * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sxx,
+               SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             AS corr_qty_price
+    FROM m
+    """,
+)
+def q_group_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    xc = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    yc = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * yc).alias("sxy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(yc * yc).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")) * F.sqrt(
+        nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("corr_qty_price"),
+    )

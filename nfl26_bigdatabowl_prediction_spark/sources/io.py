@@ -16,6 +16,9 @@ loader here returns a *lazy* DataFrame and never caches eagerly.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -106,6 +109,17 @@ def write_bucketed(
     the difference between re-shuffling the fact table on every
     pipeline run and never shuffling it again; sort buckets
     additionally drop the per-run Sort for sort-merge joins."""
+    spark = df.sparkSession
+    # Idempotence across sessions: a previous session's managed-table
+    # directory can outlive its catalog entry (local warehouse), and
+    # saveAsTable refuses a fresh CREATE over the orphan location.
+    # DROP the catalog entry, then clear any leftover local dir.
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    local = wh.removeprefix("file:")
+    orphan = os.path.join(local, name.lower())
+    if os.path.isdir(orphan):
+        shutil.rmtree(orphan)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, *bucket_cols
     )

@@ -256,3 +256,17 @@ def test_partitioned_scan_prunes_directories(spark):
     assert "PartitionFilters" in plan
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "event_type" in pf, plan
+
+
+def test_bucketed_join_query_single_exchange(spark):
+    # q_bucketed_join: the lineitem⋈orders join must ride the bucket
+    # layout with NO exchange; the only shuffle allowed is the final
+    # 3-group aggregation.
+    try:
+        df = QUERIES["q_bucketed_join"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bq")
+        spark.sql("DROP TABLE IF EXISTS o_bq")
