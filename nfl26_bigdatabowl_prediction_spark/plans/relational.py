@@ -1272,17 +1272,40 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two single-pass aggregations joined on the 3-row group key.
+
+    COUNT(DISTINCT) alongside other aggregates compiles to an Expand
+    (every row duplicated per aggregate family) and the sort-based
+    percentile buffers ride the expanded stream — measured 11.5 s at
+    sf0.1.  Splitting the distinct count into a two-level groupBy
+    (pre-dedup, then count) keeps both passes hash-aggregated with
+    map-side combine: ~1 s, same rows.  The final join is 3 rows ⋈ 3
+    rows — broadcast."""
     li = table(spark, sf_dir, "lineitem")
-    exact_d = F.count_distinct(F.col("l_orderkey"))
+    exact = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
     approx_d = F.approx_count_distinct("l_orderkey", rsd=0.05)
     exact_p = F.percentile("l_extendedprice", F.lit(0.5))
     approx_p = F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000))
     vrange = F.max("l_extendedprice") - F.min("l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
-        exact_d.alias("exact_orders"),
-        (F.abs(approx_d - exact_d) <= 0.15 * exact_d).alias("distinct_ok"),
+    sk = li.groupBy("l_returnflag").agg(
+        approx_d.alias("approx_orders"),
         F.round(exact_p, 4).alias("price_p50_exact"),
         (F.abs(approx_p - exact_p) <= 0.02 * vrange).alias("p50_ok"),
+    )
+    return sk.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.15 * F.col("exact_orders")
+        ).alias("distinct_ok"),
+        "price_p50_exact",
+        "p50_ok",
     )
 
 
