@@ -146,6 +146,8 @@ HEADLINE = {
     "q_resample",
     "q_bucketed_join",
     "q_group_corr",
+    "q_range_frame",
+    "q_explode_outer",
 }
 
 if __name__ == "__main__":

@@ -1050,3 +1050,38 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         (F.coalesce("cents", F.lit(0)) / 100.0).alias("value_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Value-RANGE window frame (completes the frame-type surface: ROWS
+# frames throughout the suite, time-RANGE in q_rolling_time, value-
+# RANGE here): per user, aggregate over all events whose VALUE lies
+# within ±5.00 of the current row's — the peer-inclusive semantics
+# only RANGE frames give.  Ordering key is exact integer cents, so
+# frame boundaries are deterministic; same single user_id exchange as
+# the rest of the suite.
+# --------------------------------------------------------------------------
+@q(
+    "q_range_frame",
+    """
+    SELECT event_id, user_id, value,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY CAST(round(value * 100, 0) AS BIGINT)
+               RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) / 100.0 AS near_sum,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY CAST(round(value * 100, 0) AS BIGINT)
+               RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS near_n
+    FROM events
+    """,
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    vc = _cents(F.col("value"))
+    w = W.partitionBy("user_id").orderBy(vc.alias("vc")).rangeBetween(-500, 500)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.sum(vc).over(w) / 100.0).alias("near_sum"),
+        F.count(F.lit(1)).over(w).alias("near_n"),
+    )

@@ -1371,3 +1371,44 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("logp_u").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
         ).alias("avg_logprob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Null-preserving generate (explode_outer): the fan-out that KEEPS
+# parents with nothing to emit — here, documents too short to form a
+# 3-gram shingle still surface with a NULL shingle (a dedup pipeline
+# must not silently drop them; they'd escape near-dup detection
+# unaudited).  Short docs are manufactured (doc_id % 5 → 2-word
+# truncation) since the synthetic corpus has none.  DuckDB twin
+# emulates outer-unnest by substituting [NULL] for empty lists.
+# --------------------------------------------------------------------------
+@q(
+    "q_explode_outer",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN {_WORDS_DUCK}[1:2]
+                    ELSE {_WORDS_DUCK} END AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(words) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(list_transform(
+                        range(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]))
+               END AS shingles
+        FROM w
+    )
+    SELECT doc_id, unnest(CASE WHEN len(shingles) = 0 THEN [NULL] ELSE shingles END)
+             AS shingle
+    FROM sh
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = F.when(
+        F.col("doc_id") % 5 == 0, F.slice(F.expr(_WORDS_SPARK), 1, 2)
+    ).otherwise(F.expr(_WORDS_SPARK))
+    w = d.select("doc_id", words.alias("words"))
+    sh = w.select("doc_id", F.expr(_SHINGLES_FROM_WORDS).alias("shingles"))
+    return sh.select("doc_id", F.explode_outer("shingles").alias("shingle"))
