@@ -148,6 +148,8 @@ HEADLINE = {
     "q_group_corr",
     "q_range_frame",
     "q_explode_outer",
+    "q_asof_forward",
+    "q_dedup_apply",
 }
 
 if __name__ == "__main__":

@@ -44,10 +44,15 @@ def asof_join(
     tolerance_us: int | None = None,
     suffix: str = "_asof",
     dedup_right: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join; returns all left rows + right payload
-    columns renamed ``<col><suffix>`` (NULL when no prior right row,
-    or when the match is older than ``tolerance_us``)."""
+    """As-of join; returns all left rows + right payload columns
+    renamed ``<col><suffix>`` (NULL when no match, or when the match
+    violates ``tolerance_us``).  ``direction='backward'`` (default)
+    matches the most recent right row with right.ts <= left.ts;
+    ``'forward'`` matches the earliest right row with
+    right.ts >= left.ts (both exact-match-inclusive)."""
+    assert direction in ("backward", "forward"), direction
     by = by or ["user_id"]
     right_cols = right_cols or [
         c for c in right.columns if c not in set(by) | {on}
@@ -77,25 +82,47 @@ def asof_join(
         F.lit(None).cast(right.schema[on].dataType).alias(f"{on}{suffix}"),
         *[F.col(c) for c in left.columns if c not in set(by) | {on}],
     )
-    order = [F.col(on).asc(), F.col("_tag").asc()]
-    if tiebreak is not None and not dedup_right:
-        # right rows first by tiebreak so last() picks the max one
-        order.insert(1, F.when(F.col("_tag") == 0, F.col(f"{tiebreak}{suffix}")).asc_nulls_first())
-    w = (
-        W.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    filled = r_tagged.unionByName(l_tagged).select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in payload],
-    )
+    if direction == "backward":
+        order = [F.col(on).asc(), F.col("_tag").asc()]
+        if tiebreak is not None and not dedup_right:
+            # right rows first by tiebreak so last() picks the max one
+            order.insert(1, F.when(F.col("_tag") == 0, F.col(f"{tiebreak}{suffix}")).asc_nulls_first())
+        w = (
+            W.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        fill = [
+            F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in payload
+        ]
+    else:  # forward: earliest right row with right.ts >= left.ts
+        # left (tag 1) sorts BEFORE right (tag 0) at equal ts, so the
+        # current-row-to-following frame sees an equal-ts right match.
+        order = [F.col(on).asc(), F.col("_tag").desc()]
+        if tiebreak is not None and not dedup_right:
+            # earliest-ts match wins; among same-ts rights, first()
+            # picks the min-tiebreaker one unless dedup'd upstream
+            order.append(
+                F.when(F.col("_tag") == 0, F.col(f"{tiebreak}{suffix}")).asc_nulls_first()
+            )
+        w = (
+            W.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        fill = [
+            F.first(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in payload
+        ]
+    filled = r_tagged.unionByName(l_tagged).select("*", *fill)
     out = filled.filter(F.col("_tag") == 1)
     for c in payload:
         out = out.drop(c).withColumnRenamed(f"_f_{c}", c)
     out = out.drop("_tag")
     if tolerance_us is not None:
-        stale = F.col(on) - F.col(f"{on}{suffix}") > F.lit(tolerance_us)
+        if direction == "backward":
+            stale = F.col(on) - F.col(f"{on}{suffix}") > F.lit(tolerance_us)
+        else:
+            stale = F.col(f"{on}{suffix}") - F.col(on) > F.lit(tolerance_us)
         for c in payload:
             out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
     return out

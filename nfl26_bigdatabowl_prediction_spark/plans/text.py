@@ -1412,3 +1412,35 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = d.select("doc_id", words.alias("words"))
     sh = w.select("doc_id", F.expr(_SHINGLES_FROM_WORDS).alias("shingles"))
     return sh.select("doc_id", F.explode_outer("shingles").alias("shingle"))
+
+
+# --------------------------------------------------------------------------
+# Dedup materialization — the APPLY step after cluster discovery:
+# keep exactly one canonical document per content digest (min doc_id,
+# the q_dedup_exact convention) and emit the curated corpus rows.
+# One window on the digest — the same single shuffle as the discovery
+# pass; at 100 TB the near-dup variant substitutes the
+# q_dedup_components cluster id for the digest and the plan is
+# unchanged.
+# --------------------------------------------------------------------------
+@q(
+    "q_dedup_apply",
+    """
+    SELECT doc_id, lang, source, n_chars FROM (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id ASC) AS rn
+        FROM documents)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    wd = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

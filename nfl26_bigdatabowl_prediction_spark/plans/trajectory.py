@@ -984,3 +984,58 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(bucketed(right).groupBy("bkt"))
         .applyInPandas(kernel, schema)
     )
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join (merge_asof direction='forward'): each purchase
+# pairs with the EARLIEST click at-or-after it — the attribution
+# shape for "next action after conversion".  Same union+window
+# operator as the backward twin (operators/asof.py), mirrored frame:
+# first(ignorenulls) over current-row-to-unbounded-following, left
+# sorted before right at equal ts for exact-match inclusion.  One
+# shuffle on the by key, no range join.
+# --------------------------------------------------------------------------
+@q(
+    "q_asof_forward",
+    """
+    WITH r0 AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, ts_us, event_id, value FROM r0 WHERE rn = 1
+    ), l AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.user_id, l.event_id, l.value AS target_value,
+           r.event_id AS click_event_id, r.value AS click_value,
+           r.ts_us AS click_ts_us
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us <= r.ts_us
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value", "event_type")
+    left = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    right = ev.filter(F.col("event_type") == "click").drop("event_type")
+    j = asof_join(
+        left,
+        right,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+        dedup_right=True,
+        direction="forward",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("target_value"),
+        F.col("event_id_asof").alias("click_event_id"),
+        F.col("value_asof").alias("click_value"),
+        F.col("ts_asof").alias("click_ts_us"),
+    )
