@@ -150,6 +150,7 @@ HEADLINE = {
     "q_explode_outer",
     "q_asof_forward",
     "q_dedup_apply",
+    "q_date_parts",
 }
 
 if __name__ == "__main__":

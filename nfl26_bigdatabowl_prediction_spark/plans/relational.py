@@ -1543,3 +1543,44 @@ def q_group_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(num / den, 6).alias("corr_qty_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.7 completion — date/time part extraction and truncation (the
+# reference keeps time implicit in frame_id; an engine needs the
+# calendar surface).  Conventions aligned explicitly: day-of-week is
+# normalized to ISO-ish 0=Sunday on both engines (Spark dayofweek is
+# 1=Sunday, DuckDB dow is 0=Sunday), and truncated timestamps are
+# emitted as formatted strings per the house rule (engine-native
+# timestamp rendering depends on session timezone).  Scan-side only.
+# --------------------------------------------------------------------------
+@q(
+    "q_date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow0,
+           CAST(EXTRACT(hour FROM o_orderdate) AS INT) AS hr,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_95
+    FROM orders
+    """,
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        (F.dayofweek(d) - 1).alias("dow0"),
+        F.hour(d).alias("hr"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+    )

@@ -270,3 +270,27 @@ def test_bucketed_join_query_single_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bq")
         spark.sql("DROP TABLE IF EXISTS o_bq")
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    # the vocab-probability table is dimension-sized and must broadcast
+    # onto the token stream; the only key shuffles are the two
+    # aggregations (vocab freq, per-doc sum).
+    plan = _plan(spark, "q_unigram_logprob")
+    assert "BroadcastHashJoin" in plan, plan
+    ops = _ops(plan)
+    assert ops.count("SortMergeJoin") + ops.count("ShuffledHashJoin") == 0, plan
+
+
+def test_resample_grid_join_is_equi(spark):
+    # grid ⋈ hourly partials must be a key join (never NL): the grid is
+    # |users|x|span| and both sides are keyed (user, hour).
+    plan = _plan(spark, "q_resample")
+    ops = _ops(plan)
+    assert (
+        ops.count("SortMergeJoin")
+        + ops.count("ShuffledHashJoin")
+        + ops.count("BroadcastHashJoin")
+        >= 1
+    ), plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
