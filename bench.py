@@ -151,6 +151,7 @@ HEADLINE = {
     "q_asof_forward",
     "q_dedup_apply",
     "q_date_parts",
+    "q_char_entropy",
 }
 
 if __name__ == "__main__":

@@ -1444,3 +1444,58 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality score — the gibberish/boilerplate signal
+# (low entropy = repeated chars/patterns, high = noise): H = -(1/N)
+# Σ n_c·ln(n_c/N) over the per-doc character distribution.  Each
+# char's log term is scaled to an int64 micro-nat ONCE (round-6 after
+# libm), so the per-doc sum is exact integer arithmetic and summation
+# order is irrelevant — same recipe as q_unigram_logprob.  Explode →
+# two-level agg keyed (doc, char) then (doc): both hash aggregations
+# with map-side combine; the char alphabet bounds the first agg's
+# output at |docs|×|alphabet|.
+# --------------------------------------------------------------------------
+@q(
+    "q_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), freq AS (
+        SELECT doc_id, ch, COUNT(*) AS n_c FROM chars GROUP BY doc_id, ch
+    ), terms AS (
+        SELECT doc_id, n_c,
+               CAST(round(ln(CAST(n_c AS DOUBLE)
+                             / SUM(n_c) OVER (PARTITION BY doc_id)) * 1000000, 0)
+                    AS BIGINT) AS logp_u
+        FROM freq
+    )
+    SELECT doc_id,
+           CAST(SUM(n_c) AS BIGINT) AS n_chars_total,
+           round(-CAST(SUM(n_c * logp_u) AS DOUBLE) / SUM(n_c) / 1000000.0, 6)
+             AS char_entropy
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    chars = d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n_c"))
+    total = F.sum("n_c").over(W.partitionBy("doc_id"))
+    terms = freq.select(
+        "doc_id",
+        "n_c",
+        F.round(F.log(F.col("n_c").cast("double") / total) * 1000000, 0)
+        .cast("bigint")
+        .alias("logp_u"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("n_c").alias("n_chars_total"),
+        F.round(
+            -(F.sum(F.col("n_c") * F.col("logp_u")).cast("double"))
+            / F.sum("n_c")
+            / 1000000.0,
+            6,
+        ).alias("char_entropy"),
+    )
