@@ -152,6 +152,9 @@ HEADLINE = {
     "q_dedup_apply",
     "q_date_parts",
     "q_char_entropy",
+    "q_funnel",
+    "q_retention",
+    "q_mad_outliers",
 }
 
 if __name__ == "__main__":

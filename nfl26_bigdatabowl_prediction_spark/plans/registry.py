@@ -31,6 +31,7 @@ from . import text  # noqa: E402
 from . import vectors  # noqa: E402
 from . import multimodal_q  # noqa: E402
 from . import streaming_q  # noqa: E402
+from . import analytics  # noqa: E402
 
 _merge(relational)
 _merge(events_windows)
@@ -39,3 +40,4 @@ _merge(text)
 _merge(vectors)
 _merge(multimodal_q)
 _merge(streaming_q)
+_merge(analytics)
