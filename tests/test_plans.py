@@ -294,3 +294,22 @@ def test_resample_grid_join_is_equi(spark):
         >= 1
     ), plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    # AQE must collapse the 32 configured shuffle partitions down to a
+    # handful when the shuffle output is tiny (6 groups): at cluster
+    # scale this is what keeps small aggregations from scheduling
+    # thousands of empty reducers.
+    from pyspark.sql import functions as F
+
+    from nfl26_bigdatabowl_prediction_spark.sources.io import table
+
+    li = table(spark, SF_DIR, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert agg.count() > 0  # materialize so AQE re-plans
+    n_actual = agg.rdd.getNumPartitions()
+    assert n_actual < n_conf, (n_actual, n_conf)
