@@ -72,7 +72,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
     )
-    return first_click.join(conv, "user_id", "left").select(
+    return first_click.join(F.broadcast(conv), "user_id", "left").select(
         "user_id",
         F.col("c_ts").alias("first_click_us"),
         F.col("p_ts").isNotNull().alias("converted"),
