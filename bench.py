@@ -155,6 +155,10 @@ HEADLINE = {
     "q_funnel",
     "q_retention",
     "q_mad_outliers",
+    "q_scd2",
+    "q_cdc_apply",
+    "q_rolling_dau",
+    "q_gaps_islands",
 }
 
 if __name__ == "__main__":

@@ -12,7 +12,7 @@ for its own keyed aggregation; no windows over the raw feed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.io import table
@@ -114,6 +114,87 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy(
         F.col("d0").alias("cohort_day"), "offset_d"
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct active users (trailing DAU) — the sliding
+# COUNT DISTINCT that window functions cannot express (Spark forbids
+# DISTINCT in a window frame).  Scale shape: dedup the fact feed to
+# (user, day) pairs FIRST (the one fact shuffle; output is
+# users x active-days, dimension-sized), then a x7 scan-side explode
+# of that small set and a plain distinct-count per target day.  The
+# observed-day gate is a broadcast semi join against the tiny
+# distinct-day list — no scalar subquery, no NL join.
+# --------------------------------------------------------------------------
+@q(
+    "q_rolling_dau",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        FROM events
+    ), contrib AS (
+        SELECT u.user_id, u.d + t.off AS day
+        FROM days u CROSS JOIN generate_series(0, 6) AS t(off)
+    )
+    SELECT c.day, COUNT(DISTINCT c.user_id) AS dau_7d
+    FROM contrib c
+    WHERE c.day IN (SELECT DISTINCT d FROM days)
+    GROUP BY c.day
+    """,
+)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr(f"ts div {DAY_US}").alias("d")
+    ).distinct()
+    contrib = days.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6))).alias("day"),
+    )
+    observed = days.select(F.col("d").alias("day")).distinct()
+    return (
+        contrib.join(F.broadcast(observed), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("dau_7d"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Gaps and islands — maximal runs of consecutive active days per
+# user (the streak/churn-gap primitive).  Classic d - row_number()
+# grouping constant; one fact shuffle to dedup (user, day), then the
+# window and the final agg reuse that same hash distribution.
+# --------------------------------------------------------------------------
+@q(
+    "q_gaps_islands",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        FROM events
+    ), isl AS (
+        SELECT user_id, d,
+               d - row_number() OVER (
+                   PARTITION BY user_id ORDER BY d
+               ) AS grp
+        FROM days
+    )
+    SELECT user_id, MIN(d) AS start_day, MAX(d) AS end_day,
+           COUNT(*) AS len_days
+    FROM isl GROUP BY user_id, grp
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr(f"ts div {DAY_US}").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    return isl.groupBy("user_id", "grp").agg(
+        F.min("d").alias("start_day"),
+        F.max("d").alias("end_day"),
+        F.count(F.lit(1)).alias("len_days"),
+    ).select("user_id", "start_day", "end_day", "len_days")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,140 @@
+"""Lakehouse maintenance queries over the `events` change log —
+SCD type-2 dimension build and CDC snapshot apply.  Companions to
+q_merge_upsert (plans/relational.py): MERGE is the point-in-time
+upsert, these are the log-to-table shapes around it.  No reference
+analog (the reference is pure trajectory ML, SURVEY §2.7b); the
+shapes themselves are the standard dimension-maintenance idioms any
+warehouse user of this engine runs.
+
+Scale design: both queries shuffle the fact log exactly once, on the
+natural key (`user_id`).  SCD2 is two Window passes over ONE
+exchange (filter preserves the hash distribution, so Catalyst reuses
+it); CDC apply is one Window pass computing rank and per-key count
+together.  No joins against the raw log, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# SCD type-2 build — compact a per-key attribute change log into
+# versioned validity intervals.  `event_type` plays the tracked
+# attribute: consecutive repeats collapse (lag-compare), each change
+# opens a version stamped valid_from; valid_to is the next change
+# (lead), NULL on the current version.  lag and lead share one
+# partitioning, so the whole build is a single hash shuffle at any
+# scale.
+# --------------------------------------------------------------------------
+@q(
+    "q_scd2",
+    """
+    WITH src AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_attr
+        FROM events
+    ), chg AS (
+        SELECT user_id, event_id, event_type AS attr, ts_us
+        FROM src WHERE prev_attr IS NULL OR prev_attr <> event_type
+    )
+    SELECT user_id, attr, ts_us AS valid_from_us,
+           lead(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS valid_to_us,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS BIGINT) AS version_n,
+           (lead(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) IS NULL) AS is_current
+    FROM chg
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn("prev_attr", F.lag("event_type").over(w)).filter(
+        F.col("prev_attr").isNull()
+        | (F.col("prev_attr") != F.col("event_type"))
+    )
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("valid_from_us"),
+        F.lead("ts").over(w).alias("valid_to_us"),
+        F.row_number().over(w).cast("long").alias("version_n"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC apply — materialize the current snapshot from a change stream:
+# latest row per key wins, a trailing delete ('error' plays the D op)
+# removes the key.  rank and per-key change count ride the SAME
+# window partitioning — one shuffle total, then a scan-side filter.
+# This is the read-side half of q_merge_upsert: MERGE folds one batch
+# into a table; CDC apply folds the whole retained log.
+# --------------------------------------------------------------------------
+@q(
+    "q_cdc_apply",
+    """
+    WITH ranked AS (
+        SELECT user_id, value, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events
+    )
+    SELECT user_id, value AS current_value, ts_us AS updated_us, n_changes
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    wn = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wa = Window.partitionBy("user_id")
+    return (
+        ev.withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wn))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wa))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("value").alias("current_value"),
+            F.col("ts").alias("updated_us"),
+            "n_changes",
+        )
+    )

@@ -32,6 +32,7 @@ from . import vectors  # noqa: E402
 from . import multimodal_q  # noqa: E402
 from . import streaming_q  # noqa: E402
 from . import analytics  # noqa: E402
+from . import lakehouse  # noqa: E402
 
 _merge(relational)
 _merge(events_windows)
@@ -41,3 +42,4 @@ _merge(vectors)
 _merge(multimodal_q)
 _merge(streaming_q)
 _merge(analytics)
+_merge(lakehouse)

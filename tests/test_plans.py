@@ -313,3 +313,27 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     assert agg.count() > 0  # materialize so AQE re-plans
     n_actual = agg.rdd.getNumPartitions()
     assert n_actual < n_conf, (n_actual, n_conf)
+
+
+def test_scd2_and_cdc_single_exchange(spark):
+    # Both lakehouse log-compaction queries are designed around ONE
+    # hash shuffle on the natural key: SCD2's lag (change detect) and
+    # lead/row_number (validity stamp) share the user_id
+    # partitioning, and the intervening filter preserves the
+    # distribution; CDC's rank and per-key count ride one window
+    # partitioning.  A second Exchange would double the wire cost of
+    # the dominant stage at 100 TB.
+    for name in ("q_scd2", "q_cdc_apply"):
+        plan = _plan(spark, name)
+        assert _ops(plan).count("Exchange") == 1, f"{name}:\n{plan}"
+
+
+def test_rolling_dau_observed_day_gate_broadcasts(spark):
+    # The observed-day gate must be a broadcast semi join against the
+    # tiny distinct-day list — never a shuffle of the x7 exploded
+    # contribution set on the day key alone (30 distinct days at any
+    # scale => one reducer hotspot).
+    plan = _plan(spark, "q_rolling_dau")
+    assert "BroadcastHashJoin" in plan, plan
+    ops = _ops(plan)
+    assert ops.count("SortMergeJoin") + ops.count("ShuffledHashJoin") == 0, plan
