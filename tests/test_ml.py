@@ -159,3 +159,35 @@ def test_gbt_early_stopping_caps_tree_count(spark):
     assert 0 < n_trees < budget, n_trees
     pred = predict_fold_mean(models, df)
     assert pred.filter(F.isnan("pred_x") | F.col("pred_x").isNull()).count() == 0
+
+
+def test_seq_regressor_beats_physics_baseline(spark):
+    # M9 (SURVEY §2.10): the distributed sequence regressor — last-8
+    # -frame windows, normal-equation ridge, Huber IRLS (the
+    # TemporalHuber analog, nn-mps.py:668-686) — must beat the
+    # constant-velocity baseline on the tracking fixture, mirroring
+    # the reference's own improvement check (main_cuda.py:1389-1401).
+    from nfl26_bigdatabowl_prediction_spark.ml.seqreg import (
+        SeqRegConfig,
+        train_and_predict_seq,
+    )
+    from nfl26_bigdatabowl_prediction_spark.testing import make_tracking_tables
+
+    inp, outp = make_tracking_tables(spark)
+    r = train_and_predict_seq(
+        inp,
+        outp,
+        k=5,
+        cfg=SeqRegConfig(huber_delta=1.0, irls_iters=2, horizon_decay=0.9),
+    )
+    assert r.rmse_seq < r.rmse_baseline, (r.rmse_seq, r.rmse_baseline)
+    # OOF predictions are finite and in field bounds
+    from pyspark.sql import functions as F
+
+    pred = r.predictions
+    assert pred.filter(
+        F.col("seq_pred_x").isNull() | F.isnan("seq_pred_x")
+    ).count() == 0
+    assert pred.filter(
+        (F.col("seq_pred_x") < 0) | (F.col("seq_pred_x") > 120)
+    ).count() == 0
