@@ -47,10 +47,10 @@ def main() -> None:
             except Exception:
                 pass  # a warmup failure must not sink the bench
 
-    # Two measured passes, report the min: the host shows bursty CPU
+    # Three measured passes, report the min: the host shows bursty CPU
     # steal, and min-of-N isolates the plan's cost from neighbor noise.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in headline:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)

@@ -262,14 +262,22 @@ def test_bucketed_join_query_single_exchange(spark):
     # q_bucketed_join: the lineitem⋈orders join must ride the bucket
     # layout with NO exchange; the only shuffle allowed is the final
     # 3-group aggregation.
+    import hashlib
+
+    tag = hashlib.md5(SF_DIR.encode()).hexdigest()[:6]
     try:
         df = QUERIES["q_bucketed_join"](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan, plan
         assert plan.count("Exchange") == 1, plan
+        # second call must reuse the bucketed tables (pay-the-shuffle-
+        # once: no rewrite when the ingest already happened)
+        assert spark.catalog.tableExists(f"li_bq_{tag}")
+        df2 = QUERIES["q_bucketed_join"](spark, SF_DIR)
+        assert df2.count() == df.count()
     finally:
-        spark.sql("DROP TABLE IF EXISTS li_bq")
-        spark.sql("DROP TABLE IF EXISTS o_bq")
+        spark.sql(f"DROP TABLE IF EXISTS li_bq_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS o_bq_{tag}")
 
 
 def test_unigram_logprob_broadcasts_vocab(spark):
