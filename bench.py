@@ -159,6 +159,8 @@ HEADLINE = {
     "q_cdc_apply",
     "q_rolling_dau",
     "q_gaps_islands",
+    "q_triangle_count",
+    "q_pagerank",
 }
 
 if __name__ == "__main__":

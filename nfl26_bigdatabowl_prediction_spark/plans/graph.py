@@ -1,0 +1,206 @@
+"""Graph analytics over a derived co-occurrence graph — triangle
+counting and fixed-iteration PageRank.  Engine extensions (SURVEY
+§2.7b): the reference's GNN-lite simulates a graph relationally
+(main_cuda.py:313-398); these queries complete that surface with the
+two classic whole-graph kernels, expressed as pure DataFrame plans.
+
+Graph definition (deterministic, derived from the star schema): an
+undirected edge links two parts that appear in the SAME order —
+market-basket co-occurrence.  Edges are built by the bounded
+per-group pairwise join (orders have ≤7 lines, so the fan-out per
+group is ≤21 — the q_pairwise shape, never O(n²) on the table).
+
+Scale design:
+- Edges are canonically ordered (src < dst) — the degeneracy-ordering
+  trick that makes triangle enumeration O(Σ deg²) on the *ordered*
+  graph instead of 6× the work on the symmetric closure.
+- PageRank runs a FIXED number of power iterations as a lazy chained
+  plan (3 joins + 3 aggs — no driver loop state), with all arithmetic
+  in int64 micro-units and floor division, so partial-sum order
+  cannot perturb the result: bitwise-portable across engines and
+  partitionings by construction.  (Float PageRank is never
+  hash-stable; the integer formulation is the distributed-determinism
+  house rule applied to an iterative kernel.)
+- The rank table is node-sized (part dimension) and broadcasts onto
+  the edge scan each iteration; the only shuffles are the per-node
+  contribution aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Bulk-quantity lines only (l_quantity >= 45, pushed to the scan):
+# the raw co-occurrence graph is near-complete at scale (avg degree
+# ~90 at sf0.1 — 98 s of wedge joins); thresholding keeps the graph
+# sparse the way a real co-purchase graph is pruned by support, and
+# the part skew still yields a rich triangle structure.
+_EDGE_SQL = """
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+          AND a.l_quantity >= 45 AND b.l_quantity >= 45
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Triangle count per node — the clustering-coefficient numerator.
+# Enumeration on the ordered graph: wedge join (e1.dst = e2.src keeps
+# a<b<c wedges only) then a closing-edge semi-check; each triangle is
+# found exactly once and credits all three corners.
+# --------------------------------------------------------------------------
+@q(
+    "q_triangle_count",
+    f"""
+    WITH e AS ({_EDGE_SQL}),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1
+        JOIN e e2 ON e1.dst = e2.src
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    corners AS (
+        SELECT a AS part FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT part, COUNT(*) AS n_triangles
+    FROM corners GROUP BY part
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir).cache()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return corners.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --------------------------------------------------------------------------
+# PageRank, 3 fixed power iterations, damping 0.85, integer micro-
+# units with floor division (see module docstring).  Undirected graph
+# => contributions flow both ways along each ordered edge.
+# pr'[v] = floor(0.15e6 / N)·(N-scale) + Σ_u floor(floor(0.85·pr[u]) / deg[u]).
+# --------------------------------------------------------------------------
+def _pr_oracle() -> str:
+    """Unrolled 3-iteration oracle; each iteration is the same CTE
+    pair (contribution sum, rank refresh).  CAST(SUM ... AS BIGINT)
+    everywhere — DuckDB widens integer SUM to HUGEINT."""
+    head = f"""
+    WITH e AS ({_EDGE_SQL}),
+    adj AS (SELECT src AS part, dst AS nbr FROM e
+            UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT part, COUNT(*) AS deg FROM adj GROUP BY part),
+    nodes AS (SELECT part FROM deg),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (SELECT part, (SELECT 1000000 // n FROM nn) AS pr_u FROM nodes)
+    """
+    body = ""
+    for i in range(1, 4):
+        body += f""",
+    contrib{i} AS (
+        SELECT adj.part,
+               CAST(SUM((p.pr_u * 850000 // 1000000) // d.deg) AS BIGINT) AS c
+        FROM adj JOIN pr{i - 1} p ON p.part = adj.nbr
+                 JOIN deg d ON d.part = adj.nbr
+        GROUP BY adj.part
+    ),
+    pr{i} AS (
+        SELECT n.part,
+               (SELECT 150000 // n FROM nn) + COALESCE(c.c, 0) AS pr_u
+        FROM nodes n LEFT JOIN contrib{i} c ON c.part = n.part
+    )"""
+    return head + body + "\n    SELECT part, pr_u AS pr_micro FROM pr3"
+
+
+@q("q_pagerank", _pr_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    # Symmetric adjacency with the DESTINATION's own degree baked in
+    # once before the loop (one join, cached): each iteration is then
+    # exactly one broadcast of the node-sized rank table plus one
+    # per-node aggregation — no in-loop joins.  Every node has
+    # degree ≥ 1, so the contribution agg covers the full node set
+    # and no completion outer-join is needed.
+    adj = e.select(F.col("src").alias("part"), F.col("dst").alias("nbr")).unionAll(
+        e.select(F.col("dst").alias("part"), F.col("src").alias("nbr"))
+    )
+    deg = adj.groupBy("part").agg(F.count(F.lit(1)).alias("deg"))
+    # each sharer divides by its OWN degree (carried on the rank
+    # table); adj carries the receiving part's degree so the next
+    # iteration's rank table stays self-contained.
+    adj = adj.join(F.broadcast(deg), "part").cache()
+    n = deg.count()  # node count: one tiny job, drives the teleport literal
+    teleport = 150000 // n
+    pr = deg.select("part", "deg", F.lit(1000000 // n).cast("long").alias("pr_u"))
+    for _ in range(3):
+        share = pr.select(
+            F.col("part").alias("nbr"),
+            F.expr("(pr_u * 850000 div 1000000) div deg").alias("share"),
+        )
+        pr = (
+            adj.join(F.broadcast(share), "nbr")
+            .groupBy("part", "deg")
+            .agg(F.sum("share").alias("c"))
+            .select(
+                "part",
+                "deg",
+                (F.lit(teleport) + F.col("c")).cast("long").alias("pr_u"),
+            )
+        )
+        # Rank table is node-sized; truncating lineage keeps iteration
+        # k's broadcast from re-deriving iterations 1..k-1 (same rule
+        # as operators/components.py's pointer-jumping loop).
+        pr = pr.localCheckpoint(eager=False)
+    return pr.select("part", F.col("pr_u").alias("pr_micro"))

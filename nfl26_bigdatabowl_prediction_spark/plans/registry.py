@@ -33,6 +33,7 @@ from . import multimodal_q  # noqa: E402
 from . import streaming_q  # noqa: E402
 from . import analytics  # noqa: E402
 from . import lakehouse  # noqa: E402
+from . import graph  # noqa: E402
 
 _merge(relational)
 _merge(events_windows)
@@ -43,3 +44,4 @@ _merge(multimodal_q)
 _merge(streaming_q)
 _merge(analytics)
 _merge(lakehouse)
+_merge(graph)
