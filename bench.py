@@ -161,6 +161,10 @@ HEADLINE = {
     "q_gaps_islands",
     "q_triangle_count",
     "q_pagerank",
+    "q_gopher_rules",
+    "q_line_dedup",
+    "q_sample_exact_n",
+    "q_attribution",
 }
 
 if __name__ == "__main__":

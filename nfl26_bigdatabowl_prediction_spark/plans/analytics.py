@@ -246,3 +246,76 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("mad") > 0) & (F.col("adev") > 10.0 * F.col("mad")))
         .select("event_id", "event_type", "value", "med", "mad")
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution — the revenue-report composition of the
+# as-of join: every purchase is attributed to the user's most recent
+# click no older than 2 h, and revenue rolls up by the click's hour
+# (NULL hour = unattributed).  Reuses operators/asof.py (one
+# union-sort shuffle keyed by user, no per-row probe), then one
+# dimension-sized hash agg; revenue sums exact int64 cents so the
+# double surfaces only in the final division.  Oracle: DuckDB ASOF
+# LEFT JOIN with the same staleness CASE.
+# --------------------------------------------------------------------------
+ATTR_TOL_US = 2 * 3600 * 1_000_000
+HOUR_US = 3600 * 1_000_000
+
+
+@q(
+    "q_attribution",
+    f"""
+    WITH r0 AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, ts_us, event_id FROM r0 WHERE rn = 1
+    ), l AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, value
+        FROM events WHERE event_type = 'purchase'
+    ), m AS (
+        SELECT l.value, l.ts_us,
+               CASE WHEN l.ts_us - r.ts_us > {ATTR_TOL_US} THEN NULL
+                    ELSE r.ts_us END AS click_ts_us
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    )
+    SELECT click_ts_us // {HOUR_US} AS click_hour,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+             AS revenue
+    FROM m GROUP BY click_ts_us // {HOUR_US}
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    left = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    right = ev.filter(F.col("event_type") == "click").drop(
+        "event_type", "value"
+    )
+    j = asof_join(
+        left,
+        right,
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id"],
+        tiebreak="event_id",
+        dedup_right=True,
+        tolerance_us=ATTR_TOL_US,
+    )
+    cents_sum = F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).cast("bigint")
+    return (
+        j.select(
+            F.expr(f"ts_asof div {HOUR_US}").alias("click_hour"), "value"
+        )
+        .groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (cents_sum / 100.0).alias("revenue"),
+        )
+    )

@@ -1499,3 +1499,181 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("char_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style composite quality gates (Rae et al. 2021 §A1.1, public
+# heuristics): word-count bounds, mean-word-length bounds, stopword
+# presence, short-word fraction — each gate surfaced as its own flag
+# so the curation report can attribute every rejection.  Pure
+# scan-side array kernels over the one projected tokenization
+# (`_with_words`), zero shuffles; at 100 TB this is a mapper that
+# rides the ingest scan.  Ratios divide the same two int64s on both
+# engines, so the doubles hash-match bitwise.
+# --------------------------------------------------------------------------
+@q(
+    "q_gopher_rules",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               {_WORDS_DUCK} AS words,
+               length(replace(trim(text), ' ', '')) AS n_nonspace
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               CAST(n_nonspace AS DOUBLE) / len(words) AS mean_word_len,
+               len(list_filter(words, x -> x IN ({_STOP_SQL}))) AS stop_cnt,
+               len(list_filter(words, x -> length(x) <= 2)) AS short_cnt
+        FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len,
+           CAST(stop_cnt AS BIGINT) AS stop_cnt,
+           CAST(short_cnt AS DOUBLE) / n_words AS short_frac,
+           (n_words BETWEEN 20 AND 90) AS wc_ok,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS mwl_ok,
+           (stop_cnt >= 1) AS stop_ok,
+           (CAST(short_cnt AS DOUBLE) / n_words <= 0.2) AS short_ok,
+           ((n_words BETWEEN 20 AND 90)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND (stop_cnt >= 1)
+            AND (CAST(short_cnt AS DOUBLE) / n_words <= 0.2)) AS passes
+    FROM s
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    base = d.select(
+        "doc_id",
+        F.expr(_WORDS_SPARK).alias("words"),
+        F.length(F.regexp_replace(F.trim(F.col("text")), " ", "")).alias("n_nonspace"),
+    )
+    s = base.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        (F.col("n_nonspace").cast("double") / F.size("words")).alias("mean_word_len"),
+        F.expr(f"size(filter(words, x -> array_contains({stop_arr}, x)))")
+        .cast("bigint")
+        .alias("stop_cnt"),
+        F.expr("size(filter(words, x -> length(x) <= 2))")
+        .cast("bigint")
+        .alias("short_cnt"),
+    )
+    wc_ok = (F.col("n_words") >= 20) & (F.col("n_words") <= 90)
+    mwl_ok = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    stop_ok = F.col("stop_cnt") >= 1
+    short_frac = F.col("short_cnt").cast("double") / F.col("n_words")
+    short_ok = short_frac <= 0.2
+    return s.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_cnt",
+        short_frac.alias("short_frac"),
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"),
+        short_ok.alias("short_ok"),
+        (wc_ok & mwl_ok & stop_ok & short_ok).alias("passes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sub-document (line-level) dedup — the Lee et al. 2021 granularity
+# between exact whole-doc dedup and MinHash near-dup: split each doc
+# into non-overlapping 8-word "lines", count each line's corpus-wide
+# occurrences, and report the per-doc duplicated-line fraction (the
+# boilerplate / template signal whole-doc hashing misses).  Plan: one
+# explode (fan-out = n_words/8), ONE shuffle keyed by the 128-bit
+# line digest for the occurrence window, then the per-doc re-agg —
+# the digest key is what scales: partitioning is uniform in content,
+# never in document identity, and the md5 swap-in for production is
+# xxhash64 (functions/portable.py).
+# --------------------------------------------------------------------------
+LINE_WORDS = 8
+
+
+@q(
+    "q_line_dedup",
+    f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_DUCK} AS words FROM documents
+    ), ln AS (
+        SELECT doc_id, words,
+               unnest(range(1, len(words) + 1, {LINE_WORDS})) AS i
+        FROM w
+    ), lines AS (
+        SELECT doc_id,
+               md5(array_to_string(words[i:i + {LINE_WORDS} - 1], ' ')) AS lh
+        FROM ln
+    ), c AS (
+        SELECT doc_id,
+               COUNT(*) OVER (PARTITION BY lh) AS occ
+        FROM lines
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           round(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_line_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    base = _with_words(d, "doc_id")
+    lines = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(words), {LINE_WORDS}),"
+                f" i -> concat_ws(' ', slice(words, i, {LINE_WORDS})))"
+            )
+        ).alias("line"),
+    ).select("doc_id", F.md5(F.col("line").cast("binary")).alias("lh"))
+    occ = F.count(F.lit(1)).over(W.partitionBy("lh"))
+    c = lines.select("doc_id", occ.alias("occ"))
+    dup = F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).cast("bigint")
+    return c.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dup.alias("n_dup_lines"),
+        F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_line_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-N per-stratum sample — the fixed-budget companion to
+# q_stratified_sample's rate-based coin: every stratum contributes
+# exactly min(N, |stratum|) rows, chosen by a deterministic
+# content-free order (md5 of the row id).  row_number + filter
+# compiles to WindowGroupLimit, so each shuffle partition keeps only
+# its top-N candidates before the final per-stratum merge — the
+# orderBy never materializes a full stratum sort at 100 TB.
+# --------------------------------------------------------------------------
+SAMPLE_N = 20
+
+
+@q(
+    "q_sample_exact_n",
+    f"""
+    SELECT lang, doc_id, sample_rank FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= {SAMPLE_N}
+    """,
+)
+def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    coin = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(coin, F.col("doc_id"))
+    )
+    return (
+        d.select("lang", "doc_id", rn.alias("sample_rank"))
+        .filter(F.col("sample_rank") <= SAMPLE_N)
+    )

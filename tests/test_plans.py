@@ -345,3 +345,31 @@ def test_rolling_dau_observed_day_gate_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     ops = _ops(plan)
     assert ops.count("SortMergeJoin") + ops.count("ShuffledHashJoin") == 0, plan
+
+
+def test_gopher_rules_is_shuffle_free(spark):
+    """Quality gating is a mapper: it must ride the ingest scan with
+    zero exchanges (the only viable shape for a 100 TB gate pass)."""
+    plan = _plan(spark, "q_gopher_rules")
+    assert _ops(plan).count("Exchange") == 0, plan
+
+
+def test_line_dedup_shuffles_on_digest_then_doc(spark):
+    """Sub-document dedup: exactly two exchanges — the corpus-wide
+    occurrence window keyed by the line digest, then the per-doc
+    re-aggregation.  The final agg must be partial (map-side combine
+    before the doc-key shuffle)."""
+    plan = _plan(spark, "q_line_dedup")
+    ops = _ops(plan)
+    assert ops.count("Exchange") == 2, plan
+    assert ops.count("HashAggregate") == 2, plan  # partial + final
+
+
+def test_sample_exact_n_uses_window_group_limit(spark):
+    """Exact-N per-stratum sampling must compile to WindowGroupLimit
+    (partition-local top-N pre-filter) on a single stratum exchange —
+    never a full per-stratum sort."""
+    plan = _plan(spark, "q_sample_exact_n")
+    ops = _ops(plan)
+    assert "WindowGroupLimit" in ops, plan
+    assert ops.count("Exchange") == 1, plan
