@@ -316,3 +316,53 @@ def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join — the delivery-semantics twin
+# of q_stream_join: matches emit immediately, but a null-padded row
+# for an unmatched click emits only when state eviction PROVES no
+# purchase can still arrive — i.e. once the global watermark passes
+# click_ts + horizon.  The global watermark is the MIN across both
+# watermark operators (each side's max event_time − delay), so on a
+# drained source the tail's unmatched clicks stay withheld forever.
+# The oracle encodes exactly that cutoff: batch left join, unmatched
+# rows kept only when click_ts + horizon < least(max click ts,
+# max purchase ts) − delay.  This is the one streaming query whose
+# answer is deliberately NOT the batch answer — it value-hashes the
+# watermark semantics themselves.
+# --------------------------------------------------------------------------
+WM_US = 2 * 3600 * 1_000_000  # the '2 hours' watermark delay in micros
+
+
+@q(
+    "q_stream_join_left",
+    f"""
+    WITH mx AS (
+        SELECT MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS lm,
+               MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS rm
+        FROM events
+    )
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + {HORIZON_US}
+    WHERE b.event_id IS NOT NULL
+       OR epoch_us(a.ts) + {HORIZON_US} <
+          (SELECT least(lm, rm) - {WM_US} FROM mx)
+    """,
+)
+def q_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    joined = stream_stream_interval_join(
+        ev,
+        left_type="click",
+        right_type="purchase",
+        horizon="1 hour",
+        watermark="2 hours",
+        join_type="leftOuter",
+    )
+    return run_available_now(joined, output_mode="append")

@@ -115,6 +115,7 @@ def stream_stream_interval_join(
     right_type: str = "purchase",
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each ``left_type``
     event pairs with the same user's ``right_type`` events that land
@@ -126,9 +127,15 @@ def stream_stream_interval_join(
     the other side's watermark passes ``ts + horizon`` — bounded state
     on an unbounded stream.  Inner joins emit each match the moment
     both rows have arrived (append mode), so draining a finite source
-    yields exactly the batch join — outer variants would withhold
-    unmatched rows behind the final watermark and are not
-    batch-equivalent on a drained source.
+    yields exactly the batch join.  ``join_type='leftOuter'`` also
+    emits null-padded rows for left events that found no match — but
+    only once the watermark has passed ``left_time + horizon`` (state
+    eviction is what proves no match can still arrive), so on a
+    drained source the tail's unmatched rows stay withheld: the
+    equivalent batch query is the left join FILTERED to unmatched
+    rows old enough that the final watermark (max event_time −
+    watermark delay) evicted them.  q_stream_join_left's oracle
+    encodes exactly that cutoff.
     """
     clicks = (
         events.filter(F.col("event_type") == left_type)
@@ -155,7 +162,7 @@ def stream_stream_interval_join(
         (F.col("left_user") == F.col("right_user"))
         & (F.col("right_time") > F.col("left_time"))
         & (F.col("right_time") <= F.col("left_time") + F.expr(f"INTERVAL {horizon}")),
-        "inner",
+        join_type,
     )
     return joined.select(
         F.col("left_user").alias("user_id"),
