@@ -165,6 +165,10 @@ HEADLINE = {
     "q_line_dedup",
     "q_sample_exact_n",
     "q_attribution",
+    "q_join_nullsafe",
+    "q_correlated_subquery",
+    "q_variant",
+    "q_recursive_cte",
 }
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ from . import streaming_q  # noqa: E402
 from . import analytics  # noqa: E402
 from . import lakehouse  # noqa: E402
 from . import graph  # noqa: E402
+from . import sql_surface  # noqa: E402
 
 _merge(relational)
 _merge(events_windows)
@@ -45,3 +46,4 @@ _merge(streaming_q)
 _merge(analytics)
 _merge(lakehouse)
 _merge(graph)
+_merge(sql_surface)

@@ -1,0 +1,194 @@
+"""Advanced SQL-surface queries — the analyzer/optimizer features a
+user switching from any mature engine expects to keep: null-safe
+equality joins, correlated scalar subqueries (Catalyst decorrelation),
+the VARIANT semi-structured type (Spark 4), and recursive CTEs
+(Spark 4.1).  Engine extensions under SURVEY §2.7b — the reference
+(pure pandas, main_cuda.py) has none of these surfaces, but every
+analytics engine replacing it must.
+
+Scale notes per query inline; none of these shapes is exotic at
+100 TB — the decorrelated subquery compiles to the same partial-agg +
+join as a hand-written plan, the null-safe join hashes <=> keys like
+any equi key (NULL becomes an ordinary bucket), VARIANT access is a
+scan-side kernel, and the recursive CTE iterates dimension-sized
+frontiers (never the fact table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=>): NULL keys match NULL keys — the
+# reconciliation-join semantics plain equi joins silently drop.  The
+# key is a derived bucket with a genuine NULL group (nullif), both
+# sides aggregate first so the join is dimension×dimension.  <=> is
+# hashable: NULL is just one more bucket in the exchange, so the plan
+# is the ordinary shuffled hash/sort-merge join, not a nested loop.
+# --------------------------------------------------------------------------
+@q(
+    "q_join_nullsafe",
+    """
+    WITH a AS (
+        SELECT nullif(epoch_us(ts) // 86400000000 % 7, 3) AS day_bucket,
+               COUNT(*) AS n_click
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1
+    ), b AS (
+        SELECT nullif(epoch_us(ts) // 86400000000 % 7, 3) AS day_bucket,
+               COUNT(*) AS n_purchase
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT a.day_bucket, a.n_click, b.n_purchase
+    FROM a JOIN b ON a.day_bucket IS NOT DISTINCT FROM b.day_bucket
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    key = F.nullif(F.expr("(ts div 86400000000) % 7"), F.lit(3)).alias("day_bucket")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_purchase"))
+    )
+    return a.alias("a").join(
+        b.alias("b"),
+        F.col("a.day_bucket").eqNullSafe(F.col("b.day_bucket")),
+    ).select("a.day_bucket", "a.n_click", "b.n_purchase")
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery — each lineitem compared against the MAX
+# quantity of its own part.  Catalyst decorrelates this into a
+# per-part aggregate + equi join (the plan a user would hand-write),
+# so the correlated form costs one partial-agg pass + one shuffle —
+# never a per-row re-scan.  MAX is exact, and equality on identical
+# doubles is bitwise, so the filter is engine-portable.
+# --------------------------------------------------------------------------
+@q(
+    "q_correlated_subquery",
+    """
+    SELECT l1.l_orderkey, l1.l_linenumber, l1.l_partkey, l1.l_quantity
+    FROM lineitem l1
+    WHERE l1.l_quantity = (
+        SELECT MAX(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey
+    )
+    """,
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_corr")
+    return spark.sql(
+        """
+        SELECT l1.l_orderkey, l1.l_linenumber, l1.l_partkey, l1.l_quantity
+        FROM v_lineitem_corr l1
+        WHERE l1.l_quantity = (
+            SELECT MAX(l2.l_quantity) FROM v_lineitem_corr l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured access (Spark 4): parse the JSON props
+# column ONCE into the binary VARIANT encoding, then typed-path
+# extraction — the open-schema ingestion pattern (shred at query
+# time, not at load time).  Scan-side kernel, zero shuffles until the
+# final per-key rollup.  A missing path yields NULL (try semantics),
+# exactly like the oracle's JSON extraction.
+# --------------------------------------------------------------------------
+@q(
+    "q_variant",
+    """
+    WITH x AS (
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_path
+        FROM events
+    )
+    SELECT k // 10 AS k_decade,
+           COUNT(*) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           COUNT(missing_path) AS n_missing_hits
+    FROM x GROUP BY k // 10
+    """,
+)
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(parse_json(props), '$.missing', 'bigint')").alias(
+            "missing_path"
+        ),
+    )
+    return (
+        x.groupBy(F.expr("k div 10").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.count("missing_path").alias("n_missing_hits"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4.1 WITH RECURSIVE): walk the implicit decimal
+# hierarchy over part keys (part → part div 10 → ... → 0) and emit
+# every (part, ancestor, depth) pair — the BOM/org-chart traversal
+# shape.  The frontier is dimension-sized and shrinks... actually
+# stays |part| per level for ~6 levels (log10 of the key space), so
+# the recursion is 6 chained dimension scans — the fact table is
+# never inside the loop.
+# --------------------------------------------------------------------------
+@q(
+    "q_recursive_cte",
+    """
+    WITH RECURSIVE anc(part, ancestor, depth) AS (
+        SELECT p_partkey, p_partkey // 10, 1
+        FROM part WHERE p_size >= 40
+        UNION ALL
+        SELECT part, ancestor // 10, depth + 1
+        FROM anc WHERE ancestor > 0
+    )
+    SELECT part, ancestor, depth FROM anc
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "part").createOrReplaceTempView("v_part_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(part, ancestor, depth) AS (
+            SELECT p_partkey, p_partkey div 10, 1
+            FROM v_part_rec WHERE p_size >= 40
+            UNION ALL
+            SELECT part, ancestor div 10, depth + 1
+            FROM anc WHERE ancestor > 0
+        )
+        SELECT part, ancestor, depth FROM anc
+        """
+    )

@@ -373,3 +373,32 @@ def test_sample_exact_n_uses_window_group_limit(spark):
     ops = _ops(plan)
     assert "WindowGroupLimit" in ops, plan
     assert ops.count("Exchange") == 1, plan
+
+
+def test_nullsafe_join_is_hashed_not_nested_loop(spark):
+    """<=> keys must hash like any equi key (NULL is one more
+    bucket): the plan is a shuffled join, never BroadcastNestedLoop."""
+    plan = _plan(spark, "q_join_nullsafe")
+    ops = _ops(plan)
+    assert ops.count("SortMergeJoin") + ops.count("ShuffledHashJoin") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in ops, plan
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Catalyst must rewrite the correlated scalar subquery into ONE
+    per-part aggregate (partial + final) joined back — not a per-row
+    re-scan (which would surface as a second join or a nested
+    subquery stage)."""
+    plan = _plan(spark, "q_correlated_subquery")
+    ops = _ops(plan)
+    joins = [o for o in ops if o.endswith("Join")]
+    assert joins == ["SortMergeJoin"] or joins == ["ShuffledHashJoin"], plan
+    assert ops.count("HashAggregate") == 2, plan  # partial + final
+    assert ops.count("Scan") == 2, plan  # base scan + agg build scan
+
+
+def test_variant_access_is_scan_side(spark):
+    """VARIANT parse + typed path extraction runs on the scan; the
+    only exchange is the final rollup."""
+    plan = _plan(spark, "q_variant")
+    assert _ops(plan).count("Exchange") == 1, plan
