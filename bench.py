@@ -169,6 +169,9 @@ HEADLINE = {
     "q_correlated_subquery",
     "q_variant",
     "q_recursive_cte",
+    "q_udaf_weighted_median",
+    "q_arrow_grouped",
+    "q_python_datasource",
 }
 
 if __name__ == "__main__":

@@ -21,6 +21,8 @@ reference's domain (≤ a few hundred frames), so no salting needed.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1084,4 +1086,122 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.sum(vc).over(w) / 100.0).alias("near_sum"),
         F.count(F.lit(1)).over(w).alias("near_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pandas GROUPED_AGG UDAF — exact weighted median per event type
+# (order statistics are the one agg family native SQL aggregates
+# can't compose).  The kernel is Arrow-batched, one call per group
+# (|event_type| calls total — never per-row Python).  All-integer
+# kernel: cents values, integer weights, crossing rule
+# 2·cumweight ≥ totalweight, so the result is deterministic under
+# any intra-tie ordering and hash-matches the oracle's window
+# formulation bitwise.
+# --------------------------------------------------------------------------
+@q(
+    "q_udaf_weighted_median",
+    """
+    WITH x AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc,
+               event_id % 5 + 1 AS w
+        FROM events
+    ), o AS (
+        SELECT event_type, vc,
+               SUM(w) OVER (PARTITION BY event_type ORDER BY vc
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumw,
+               SUM(w) OVER (PARTITION BY event_type) AS totw
+        FROM x
+    )
+    SELECT event_type,
+           MIN(CASE WHEN 2 * cumw >= totw THEN vc END) / 100.0
+             AS weighted_median,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(totw) AS BIGINT) AS total_weight
+    FROM o GROUP BY event_type
+    """,
+)
+def q_udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("long")
+    def wmedian_cents(vc: pd.Series, w: pd.Series) -> int:
+        import numpy as np
+
+        order = np.argsort(vc.values, kind="stable")
+        v = vc.values[order]
+        cw = w.values[order].cumsum()
+        return int(v[(2 * cw >= cw[-1]).argmax()])
+
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        (F.col("event_id") % 5 + 1).alias("w"),
+    )
+    # A grouped-agg pandas UDF cannot share an agg() with native
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — run the two keyed
+    # aggregations separately and join the dimension-sized results.
+    med = x.groupBy("event_type").agg(
+        (wmedian_cents("vc", "w") / 100.0).alias("weighted_median")
+    )
+    stats = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("w").alias("total_weight"),
+    )
+    return med.join(F.broadcast(stats), "event_type").select(
+        "event_type", "weighted_median", "n_rows", "total_weight"
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped-map Arrow kernel (applyInArrow, Spark 4) — the zero-copy
+# sibling of applyInPandas (U3): the group arrives as a pyarrow
+# Table, the kernel runs pyarrow.compute reductions, no pandas
+# materialization.  One output row per group; all-integer outputs.
+# --------------------------------------------------------------------------
+@q(
+    "q_arrow_grouped",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(CAST(round(value * 100, 0) AS BIGINT)) AS vmin_c,
+           MAX(CAST(round(value * 100, 0) AS BIGINT)) AS vmax_c,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS vsum_c
+    FROM events GROUP BY event_type
+    """,
+)
+def q_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def kern(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        vc = t.column("vc")
+        return pa.table(
+            {
+                "event_type": [t.column("event_type")[0].as_py()],
+                "n": [t.num_rows],
+                "vmin_c": [pc.min(vc).as_py()],
+                "vmax_c": [pc.max(vc).as_py()],
+                "vsum_c": [pc.sum(vc).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                    ("vmin_c", pa.int64()),
+                    ("vmax_c", pa.int64()),
+                    ("vsum_c", pa.int64()),
+                ]
+            ),
+        )
+
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+    )
+    return x.groupBy("event_type").applyInArrow(
+        kern,
+        schema="event_type string, n bigint, vmin_c bigint, vmax_c bigint, vsum_c bigint",
     )

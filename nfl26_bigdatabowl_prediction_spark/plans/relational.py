@@ -1594,3 +1594,83 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_since_95"),
     )
+
+
+# --------------------------------------------------------------------------
+# §2.1 S-family — XML round-trip (Spark 4 ships the XML source
+# natively).  Same sink→explicit-schema scan shape as q_scan_csv/orc/
+# json; rowTag bounds each record.
+# --------------------------------------------------------------------------
+@q("q_scan_xml", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "nfl26_xml_roundtrip_nation")
+    table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").option("rowTag", "nation").format("xml").save(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema).option("rowTag", "nation").format("xml").load(path)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.1 S-family — Python DataSource API (Spark 4): a custom source
+# plugged into the ordinary reader surface.  The source generates a
+# deterministic partitioned integer sequence (a synthetic-telemetry
+# generator), declaring 4 input partitions so the scan parallelizes
+# like any file source; each partition streams its shard lazily
+# (Arrow-batched by the runtime).  The oracle recomputes the same
+# closed-form sequence — proving the plug-in path, not the data.
+# Independent of sf_dir by construction (the source IS the data).
+# --------------------------------------------------------------------------
+SYNTH_ROWS_PER_PART = 1000
+SYNTH_PARTS = 4
+
+
+@q(
+    "q_python_datasource",
+    f"""
+    SELECT CAST(i AS BIGINT) AS id,
+           CAST(i % 7 AS BIGINT) AS bucket,
+           CAST(i * 2654435761 % 1000000 AS BIGINT) AS payload
+    FROM range(0, {SYNTH_ROWS_PER_PART * SYNTH_PARTS}) t(i)
+    """,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class SynthReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(p) for p in range(SYNTH_PARTS)]
+
+        def read(self, partition):
+            lo = partition.value * SYNTH_ROWS_PER_PART
+            for i in range(lo, lo + SYNTH_ROWS_PER_PART):
+                yield (i, i % 7, (i * 2654435761) % 1000000)
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synth_seq"
+
+        def schema(self):
+            return "id bigint, bucket bigint, payload bigint"
+
+        def reader(self, schema):
+            return SynthReader()
+
+    spark.dataSource.register(SynthSource)
+    return spark.read.format("synth_seq").load()
