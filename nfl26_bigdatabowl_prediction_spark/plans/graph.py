@@ -180,7 +180,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each sharer divides by its OWN degree (carried on the rank
     # table); adj carries the receiving part's degree so the next
     # iteration's rank table stays self-contained.
-    adj = adj.join(F.broadcast(deg), "part").cache()
+    # Pre-partition the cached adjacency on the aggregation key: the
+    # HashPartitioning(part) output satisfies every iteration's
+    # groupBy("part") ClusteredDistribution, so the 3 contribution
+    # aggregations run with ZERO further exchanges — the loop's only
+    # per-iteration wire cost is the node-sized rank broadcast.
+    adj = adj.join(F.broadcast(deg), "part").repartition("part").cache()
     n = deg.count()  # node count: one tiny job, drives the teleport literal
     teleport = 150000 // n
     pr = deg.select("part", "deg", F.lit(1000000 // n).cast("long").alias("pr_u"))
