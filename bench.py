@@ -172,6 +172,7 @@ HEADLINE = {
     "q_udaf_weighted_median",
     "q_arrow_grouped",
     "q_python_datasource",
+    "q_skew_audit",
 }
 
 if __name__ == "__main__":

@@ -319,3 +319,59 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cents_sum / 100.0).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Shuffle-skew audit — the observability query behind every
+# partitioning decision in this engine: fold the shuffle key through
+# the portable hash into 32 synthetic "reducers" and report each
+# bucket's row/key load plus its imbalance vs the perfect split.
+# At 100 TB this is the first diagnostic run before choosing salting
+# (operators/skew.py) or AQE skew-join thresholds; the hash is the
+# oracle-portable stand-in for Spark's internal HashPartitioner.
+# Two hash aggs (map-side combined) — the fact table is scanned once.
+# --------------------------------------------------------------------------
+N_AUDIT_BUCKETS = 32
+
+
+@q(
+    "q_skew_audit",
+    f"""
+    WITH b AS (
+        SELECT (((CAST(user_id AS BIGINT) * 2654435761) % 4294967296)
+                % {N_AUDIT_BUCKETS}) AS bucket,
+               user_id
+        FROM events
+    ), per AS (
+        SELECT bucket, COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_keys
+        FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_rows, n_keys,
+           round(CAST(n_rows * {N_AUDIT_BUCKETS} AS DOUBLE)
+                 / CAST(SUM(n_rows) OVER () AS BIGINT), 6) AS load_ratio
+    FROM per
+    """,
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import knuth_fold_expr
+
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        knuth_fold_expr(F.col("user_id"), N_AUDIT_BUCKETS).alias("bucket"),
+        "user_id",
+    )
+    per = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+    # grand total via an empty-frame window over the (≤32-row) bucket
+    # table — no scalar join, no second scan of the fact side.
+    total = F.sum("n_rows").over(Window.partitionBy()).cast("bigint")
+    return per.select(
+        "bucket",
+        "n_rows",
+        "n_keys",
+        F.round(
+            (F.col("n_rows") * N_AUDIT_BUCKETS).cast("double") / total, 6
+        ).alias("load_ratio"),
+    )
