@@ -173,6 +173,7 @@ HEADLINE = {
     "q_arrow_grouped",
     "q_python_datasource",
     "q_skew_audit",
+    "q_cdc_asof",
 }
 
 if __name__ == "__main__":

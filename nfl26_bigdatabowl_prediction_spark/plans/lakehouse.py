@@ -138,3 +138,57 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time travel — CDC snapshot AS OF a past instant: replay only log
+# entries at or before the cutoff, then the same latest-per-key fold
+# as q_cdc_apply.  The cutoff is a literal, so it reaches the parquet
+# scan as a pushed filter (row groups after the cutoff are skipped on
+# footer stats) — at 100 TB, time travel over a time-clustered log
+# reads only the history prefix, never the whole table.
+# --------------------------------------------------------------------------
+ASOF_SNAPSHOT_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
+
+
+@q(
+    "q_cdc_asof",
+    f"""
+    WITH ranked AS (
+        SELECT user_id, value, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events
+        WHERE epoch_us(ts) <= {ASOF_SNAPSHOT_US}
+    )
+    SELECT user_id, value AS value_asof, ts_us AS updated_us, n_changes
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q_cdc_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import events_asof
+
+    ev = events_asof(spark, sf_dir, ASOF_SNAPSHOT_US).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    wn = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wa = Window.partitionBy("user_id")
+    return (
+        ev.withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn("rn", F.row_number().over(wn))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wa))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("value").alias("value_asof"),
+            F.col("ts").alias("updated_us"),
+            "n_changes",
+        )
+    )

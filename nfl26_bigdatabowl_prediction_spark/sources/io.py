@@ -57,6 +57,34 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def events_asof(spark: SparkSession, sf_dir: str, cutoff_us: int) -> DataFrame:
+    """Time-travel scan of the events log: rows with ts ≤ ``cutoff_us``
+    (epoch micros), with the cutoff applied to the PHYSICAL ts column
+    so it reaches the parquet scan as a pushed filter — row groups
+    entirely after the cutoff are skipped on footer min/max stats.
+    (A predicate on the normalized column — ``ts div 1000 <= X`` —
+    does not push; this helper is why q_cdc_asof reads only the
+    history prefix at 100 TB.)  The normalized filter is applied as
+    well, so the semantics hold for any physical layout.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kind = dict(raw.dtypes).get("ts")
+    if kind == "bigint":
+        # int64 epoch-NANOS layout: ts div 1000 <= X  ⟺  ts <= X*1000+999
+        raw = raw.filter(F.col("ts") <= cutoff_us * 1000 + 999)
+    elif kind in ("timestamp_ntz", "timestamp"):
+        from datetime import datetime, timedelta
+
+        secs, us = divmod(cutoff_us, 1_000_000)
+        lit = (datetime(1970, 1, 1) + timedelta(seconds=secs, microseconds=us)).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )
+        kw = "TIMESTAMP_NTZ" if kind == "timestamp_ntz" else "TIMESTAMP"
+        raw = raw.filter(F.col("ts") <= F.expr(f"{kw} '{lit}'"))
+    return normalize_ts(raw).filter(F.col("ts") <= cutoff_us)
+
+
 def read_csv_dir(
     spark: SparkSession,
     path_glob: str,

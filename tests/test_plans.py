@@ -402,3 +402,13 @@ def test_variant_access_is_scan_side(spark):
     only exchange is the final rollup."""
     plan = _plan(spark, "q_variant")
     assert _ops(plan).count("Exchange") == 1, plan
+
+
+def test_cdc_asof_cutoff_pushes_to_scan(spark):
+    """Time travel must read only the history prefix: the cutoff is
+    applied to the PHYSICAL ts column (events_asof), so the parquet
+    scan carries a pushed <= filter and skips row groups after the
+    snapshot instant on footer stats."""
+    plan = _plan(spark, "q_cdc_asof")
+    pushed = [l for l in plan.splitlines() if l.startswith("PushedFilters")]
+    assert pushed and "LessThanOrEqual(ts," in pushed[0], plan
