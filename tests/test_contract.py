@@ -1,0 +1,58 @@
+"""Driver-contract robustness — the probes the external driver's
+environment implies but no oracle row checks: error paths, sink
+idempotence, and the queries()/oracle_sql() registry invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.utils import AnalysisException
+
+import __spark_entry__ as E
+
+
+def test_registry_invariants():
+    qs, osql = E.queries(), E.oracle_sql()
+    # every oracle belongs to a registered query
+    assert set(osql) <= set(qs)
+    # rows-only entries are the documented exceptions, not accidents:
+    # keep the set small and intentional (SURVEY §2.7b preamble)
+    rows_only = set(qs) - set(osql)
+    assert rows_only <= {
+        "q_approx_distinct",
+        "q_quantile_approx",
+        "q_embed_kmeans",
+        "q_image_resize",
+    }, f"undocumented rows-only queries: {sorted(rows_only)}"
+    # all callables
+    assert all(callable(f) for f in qs.values())
+
+
+def test_missing_sf_dir_raises_cleanly(spark):
+    """A nonexistent data directory must surface as an
+    AnalysisException (PATH_NOT_FOUND) at plan/action time — not a
+    hang, not a worker crash."""
+    qs = E.queries()
+    with pytest.raises(AnalysisException):
+        qs["q_project"](spark, "/root/testdata/sf_does_not_exist").collect()
+
+
+def test_sink_roundtrip_is_idempotent(spark):
+    """Sink→scan round-trip queries overwrite their temp output; a
+    second run must produce the identical result (the driver and the
+    bench both execute every query more than once)."""
+    qs = E.queries()
+    a = qs["q_scan_orc"](spark, "/root/testdata/sf0.001").toPandas()
+    b = qs["q_scan_orc"](spark, "/root/testdata/sf0.001").toPandas()
+    key = ["n_nationkey"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_entry_smoke(spark):
+    """entry() mirrors the driver's smoke check: runs, has rows, and
+    a stable column set."""
+    df = E.entry(spark)
+    assert df.count() >= 0
+    assert len(df.columns) >= 2
