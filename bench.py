@@ -174,6 +174,7 @@ HEADLINE = {
     "q_python_datasource",
     "q_skew_audit",
     "q_cdc_asof",
+    "q_seq_pattern",
 }
 
 if __name__ == "__main__":

@@ -1205,3 +1205,60 @@ def q_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         kern,
         schema="event_type string, n bigint, vmin_c bigint, vmax_c bigint, vsum_c bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Row-pattern detection (the MATCH_RECOGNIZE shape): find every
+# click → click → purchase run in a user's event sequence whose span
+# fits inside one hour — sequence mining beyond q_funnel's first-
+# click summary.  Pure lead() composition on the canonical trajectory
+# window: rides the SAME single user-keyed exchange as the rest of
+# the §2.5 suite, zero extra shuffles, and each match is anchored at
+# its first click so patterns never double-count.
+# --------------------------------------------------------------------------
+PATTERN_SPAN_US = 3600 * 1_000_000
+
+
+@q(
+    "q_seq_pattern",
+    f"""
+    WITH s AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(event_id, 2)   OVER w AS end_event_id,
+               lead(epoch_us(ts), 2) OVER w AS end_ts_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, event_id AS start_event_id, end_event_id,
+           end_ts_us - ts_us AS span_us
+    FROM s
+    WHERE event_type = 'click' AND t1 = 'click' AND t2 = 'purchase'
+      AND end_ts_us - ts_us <= {PATTERN_SPAN_US}
+    """,
+)
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 2).over(w).alias("end_event_id"),
+        F.lead("ts", 2).over(w).alias("end_ts_us"),
+    )
+    return s.filter(
+        (F.col("event_type") == "click")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (F.col("end_ts_us") - F.col("ts") <= PATTERN_SPAN_US)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("start_event_id"),
+        "end_event_id",
+        (F.col("end_ts_us") - F.col("ts")).alias("span_us"),
+    )
