@@ -175,6 +175,8 @@ HEADLINE = {
     "q_skew_audit",
     "q_cdc_asof",
     "q_seq_pattern",
+    "q_ship_priority",
+    "q_promo_share",
 }
 
 if __name__ == "__main__":

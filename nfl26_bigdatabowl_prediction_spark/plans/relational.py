@@ -1674,3 +1674,82 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(SynthSource)
     return spark.read.format("synth_seq").load()
+
+
+# --------------------------------------------------------------------------
+# Decision-support shape (TPC-H Q12 analog): per ship month, how many
+# line items belonged to critical-priority orders vs the rest — a
+# conditional aggregation over the fact⋈fact join.  The orderkey
+# shuffle is the only repartition-scale work; the month bucket and
+# both CASE counts fold into the partial aggregate.
+# --------------------------------------------------------------------------
+@q(
+    "q_ship_priority",
+    """
+    SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT)
+             AS ship_month,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    month = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(month.alias("ship_month"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Decision-support shape (TPC-H Q14 analog): the revenue share of one
+# part class per ship month — a conditional-sum RATIO over a
+# broadcast dimension join.  Both sums are exact int64 cents; the
+# double appears only in the final division, so the ratio
+# hash-matches bitwise.
+# --------------------------------------------------------------------------
+@q(
+    "q_promo_share",
+    """
+    SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT)
+             AS ship_month,
+           round(100.0 * CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+                     THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT)
+                 / CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT),
+                 6) AS economy_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    month = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(month.alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "ECONOMY", rev_c).otherwise(F.lit(0))
+                ).cast("bigint")
+                / F.sum(rev_c).cast("bigint"),
+                6,
+            ).alias("economy_share_pct")
+        )
+    )
