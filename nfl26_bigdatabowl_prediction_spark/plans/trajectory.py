@@ -832,11 +832,11 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(stddev_samp(value) OVER w, 6) AS grp_std,
            MIN(value) OVER w AS grp_min,
            MAX(value) OVER w AS grp_max,
-           round(sin(2 * pi() * ((epoch_us(ts) // 3600000000) % 24) / 24.0), 6) AS hour_sin,
-           round(cos(2 * pi() * ((epoch_us(ts) // 3600000000) % 24) / 24.0), 6) AS hour_cos,
+           round(sin(2 * pi() * ((epoch_us(ts) // 3600000000) % 24) / 24.0), 6) + 0.0 AS hour_sin,
+           round(cos(2 * pi() * ((epoch_us(ts) // 3600000000) % 24) / 24.0), 6) + 0.0 AS hour_cos,
            value * (SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w / COUNT(*) OVER w / 100.0) AS value_x_mean,
            round((value - SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w / COUNT(*) OVER w / 100.0)
-                 / round(stddev_samp(value) OVER w, 6), 6) AS value_dev
+                 / round(stddev_samp(value) OVER w, 6), 6) + 0.0 AS value_dev
     FROM events
     WINDOW w AS (PARTITION BY user_id, event_type)
     """,
@@ -857,10 +857,14 @@ def q_ensemble_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         grp_std.alias("grp_std"),
         F.min("value").over(wp).alias("grp_min"),
         F.max("value").over(wp).alias("grp_max"),
-        F.round(F.sin(F.lit(two_pi) * hour / 24.0), 6).alias("hour_sin"),
-        F.round(F.cos(F.lit(two_pi) * hour / 24.0), 6).alias("hour_cos"),
+        # `+ 0.0` collapses IEEE -0.0 to +0.0: round() preserves the
+        # sign of a tiny negative input, and the two engines disagree
+        # on which side of zero cos/sin land for exact quarter-turns —
+        # identical values, but a repr-style value hash sees -0.0.
+        (F.round(F.sin(F.lit(two_pi) * hour / 24.0), 6) + 0.0).alias("hour_sin"),
+        (F.round(F.cos(F.lit(two_pi) * hour / 24.0), 6) + 0.0).alias("hour_cos"),
         (F.col("value") * grp_mean).alias("value_x_mean"),
-        F.round((F.col("value") - grp_mean) / grp_std, 6).alias("value_dev"),
+        (F.round((F.col("value") - grp_mean) / grp_std, 6) + 0.0).alias("value_dev"),
     )
 
 
