@@ -177,6 +177,11 @@ HEADLINE = {
     "q_seq_pattern",
     "q_ship_priority",
     "q_promo_share",
+    "q_unshipped_revenue",
+    "q_big_spenders",
+    "q_trade_volume",
+    "q_fuzzy_join",
+    "q_bm25",
 }
 
 if __name__ == "__main__":

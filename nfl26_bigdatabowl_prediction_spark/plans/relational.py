@@ -1753,3 +1753,260 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("economy_share_pct")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Decision-support shape (TPC-H Q3 analog): top-10 unshipped orders by
+# revenue for one market segment.  Reference parity: the reference's
+# "rank plays by projected gain" report (main_cuda.py:404-439 builds
+# the same join→agg→top-K shape over tracking rows).
+# Scale: customer is filtered on the segment BEFORE the join and only
+# (c_custkey) survives pruning; the orderkey-grouped aggregation is
+# partial (map-side) and the top-10 compiles to TakeOrderedAndProject
+# — no global sort ever materializes.  Revenue is an exact int64
+# cents sum, so the ordering (and the value hash) is deterministic.
+# --------------------------------------------------------------------------
+@q(
+    "q_unshipped_revenue",
+    """
+    SELECT l.l_orderkey,
+           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) / 100.0
+             AS revenue,
+           CAST(year(o.o_orderdate) * 10000 + month(o.o_orderdate) * 100
+                + day(o.o_orderdate) AS BIGINT) AS order_date_key,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, order_date_key, o.o_orderpriority
+    ORDER BY SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) DESC,
+             order_date_key ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1998-01-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1998-01-01")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    date_key = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    ).cast("bigint")
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            date_key.alias("order_date_key"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev_c).alias("rev_cents"))
+        .select(
+            "l_orderkey",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            "order_date_key",
+            "o_orderpriority",
+            F.col("rev_cents"),
+        )
+        .orderBy(
+            F.col("rev_cents").desc(),
+            F.col("order_date_key").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+        .drop("rev_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# Decision-support shape (TPC-H Q18 analog): large-volume orders — a
+# HAVING-filtered aggregate joined BACK to its dimensions.  The
+# having-side aggregate runs first over lineitem only (2 pruned
+# columns), producing a tiny qualifying-orderkey set that then
+# broadcast-probes orders/customer: at 100 TB the expensive side is
+# touched once and everything after the HAVING is dimension-scale.
+# --------------------------------------------------------------------------
+@q(
+    "q_big_spenders",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 25000
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(year(o.o_orderdate) * 10000 + month(o.o_orderdate) * 100
+                + day(o.o_orderdate) AS BIGINT) AS order_date_key,
+           o.o_totalprice, big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("qty_c"))
+        .filter(F.col("qty_c") > 25000)
+    )
+    date_key = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    ).cast("bigint")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            date_key.alias("order_date_key"),
+            "o_totalprice",
+            (F.col("qty_c") / 100.0).alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Decision-support shape (TPC-H Q7 analog): nation-to-nation trade
+# volume by ship year — the 6-table snowflake join.  supplier and
+# both nation copies broadcast (a 1M-row supplier dim is ~50 MB —
+# still broadcastable at 100 TB); the two fact-scale shuffles are
+# lineitem⋈orders (orderkey) and orders⋈customer (custkey).  The
+# group count is bounded by |nations|² × years, so the aggregate is
+# almost entirely map-side.
+# --------------------------------------------------------------------------
+@q(
+    "q_trade_volume",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) / 100.0
+             AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg((F.sum(rev_c) / 100.0).alias("volume"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy join (entity resolution): edit-distance matching over
+# the DISTINCT-name dictionary, blocked on the name's head noun.
+# Real-world shape for catalog/entity dedup: facts collapse to a
+# name dictionary first (the dictionary is orders of magnitude
+# smaller than the fact table at 100 TB), candidate pairs come from
+# equality on a cheap block key — never all-pairs — and the exact
+# levenshtein predicate runs only inside a block, pre-gated by the
+# |len diff| bound it implies.  The scalable sibling for text bodies
+# is q_minhash_lsh / q_ngram_jaccard; this pins the exact-predicate
+# fuzzy-join semantics (Spark F.levenshtein == DuckDB levenshtein,
+# both exact integer edit distance).
+# --------------------------------------------------------------------------
+@q(
+    "q_fuzzy_join",
+    """
+    WITH dict AS (
+        SELECT p_name, split_part(p_name, ' ', 2) AS blk, COUNT(*) AS n
+        FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+           a.n AS n_a, b.n AS n_b
+    FROM dict a
+    JOIN dict b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select("p_name")
+    dict_ = (
+        p.groupBy(
+            "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("blk")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = dict_.select(
+        F.col("p_name").alias("name_a"), F.col("blk").alias("blk_a"), F.col("n").alias("n_a")
+    )
+    b = dict_.select(
+        F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .filter(
+            (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            )
+            & (F.levenshtein("name_a", "name_b") <= 2)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
+            "n_a",
+            "n_b",
+        )
+    )

@@ -1677,3 +1677,91 @@ def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", "doc_id", rn.alias("sample_rank"))
         .filter(F.col("sample_rank") <= SAMPLE_N)
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 term scoring (Okapi, k1=1.2 b=0.75) — the retrieval-corpus
+# ranking twin of q_tfidf_topk for search-index curation.  Same
+# shuffle budget as TF-IDF: one explode→(doc,token) partial-agg, one
+# token-keyed join for df, doc-length via a window over the tf rows
+# (no second scan), corpus scalars ride a broadcast 1-row build side.
+# Top-3 terms per doc via WindowGroupLimit on the ROUNDED score, so
+# rank ties resolve identically on both engines.
+# --------------------------------------------------------------------------
+@q(
+    "q_bm25",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS_DUCK}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ), tfdl AS (
+        SELECT doc_id, token, tf,
+               SUM(tf) OVER (PARTITION BY doc_id) AS dl
+        FROM tf
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM toks WHERE token <> '' GROUP BY token
+    ), corpus AS (
+        SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+               (SELECT CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id)
+                FROM toks WHERE token <> '') AS avgdl
+    ), scored AS (
+        SELECT t.doc_id, t.token, t.tf, df.df,
+               round(ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * (t.tf * 2.2)
+                     / (t.tf + 1.2 * (0.25 + 0.75 * (t.dl / corpus.avgdl))),
+                     6) AS bm25
+        FROM tfdl t JOIN df ON t.token = df.token CROSS JOIN corpus
+    )
+    SELECT doc_id, token, tf, df, bm25 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY bm25 DESC, token ASC) AS rn
+        FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        _with_words(d, "doc_id")
+        .select("doc_id", F.explode("words").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tfdl = tf.withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    corpus = toks.agg(
+        (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")).alias("avgdl")
+    ).crossJoin(
+        d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    scored = (
+        tfdl.join(df_, "token")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
