@@ -182,6 +182,9 @@ HEADLINE = {
     "q_trade_volume",
     "q_fuzzy_join",
     "q_bm25",
+    "q_session_window",
+    "q_dpp_join",
+    "q_cluster_quality",
 }
 
 if __name__ == "__main__":

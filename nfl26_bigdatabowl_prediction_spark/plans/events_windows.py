@@ -1262,3 +1262,66 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_event_id",
         (F.col("end_ts_us") - F.col("ts")).alias("span_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Native session windows — the same sessionization semantics as
+# q_sessionize, but through Spark's built-in ``session_window``
+# grouping expression (batch mode; identical API in Structured
+# Streaming, where it is the scalable path because state merges
+# incrementally instead of re-windowing history).  Physical shape is
+# ONE user_id-keyed exchange + Spark's session-merge aggregation —
+# no lag/cumsum window pass at all.  Boundary rule of the native
+# operator: an event at exactly start+gap begins a NEW session
+# (window end is exclusive), hence the oracle's ``>=`` where
+# q_sessionize's lag-flag uses ``>``.
+# --------------------------------------------------------------------------
+@q(
+    "q_session_window",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               CASE WHEN LAG(epoch_us(ts)) OVER ({DW}) IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER ({DW}) >= {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts_us, value,
+               SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + {SESSION_GAP_US} AS session_end_us,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    gap_s = SESSION_GAP_US // 1_000_000
+    return (
+        ev.select(
+            "user_id",
+            F.timestamp_micros(F.col("ts")).alias("ts_t"),
+            "value",
+        )
+        .groupBy(
+            "user_id",
+            F.session_window(F.col("ts_t"), f"{gap_s} seconds").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -2010,3 +2010,56 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning: the fact side is a DIRECTORY-PARTITIONED
+# parquet table joined on its partition column to a dimension whose
+# qualifying keys exist only at runtime (a HAVING over an aggregate —
+# nothing Catalyst can fold statically).  The optimizer plants a
+# dynamicpruning subquery into the fact scan's PartitionFilters, so
+# only qualifying type directories are ever LISTED, let alone read —
+# at 100 TB this is the difference between scanning 5 partitions and
+# 2.  The dim comparison is pure int64 (sum_cents > 5000·n), so which
+# partitions qualify is bitwise-portable.  tests/test_plans.py pins
+# the dynamicpruning expression in the scan.
+# --------------------------------------------------------------------------
+@q(
+    "q_dpp_join",
+    """
+    WITH dim AS (
+        SELECT event_type FROM events GROUP BY event_type
+        HAVING SUM(CAST(round(value * 100, 0) AS BIGINT)) > 5000 * COUNT(*)
+    )
+    SELECT e.event_type, COUNT(*) AS n_events,
+           SUM(CAST(round(e.value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
+    FROM events e JOIN dim USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"nfl26_dpp_events_{sf_tag}")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(cents(F.col("value"))).alias("vc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("vc") > 5000 * F.col("n"))
+        .select("event_type")
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+    )

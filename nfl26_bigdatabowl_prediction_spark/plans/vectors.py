@@ -643,3 +643,80 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         *[F.expr(_proj_spark(j)).alias(f"p{j}") for j in range(PROJ_DIMS)],
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster-quality audit — the evaluation twin of q_embed_centroid /
+# q_embed_kmeans: per label, compactness (within-cluster variance,
+# trace of the covariance via E[x²]−mean² per dimension) and
+# separation (squared distance from the label centroid to the global
+# centroid).  Everything reduces to per-(label,dim) integer-scaled
+# partial aggregates — two hash aggregations plus a 64-row broadcast
+# join — so the metric is computable in one pass at any corpus size
+# and bitwise-portable (every float enters a sum only after round→int).
+# --------------------------------------------------------------------------
+@q(
+    "q_cluster_quality",
+    """
+    WITH comp AS (
+        SELECT label, i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                          * 1000000, 0) AS BIGINT) AS x2m
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    ), per_li AS (
+        SELECT label, i, SUM(xm) AS s1, SUM(x2m) AS s2, COUNT(*) AS n
+        FROM comp GROUP BY label, i
+    ), per_gi AS (
+        SELECT i, SUM(s1) AS g1, SUM(n) AS gn FROM per_li GROUP BY i
+    ), terms AS (
+        SELECT per_li.label, per_li.n,
+               CAST(round(((s2 / n / 1000000.0)
+                           - (s1 / n / 1000000.0) * (s1 / n / 1000000.0))
+                          * 1000000, 0) AS BIGINT) AS within_int,
+               CAST(round(((s1 / n / 1000000.0) - (g1 / gn / 1000000.0))
+                          * ((s1 / n / 1000000.0) - (g1 / gn / 1000000.0))
+                          * 1000000, 0) AS BIGINT) AS sep_int
+        FROM per_li JOIN per_gi ON per_li.i = per_gi.i
+    )
+    SELECT label, MAX(n) AS n_points,
+           SUM(within_int) / 1000000.0 AS within_var,
+           SUM(sep_int) / 1000000.0 AS centroid_sep
+    FROM terms GROUP BY label
+    """,
+)
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.round(x * 1000000, 0).cast("bigint").alias("xm"),
+        F.round(x * x * 1000000, 0).cast("bigint").alias("x2m"),
+    )
+    per_li = comp.groupBy("label", "i").agg(
+        F.sum("xm").alias("s1"),
+        F.sum("x2m").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_gi = per_li.groupBy("i").agg(
+        F.sum("s1").alias("g1"), F.sum("n").alias("gn")
+    )
+    mean = F.col("s1") / F.col("n") / 1000000.0
+    ex2 = F.col("s2") / F.col("n") / 1000000.0
+    gmean = F.col("g1") / F.col("gn") / 1000000.0
+    terms = per_li.join(F.broadcast(per_gi), "i").select(
+        "label",
+        "n",
+        F.round((ex2 - mean * mean) * 1000000, 0).cast("bigint").alias("within_int"),
+        F.round((mean - gmean) * (mean - gmean) * 1000000, 0)
+        .cast("bigint")
+        .alias("sep_int"),
+    )
+    return terms.groupBy("label").agg(
+        F.max("n").alias("n_points"),
+        (F.sum("within_int") / 1000000.0).alias("within_var"),
+        (F.sum("sep_int") / 1000000.0).alias("centroid_sep"),
+    )

@@ -412,3 +412,13 @@ def test_cdc_asof_cutoff_pushes_to_scan(spark):
     plan = _plan(spark, "q_cdc_asof")
     pushed = [l for l in plan.splitlines() if l.startswith("PushedFilters")]
     assert pushed and "LessThanOrEqual(ts," in pushed[0], plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark):
+    # The partitioned fact scan must carry a dynamicpruning expression
+    # in PartitionFilters: qualifying event_type directories are known
+    # only after the dim aggregate runs, and the optimizer must plant
+    # the runtime subquery rather than scanning all partitions.
+    df = QUERIES["q_dpp_join"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
