@@ -185,6 +185,9 @@ HEADLINE = {
     "q_session_window",
     "q_dpp_join",
     "q_cluster_quality",
+    "q_crosstab",
+    "q_ab_test",
+    "q_interpolate",
 }
 
 if __name__ == "__main__":

@@ -375,3 +375,151 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_rows") * N_AUDIT_BUCKETS).cast("double") / total, 6
         ).alias("load_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Contingency table with chi-square contributions — event_type ×
+# day-part cross-tab, expected counts from the marginals, and each
+# cell's (O−E)²/E term.  Marginals are two tiny re-aggregations of
+# the cell table (never a second fact scan) broadcast back onto the
+# ≤|types|×4 cells; the only fact-scale work is the one cell
+# aggregation with map-side combine.  Expected counts are exact-int
+# ratios evaluated in one deterministic double expression; the chi²
+# term is rounded once at the end.
+# --------------------------------------------------------------------------
+@q(
+    "q_crosstab",
+    """
+    WITH cells AS (
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000 % 24) // 6 AS day_part,
+               COUNT(*) AS observed
+        FROM events GROUP BY 1, 2
+    ), row_tot AS (
+        SELECT event_type, SUM(observed) AS r FROM cells GROUP BY 1
+    ), col_tot AS (
+        SELECT day_part, SUM(observed) AS c FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT SUM(observed) AS n FROM cells
+    )
+    SELECT cells.event_type, cells.day_part, cells.observed,
+           round(1.0 * r * c / n, 6) AS expected,
+           round((observed - 1.0 * r * c / n) * (observed - 1.0 * r * c / n)
+                 / (1.0 * r * c / n), 6) AS chi2_term
+    FROM cells
+    JOIN row_tot ON cells.event_type = row_tot.event_type
+    JOIN col_tot ON cells.day_part = col_tot.day_part
+    CROSS JOIN tot
+    """,
+)
+def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            ((F.col("ts") / 3600000000 % 24).cast("bigint") / 6)
+            .cast("bigint")
+            .alias("day_part"),
+        )
+        .groupBy("event_type", "day_part")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    row_tot = cells.groupBy("event_type").agg(F.sum("observed").alias("r"))
+    col_tot = cells.groupBy("day_part").agg(F.sum("observed").alias("c"))
+    tot = cells.agg(F.sum("observed").alias("n"))
+    e = 1.0 * F.col("r") * F.col("c") / F.col("n")
+    return (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "day_part")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "day_part",
+            "observed",
+            F.round(e, 6).alias("expected"),
+            F.round(
+                (F.col("observed") - e) * (F.col("observed") - e) / e, 6
+            ).alias("chi2_term"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion A/B test — deterministic hash split (user_id parity
+# as the variant), conversion = user purchased at least once.  Per
+# variant the fact table reduces to (n_users, n_converted) — a
+# two-level aggregation (per-user flag, then per-variant counts) —
+# and the z-statistic is a single deterministic double expression on
+# the 2-row result.  The classic experimentation readout at any
+# scale: all fact-side work is one user-keyed aggregation.
+# --------------------------------------------------------------------------
+@q(
+    "q_ab_test",
+    """
+    WITH per_user AS (
+        SELECT user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ), v AS (
+        SELECT variant, COUNT(*) AS n_users,
+               SUM(converted) AS n_converted
+        FROM per_user GROUP BY variant
+    ), wide AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+               MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+               MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+               MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+        FROM v
+    )
+    SELECT n0, c0, n1, c1,
+           round(1.0 * c0 / n0, 6) AS rate0,
+           round(1.0 * c1 / n1, 6) AS rate1,
+           round((1.0 * c1 / n1 - 1.0 * c0 / n0)
+                 / sqrt((1.0 * (c0 + c1) / (n0 + n1))
+                        * (1 - 1.0 * (c0 + c1) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+    FROM wide
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy((F.col("user_id") % 2).alias("variant"), "user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 90),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = 1.0 * F.col("c0") / F.col("n0")
+    p1 = 1.0 * F.col("c1") / F.col("n1")
+    pp = 1.0 * (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round(
+            (p1 - p0)
+            / F.sqrt(
+                pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+            ),
+            6,
+        ).alias("z_stat"),
+    )

@@ -1325,3 +1325,85 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Linear interpolation — the gap-repair step between q_ffill (carry
+# last) and q_resample (zero-fill): masked values are reconstructed
+# from the straight line through the nearest non-null observation on
+# each side, time-weighted in exact integer micros.  Both bracketing
+# lookups ride the SAME user-keyed exchange as the whole window
+# suite (two frames over one sort); leading/trailing gaps fall back
+# to the single available side.  The lerp is one deterministic
+# double expression rounded once.
+# --------------------------------------------------------------------------
+@q(
+    "q_interpolate",
+    f"""
+    WITH base AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ), brk AS (
+        SELECT event_id, user_id, ts_us, v,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+               FIRST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        FROM base
+    )
+    SELECT event_id, user_id, ts_us, v,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                  THEN round(pv + (nv - pv) * ((ts_us - pt) * 1.0 / (nt - pt)), 6)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv
+                ELSE COALESCE(pv, nv) END AS v_interp
+    FROM brk
+    """,
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    vt = F.when(v.isNotNull(), F.col("ts"))
+    wp = _w().rowsBetween(W.unboundedPreceding, -1)
+    wn = _w().rowsBetween(1, W.unboundedFollowing)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(wp).alias("pv"),
+        F.last(vt, ignorenulls=True).over(wp).alias("pt"),
+        F.first(v, ignorenulls=True).over(wn).alias("nv"),
+        F.first(vt, ignorenulls=True).over(wn).alias("nt"),
+    )
+    lerp = F.round(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((F.col("ts_us") - F.col("pt")) * 1.0 / (F.col("nt") - F.col("pt"))),
+        6,
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "v",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") != F.col("pt")),
+            lerp,
+        )
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), F.col("pv"))
+        .otherwise(F.coalesce(F.col("pv"), F.col("nv")))
+        .alias("v_interp"),
+    )
