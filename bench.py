@@ -188,6 +188,9 @@ HEADLINE = {
     "q_crosstab",
     "q_ab_test",
     "q_interpolate",
+    "q_auc",
+    "q_calibration",
+    "q_psi",
 }
 
 if __name__ == "__main__":

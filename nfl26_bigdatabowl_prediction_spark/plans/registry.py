@@ -35,6 +35,7 @@ from . import analytics  # noqa: E402
 from . import lakehouse  # noqa: E402
 from . import graph  # noqa: E402
 from . import sql_surface  # noqa: E402
+from . import mleval  # noqa: E402
 
 _merge(relational)
 _merge(events_windows)
@@ -47,3 +48,4 @@ _merge(analytics)
 _merge(lakehouse)
 _merge(graph)
 _merge(sql_surface)
+_merge(mleval)
