@@ -191,6 +191,15 @@ HEADLINE = {
     "q_auc",
     "q_calibration",
     "q_psi",
+    "q_ndcg",
+    "q_mrr",
+    "q_ks_stat",
+    "q_confusion",
+    "q_revenue_by_nation",
+    "q_returned_customers",
+    "q_top_supplier",
+    "q_ohlc",
+    "q_data_profile",
 }
 
 if __name__ == "__main__":

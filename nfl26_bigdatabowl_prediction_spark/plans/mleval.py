@@ -192,3 +192,258 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi_term"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# NDCG@5 per user — "does `value` rank this user's purchases first".
+# The reference ranks plays by projected gain (main_cuda.py:404-439
+# is the same rank→top-K→score shape); NDCG is its standard ranking
+# metric.  Both the actual and the ideal ranking come from TWO window
+# functions over ONE user_id shuffle (same partition key → Catalyst
+# plans one Exchange, two in-partition sorts).  Each rank's discount
+# 1/log2(r+1) is frozen to integer micros (round-6 libm rule, ranks
+# ≤ 5 so only five constants exist), so DCG/IDCG are exact integer
+# sums and the final ratio is one deterministic double division.
+# --------------------------------------------------------------------------
+@q(
+    "q_ndcg",
+    """
+    WITH ranked AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY CAST(round(value * 100, 0) AS BIGINT) DESC, event_id) AS rnk,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) DESC,
+                            CAST(round(value * 100, 0) AS BIGINT) DESC, event_id) AS ideal_rnk
+        FROM events
+    ), gains AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN rnk <= 5
+                        THEN rel * CAST(round(1000000 / log2(rnk + 1), 0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS dcg_micro,
+               CAST(SUM(CASE WHEN ideal_rnk <= 5
+                        THEN rel * CAST(round(1000000 / log2(ideal_rnk + 1), 0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS idcg_micro
+        FROM ranked GROUP BY user_id
+    )
+    SELECT user_id, dcg_micro, idcg_micro,
+           round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) AS ndcg
+    FROM gains WHERE idcg_micro > 0
+    """,
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    score_c = F.round(F.col("value") * 100, 0).cast("bigint")
+    rel = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ranked = ev.select(
+        "user_id",
+        rel.alias("rel"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy(score_c.desc(), "event_id"))
+        .alias("rnk"),
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(
+                rel.desc(), score_c.desc(), "event_id"
+            )
+        )
+        .alias("ideal_rnk"),
+    )
+    gain = lambda r: F.round(  # noqa: E731
+        F.lit(1000000) / F.log2(F.col(r) + 1), 0
+    ).cast("bigint")
+    gains = ranked.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("rnk") <= 5, F.col("rel") * gain("rnk")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dcg_micro"),
+        F.sum(
+            F.when(
+                F.col("ideal_rnk") <= 5, F.col("rel") * gain("ideal_rnk")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("idcg_micro"),
+    )
+    return gains.filter(F.col("idcg_micro") > 0).select(
+        "user_id",
+        "dcg_micro",
+        "idcg_micro",
+        F.round(
+            F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 6
+        ).alias("ndcg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mean reciprocal rank — position of each user's FIRST purchase in
+# their value-ranked feed, averaged.  Same single user_id shuffle as
+# q_ndcg; reciprocal ranks are frozen to integer micros so the mean
+# is an exact-int ratio.
+# --------------------------------------------------------------------------
+@q(
+    "q_mrr",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY CAST(round(value * 100, 0) AS BIGINT) DESC, event_id) AS rnk
+        FROM events
+    ), firstpos AS (
+        SELECT user_id, MIN(rnk) AS first_rel_rank
+        FROM ranked WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CAST(round(1000000.0 / first_rel_rank, 0) AS BIGINT)) AS BIGINT)
+             AS rr_micro_sum,
+           round(CAST(SUM(CAST(round(1000000.0 / first_rel_rank, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0, 6) AS mrr
+    FROM firstpos
+    """,
+)
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    score_c = F.round(F.col("value") * 100, 0).cast("bigint")
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy(score_c.desc(), "event_id"))
+        .alias("rnk"),
+    )
+    firstpos = (
+        ranked.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rnk").alias("first_rel_rank"))
+    )
+    rr = F.round(F.lit(1000000.0) / F.col("first_rel_rank"), 0).cast("bigint")
+    return firstpos.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(rr).cast("bigint").alias("rr_micro_sum"),
+        F.round(
+            F.sum(rr).cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("mrr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov statistic — max CDF gap between the
+# `value` distributions of the two deterministic user-parity splits.
+# Like q_auc, the fact table first collapses to a per-distinct-score
+# histogram, so the ordered window runs over |distinct scores| rows,
+# not |rows|.  The gap is kept as the INTEGER cross-product
+# |c0·t1 − c1·t0| (common denominator t0·t1), so the max — and the
+# value hash — involves no floating point until the final division.
+# At populations beyond ~3·10^9 rows per split the cross-product
+# needs 128-bit math; normalize first (one rounded division per bin)
+# at that scale.
+# --------------------------------------------------------------------------
+@q(
+    "q_ks_stat",
+    """
+    WITH hist AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS score_c,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT CAST(SUM(n0) OVER (ORDER BY score_c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c0,
+               CAST(SUM(n1) OVER (ORDER BY score_c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+               CAST(SUM(n0) OVER () AS BIGINT) AS t0,
+               CAST(SUM(n1) OVER () AS BIGINT) AS t1
+        FROM hist
+    )
+    SELECT MAX(abs(c0 * t1 - c1 * t0)) AS ks_num,
+           MAX(t0) AS n0_total, MAX(t1) AS n1_total,
+           round(CAST(MAX(abs(c0 * t1 - c1 * t0)) AS DOUBLE)
+                 / (MAX(t0) * MAX(t1)), 6) AS ks
+    FROM cum
+    """,
+)
+def q_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    score_c = F.round(F.col("value") * 100, 0).cast("bigint")
+    hist = ev.groupBy(score_c.alias("score_c")).agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    w = W.orderBy("score_c").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = hist.agg(
+        F.sum("n0").cast("bigint").alias("t0"),
+        F.sum("n1").cast("bigint").alias("t1"),
+    )
+    cum = hist.select(
+        F.sum("n0").over(w).cast("bigint").alias("c0"),
+        F.sum("n1").over(w).cast("bigint").alias("c1"),
+    ).crossJoin(F.broadcast(tot))
+    gap = F.abs(F.col("c0") * F.col("t1") - F.col("c1") * F.col("t0"))
+    return cum.agg(
+        F.max(gap).alias("ks_num"),
+        F.max("t0").alias("n0_total"),
+        F.max("t1").alias("n1_total"),
+        F.round(
+            F.max(gap).cast("double") / (F.max("t0") * F.max("t1")), 6
+        ).alias("ks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Confusion matrix + precision/recall/F1 at a fixed threshold
+# (predict positive when value ≥ 50, truth = purchase).  One
+# map-side-combined aggregation → one row; every ratio is exact-int
+# over exact-int (F1 via the 2TP/(2TP+FP+FN) identity, so no
+# intermediate double compounds).
+# --------------------------------------------------------------------------
+@q(
+    "q_confusion",
+    """
+    WITH m AS (
+        SELECT CAST(SUM(CASE WHEN value >= 50 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN value >= 50 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN value < 50 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN value < 50 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM events
+    )
+    SELECT tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_,
+           round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1
+    FROM m
+    """,
+)
+def q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pred = F.col("value") >= 50
+    truth = F.col("event_type") == "purchase"
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    m = ev.agg(
+        cnt(pred & truth).alias("tp"),
+        cnt(pred & ~truth).alias("fp"),
+        cnt(~pred & truth).alias("fn"),
+        cnt(~pred & ~truth).alias("tn"),
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias(
+            "precision_"
+        ),
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6).alias(
+            "recall_"
+        ),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+    )

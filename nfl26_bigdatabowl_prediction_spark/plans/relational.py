@@ -2063,3 +2063,273 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents(F.col("value"))) / 100.0).alias("value_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Decision-support shape (TPC-H Q5 analog): revenue by nation for one
+# region, with the local-supplier constraint (customer and supplier
+# share a nation).  The only repartition-scale work is the
+# lineitem⋈orders orderkey shuffle; customer/supplier/nation/region
+# are dimensions and broadcast, the region filter prunes nation
+# BEFORE it reaches the fact row, and the same-nation predicate runs
+# as a post-broadcast filter (never a join explosion).
+# --------------------------------------------------------------------------
+@q(
+    "q_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) / 100.0
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    r = (
+        table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    n = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Decision-support shape (TPC-H Q10 analog): top-20 customers by
+# revenue lost to returned items.  The returnflag filter is pushed to
+# the lineitem scan; the orderkey shuffle joins two pre-filtered
+# facts; customer and nation broadcast onto the customer-grained
+# aggregate; the global top-20 compiles to TakeOrderedAndProject (no
+# full sort).
+# --------------------------------------------------------------------------
+@q(
+    "q_returned_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) / 100.0
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) DESC,
+             c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("_rc"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("_rc").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("_rc") / 100.0).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Decision-support shape (TPC-H Q15 analog): the supplier(s) with the
+# maximum revenue over a ship-date year — the HAVING-=-MAX pattern.
+# The per-supplier aggregate is supplier-count-sized; its max is a
+# 1-row broadcast scalar joined back (the scalar-subquery shape), so
+# no second scan of the fact table and no window over it.
+# --------------------------------------------------------------------------
+@q(
+    "q_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS total_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_c / 100.0 AS total_revenue
+    FROM rev
+    JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.total_c = (SELECT MAX(total_c) FROM rev)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_c"
+        )
+    )
+    mx = rev.agg(F.max("total_c").alias("max_c"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_c") == F.col("max_c"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", (F.col("total_c") / 100.0).alias("total_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# OHLC downsampling — per (user, day) candlesticks over the events
+# feed, the canonical hypertable/financial downsample.  Open and
+# close come from min/max over a (ts, event_id, value) STRUCT —
+# lexicographic struct comparison makes first/last BY TIME a plain
+# hash-aggregate member, so the whole query is ONE map-side-combined
+# aggregation: no window, no sort, no second shuffle.  event_id
+# breaks equal-timestamp ties identically on both engines.
+# --------------------------------------------------------------------------
+@q(
+    "q_ohlc",
+    """
+    SELECT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           (min(struct_pack(t := epoch_us(ts), id := event_id,
+                            v := CAST(round(value * 100, 0) AS BIGINT)))).v / 100.0 AS open,
+           MAX(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS high,
+           MIN(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS low,
+           (max(struct_pack(t := epoch_us(ts), id := event_id,
+                            v := CAST(round(value * 100, 0) AS BIGINT)))).v / 100.0 AS close,
+           COUNT(*) AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_us = 86400 * 10**6
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    st = F.struct(
+        F.col("ts").alias("t"), F.col("event_id").alias("id"), vc.alias("v")
+    )
+    return (
+        ev.groupBy(
+            "user_id", F.expr(f"ts div {day_us}").cast("bigint").alias("day")
+        )
+        .agg(
+            (F.min(st)["v"] / 100.0).alias("open"),
+            (F.max(vc) / 100.0).alias("high"),
+            (F.min(vc) / 100.0).alias("low"),
+            (F.max(st)["v"] / 100.0).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Column profiling (ANALYZE TABLE analog) — null count, exact
+# distinct count, min/max/mean for each numeric lineitem measure, as
+# one row per column.  The Spark plan computes all four columns'
+# stats in ONE scan (multi-distinct → Expand ×4, each branch
+# map-side-combined) and unpivots the wide row with stack();
+# the oracle spells the same stats as four scans UNION ALL'd —
+# correctness twin only, the single-scan shape is the engine's.
+# --------------------------------------------------------------------------
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@q(
+    "q_data_profile",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT CAST(round({c} * 100, 0) AS BIGINT)) AS BIGINT) AS n_distinct,
+           MIN(CAST(round({c} * 100, 0) AS BIGINT)) / 100.0 AS min_v,
+           MAX(CAST(round({c} * 100, 0) AS BIGINT)) / 100.0 AS max_v,
+           round(CAST(SUM(CAST(round({c} * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT({c}) / 100.0, 6) AS mean_v
+    FROM lineitem
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    aggs = []
+    for c in _PROFILE_COLS:
+        vc = F.round(F.col(c) * 100, 0).cast("bigint")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__n_null"),
+            F.countDistinct(vc).cast("bigint").alias(f"{c}__n_distinct"),
+            (F.min(vc) / 100.0).alias(f"{c}__min_v"),
+            (F.max(vc) / 100.0).alias(f"{c}__max_v"),
+            F.round(
+                F.sum(vc).cast("double") / F.count(F.col(c)) / 100.0, 6
+            ).alias(f"{c}__mean_v"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__n_rows`, `{c}__n_null`, `{c}__n_distinct`, "
+        f"`{c}__min_v`, `{c}__max_v`, `{c}__mean_v`"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"
+        )
+    )
