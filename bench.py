@@ -200,6 +200,11 @@ HEADLINE = {
     "q_top_supplier",
     "q_ohlc",
     "q_data_profile",
+    "q_markov_transition",
+    "q_wow_growth",
+    "q_skyline",
+    "q_bitmap_distinct",
+    "q_setsim_join",
 }
 
 if __name__ == "__main__":

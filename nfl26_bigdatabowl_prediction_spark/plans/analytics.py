@@ -463,7 +463,7 @@ def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ), v AS (
         SELECT variant, COUNT(*) AS n_users,
-               SUM(converted) AS n_converted
+               CAST(SUM(converted) AS BIGINT) AS n_converted
         FROM per_user GROUP BY variant
     ), wide AS (
         SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
@@ -522,4 +522,93 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix — P(next event_type | event_type) per the
+# user's time-ordered feed: the path-analysis aggregate behind "what
+# do users do after X".  One lead() on the shared user-keyed exchange
+# collapses the fact table to |types|² transition counts; the row
+# marginals re-aggregate from those counts (never a second fact
+# scan) and broadcast back for the exact-int probability.
+# --------------------------------------------------------------------------
+@q(
+    "q_markov_transition",
+    """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS to_type
+        FROM events
+    ), trans AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ), marg AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           round(CAST(t.n AS DOUBLE) / m.tot, 6) AS p
+    FROM trans t JOIN marg m ON t.from_type = m.from_type
+    """,
+)
+def q_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    trans = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = trans.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("tot")
+    )
+    return trans.join(F.broadcast(marg), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Week-over-week growth — weekly revenue per event_type with the
+# period-over-period percent change, the standard reporting query.
+# The fact table folds into a |types|×|weeks| aggregate in one
+# map-side-combined pass; lag() runs over that dimension-sized table
+# only.  Revenue stays exact int64 cents into the lag, so the pct
+# change is one deterministic double expression.
+# --------------------------------------------------------------------------
+@q(
+    "q_wow_growth",
+    """
+    WITH wk AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, rev_c / 100.0 AS revenue,
+           round((rev_c - lag(rev_c) OVER w) * 100.0 / lag(rev_c) OVER w, 6)
+             AS wow_pct
+    FROM wk WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+)
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    week_us = 7 * 86400 * 10**6
+    ev = table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type", F.expr(f"ts div {week_us}").cast("bigint").alias("week")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("rev_c"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("rev_c").over(w)
+    return wk.select(
+        "event_type",
+        "week",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        F.round((F.col("rev_c") - prev) * 100.0 / prev, 6).alias("wow_pct"),
     )

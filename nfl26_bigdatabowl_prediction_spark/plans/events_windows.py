@@ -521,8 +521,8 @@ def q_softmax_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CASE WHEN event_type = 'click' THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
              / NULLIF(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0) / 100.0 AS click_avg,
            MIN(CASE WHEN event_type = 'error' THEN value END) AS err_min,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err_cnt,
-           COUNT(*) - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS non_err_cnt
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err_cnt,
+           CAST(COUNT(*) - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS non_err_cnt
     FROM events
     GROUP BY user_id
     """,
@@ -685,7 +685,7 @@ def q_collect_traj(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -729,7 +729,7 @@ SESSION_GAP_US = 45 * 60 * 1_000_000
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         FROM flagged
     )
-    SELECT user_id, session_idx,
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
            COUNT(*) AS n_events,
            MIN(ts_us) AS session_start_us,
            MAX(ts_us) AS session_end_us,

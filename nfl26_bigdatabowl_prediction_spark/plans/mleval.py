@@ -65,7 +65,7 @@ def q(name: str, oracle: str | None):
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
         FROM hist
     )
-    SELECT SUM(pos) AS n_pos, SUM(neg) AS n_neg,
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
            CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
              / (2 * SUM(pos) * SUM(neg)) AS auc
     FROM cum

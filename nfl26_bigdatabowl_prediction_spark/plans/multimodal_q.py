@@ -56,7 +56,7 @@ ORACLES["q_multimodal_decode"] = """
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_bytes) AS total_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            MAX(n_bytes % 640) AS max_width,
            SUM(CAST(n_bytes % 7 AS DOUBLE)) AS feat0_sum
     FROM dec

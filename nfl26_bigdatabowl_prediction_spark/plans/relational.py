@@ -2333,3 +2333,86 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) — parts not dominated on (cheaper
+# price, larger size).  The textbook operator is a block-nested-loop
+# dominance anti-join (O(n²)); this plan is the SORT-based
+# formulation: collapse to distinct (price, size) points (argmax size
+# per price is free in the same agg), then one window ordered by
+# price where a point survives iff its size beats the running max of
+# all STRICTLY cheaper points — O(n log n), one shuffle, no
+# self-join.  The oracle spells dominance directly (NOT EXISTS).
+# --------------------------------------------------------------------------
+@q(
+    "q_skyline",
+    """
+    WITH pts AS (
+        SELECT CAST(round(p_retailprice * 100, 0) AS BIGINT) AS pc,
+               CAST(p_size AS BIGINT) AS psize, COUNT(*) AS n_parts
+        FROM part GROUP BY 1, 2
+    )
+    SELECT pc / 100.0 AS price, psize, n_parts
+    FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.pc <= a.pc AND b.psize >= a.psize
+          AND (b.pc < a.pc OR b.psize > a.psize)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    pc = F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+    pts = p.groupBy(
+        pc.alias("pc"), F.col("p_size").cast("bigint").alias("psize")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    # same-price ties: only the max size per price can survive, and
+    # keeping it in the same aggregate avoids a second shuffle.
+    best = pts.withColumn(
+        "mx_at_price", F.max("psize").over(W.partitionBy("pc"))
+    ).filter(F.col("psize") == F.col("mx_at_price"))
+    # running max over strictly-cheaper prices: RANGE frame excludes
+    # price peers, so equal-price rows never suppress each other.
+    w = (
+        W.orderBy("pc")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    run = F.max("psize").over(w)
+    return (
+        best.withColumn("prev_mx", run)
+        .filter(F.col("prev_mx").isNull() | (F.col("psize") > F.col("prev_mx")))
+        .select((F.col("pc") / 100.0).alias("price"), "psize", "n_parts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitmap-index distinct count — distinct users per event_type through
+# Spark's bitmap aggregate family: per-(type, bucket) roaring-style
+# bitmaps built map-side (bitmap_construct_agg over bit positions),
+# then popcounts summed per type.  The point at 100 TB: the bitmap
+# partials are MERGEABLE (bitmap_or_agg), so a materialized
+# per-partition bitmap table answers exact COUNT(DISTINCT) forever
+# after without touching raw rows — the exact counterpart of the HLL
+# sketch path (q_approx_distinct), and the same two-level shape the
+# exact COUNT(DISTINCT) Expand plan cannot pre-aggregate.
+# --------------------------------------------------------------------------
+@q(
+    "q_bitmap_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
+    )

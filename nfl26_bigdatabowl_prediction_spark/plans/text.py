@@ -770,8 +770,8 @@ PACK_BUDGET = 512  # tokens per pack
         FROM sized
     )
     SELECT doc_id, lang, bucket, n_words,
-           cum_before // {PACK_BUDGET} AS pack_id,
-           cum_before % {PACK_BUDGET} AS pack_offset
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS pack_offset
     FROM packed
     """,
 )
@@ -970,7 +970,7 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT least(n_chars // 100, 20) AS bucket,
            least(n_chars // 100, 20) * 100 AS bucket_lo,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1, 2
     """,
@@ -1764,4 +1764,85 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact set-similarity join with PREFIX FILTERING (PPJoin family):
+# all document pairs whose shingle-set Jaccard ≥ 0.6, found without
+# metadata blocking (q_ngram_jaccard) and without the all-pairs join.
+# Tokens are globally ordered by rarity (document frequency); a pair
+# with J ≥ t MUST share a token in each side's first
+# |S| − ⌈t·|S|⌉ + 1 rarest tokens, so candidates come from an
+# equi-join on PREFIX tokens only — the rare ones, which is what
+# bounds the join fan-out at 100 TB.  Candidates then verify exactly
+# against the full sets.  The threshold test is the integer identity
+# 5·|∩| ≥ 3·|∪| — no float ever decides membership.  ⌈3s/5⌉ is the
+# exact integer (3s+4) div 5.
+# --------------------------------------------------------------------------
+@q(
+    "q_setsim_join",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, {_SHINGLES_DUCK} AS els, len({_SHINGLES_DUCK}) AS sz
+        FROM documents
+        WHERE len({_WORDS_DUCK}) >= 3
+    ), tok AS (
+        SELECT doc_id, sz, unnest(els) AS t FROM sized
+    ), inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+               COUNT(*) AS ni
+        FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(ni AS BIGINT) AS n_inter,
+           CAST(sa + sb - ni AS BIGINT) AS n_union,
+           round(CAST(ni AS DOUBLE) / (sa + sb - ni), 6) AS jaccard
+    FROM inter WHERE 5 * ni >= 3 * (sa + sb - ni)
+    """,
+)
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sized = (
+        _with_words(d, "doc_id")
+        .filter(F.size("words") >= 3)
+        .select("doc_id", F.expr(_SHINGLES_FROM_WORDS).alias("els"))
+        .select("doc_id", "els", F.size("els").alias("sz"))
+    )
+    tok = sized.select("doc_id", "sz", F.explode("els").alias("t"))
+    df_tab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(df_tab, "t").withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("df", "t")),
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.expr("(3 * sz + 4) div 5") + 1
+    ).select("doc_id", "t")
+    pa = pref.select(F.col("doc_id").alias("da"), F.col("t").alias("ta"))
+    pb = pref.select(F.col("doc_id").alias("db"), F.col("t").alias("tb"))
+    cand = (
+        pa.join(pb, (F.col("ta") == F.col("tb")) & (F.col("da") < F.col("db")))
+        .select("da", "db")
+        .distinct()
+    )
+    ea = sized.select(
+        F.col("doc_id").alias("da"), F.col("els").alias("ea"), F.col("sz").alias("sa")
+    )
+    eb = sized.select(
+        F.col("doc_id").alias("db"), F.col("els").alias("eb"), F.col("sz").alias("sb")
+    )
+    ni = F.size(F.array_intersect(F.col("ea"), F.col("eb"))).cast("bigint")
+    nu = (F.col("sa") + F.col("sb")).cast("bigint") - ni
+    return (
+        cand.join(ea, "da")
+        .join(eb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            ni.alias("n_inter"),
+            nu.alias("n_union"),
+            F.round(ni.cast("double") / nu, 6).alias("jaccard"),
+        )
+        .filter(5 * F.col("n_inter") >= 3 * F.col("n_union"))
     )

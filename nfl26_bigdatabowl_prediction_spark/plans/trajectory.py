@@ -314,8 +314,8 @@ def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.user_id, e.last_value,
            COALESCE(a.gnn_cnt, 0) AS gnn_cnt,
-           COALESCE(a.ally_cnt, 0) AS ally_cnt,
-           COALESCE(a.opp_cnt, 0) AS opp_cnt,
+           CAST(COALESCE(a.ally_cnt, 0) AS BIGINT) AS ally_cnt,
+           CAST(COALESCE(a.opp_cnt, 0) AS BIGINT) AS opp_cnt,
            COALESCE(a.wmean_value, 0.0) AS wmean_value,
            a.min_dist_ally,
            a.mean_dist_ally,
@@ -449,7 +449,7 @@ def q_gnn_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_id, e.user_id,
            COALESCE(p.n_pairs, 0) AS n_pairs,
-           COALESCE(p.n_ally, 0) AS n_ally,
+           CAST(COALESCE(p.n_ally, 0) AS BIGINT) AS n_ally,
            p.mean_dist_ally, p.min_dist, p.max_dist,
            n.nearest_event_id, n.nearest_value
     FROM ev e

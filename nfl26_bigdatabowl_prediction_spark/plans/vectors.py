@@ -379,7 +379,7 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            COUNT(*) AS dim,
-           SUM(CASE WHEN i <= 8 THEN CAST(round(s / n / 1000000.0 * 1000000, 0) AS BIGINT) ELSE 0 END) AS head_sum_micro
+           CAST(SUM(CASE WHEN i <= 8 THEN CAST(round(s / n / 1000000.0 * 1000000, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS head_sum_micro
     FROM comps
     GROUP BY label
     """,
