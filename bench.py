@@ -205,6 +205,28 @@ HEADLINE = {
     "q_skyline",
     "q_bitmap_distinct",
     "q_setsim_join",
+    # decision-support completion (remaining TPC-H shapes)
+    "q_min_cost_supp",
+    "q_pending_priority",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_product_profit",
+    "q_top_value_parts",
+    "q_cust_order_dist",
+    "q_supplier_audit",
+    "q_small_qty_revenue",
+    "q_or_pushdown",
+    "q_late_supplier",
+    "q_idle_customers",
+    # ML-eval + distributed statistics (round 2)
+    "q_brier",
+    "q_logloss",
+    "q_pr_auc",
+    "q_lift",
+    "q_welch_ttest",
+    "q_ols_by_group",
+    "q_autocorr",
+    "q_cusum",
 }
 
 if __name__ == "__main__":

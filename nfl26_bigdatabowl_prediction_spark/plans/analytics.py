@@ -612,3 +612,272 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_c") / 100.0).alias("revenue"),
         F.round((F.col("rev_c") - prev) * 100.0 / prev, 6).alias("wow_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's unequal-variance t-test — does `value` differ between the
+# two deterministic hash variants?  The continuous-outcome companion
+# of q_ab_test's proportion z-test.  Everything aggregates as int64
+# cents power sums (one fact scan, 2 groups); mean/variance/t/df are
+# closed forms evaluated with ONE shared op sequence then rounded to
+# 6 — no raw-double summation anywhere.
+# --------------------------------------------------------------------------
+@q(
+    "q_welch_ttest",
+    """
+    WITH v AS (
+        SELECT user_id % 2 AS variant, COUNT(*) AS n,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)
+                   * CAST(round(value * 100, 0) AS BIGINT)) AS ss
+        FROM events GROUP BY 1
+    ), wide AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+               MAX(CASE WHEN variant = 0 THEN s END) AS s0,
+               MAX(CASE WHEN variant = 0 THEN ss END) AS ss0,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+               MAX(CASE WHEN variant = 1 THEN s END) AS s1,
+               MAX(CASE WHEN variant = 1 THEN ss END) AS ss1
+        FROM v
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round(1.0 * s0 / n0 / 100.0, 6) AS mean0,
+           round(1.0 * s1 / n1 / 100.0, 6) AS mean1,
+           round((1.0 * s1 / n1 - 1.0 * s0 / n0)
+                 / sqrt((ss0 - 1.0 * s0 * s0 / n0) / (n0 - 1) / n0
+                        + (ss1 - 1.0 * s1 * s1 / n1) / (n1 - 1) / n1), 6) AS t_stat,
+           round(((ss0 - 1.0 * s0 * s0 / n0) / (n0 - 1) / n0
+                  + (ss1 - 1.0 * s1 * s1 / n1) / (n1 - 1) / n1)
+                 * ((ss0 - 1.0 * s0 * s0 / n0) / (n0 - 1) / n0
+                    + (ss1 - 1.0 * s1 * s1 / n1) / (n1 - 1) / n1)
+                 / ((ss0 - 1.0 * s0 * s0 / n0) / (n0 - 1) / n0
+                    * ((ss0 - 1.0 * s0 * s0 / n0) / (n0 - 1) / n0) / (n0 - 1)
+                    + (ss1 - 1.0 * s1 * s1 / n1) / (n1 - 1) / n1
+                      * ((ss1 - 1.0 * s1 * s1 / n1) / (n1 - 1) / n1) / (n1 - 1)),
+                 6) AS df
+    FROM wide
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    v = ev.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vc).alias("s"),
+        F.sum(vc * vc).alias("ss"),
+    )
+    wide = v.agg(
+        *[
+            F.max(F.when(F.col("variant") == i, F.col(c))).alias(f"{c}{i}")
+            for i in (0, 1)
+            for c in ("n", "s", "ss")
+        ]
+    )
+    n0, s0, ss0 = F.col("n0"), F.col("s0"), F.col("ss0")
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    # per-variant squared standard error, cents²: vi = s²/(n-1)/n
+    v0 = (ss0 - F.lit(1.0) * s0 * s0 / n0) / (n0 - 1) / n0
+    v1 = (ss1 - F.lit(1.0) * s1 * s1 / n1) / (n1 - 1) / n1
+    return wide.select(
+        n0.cast("bigint").alias("n0"),
+        n1.cast("bigint").alias("n1"),
+        F.round(F.lit(1.0) * s0 / n0 / 100.0, 6).alias("mean0"),
+        F.round(F.lit(1.0) * s1 / n1 / 100.0, 6).alias("mean1"),
+        F.round(
+            (F.lit(1.0) * s1 / n1 - F.lit(1.0) * s0 / n0) / F.sqrt(v0 + v1), 6
+        ).alias("t_stat"),
+        F.round(
+            (v0 + v1) * (v0 + v1) / (v0 * v0 / (n0 - 1) + v1 * v1 / (n1 - 1)), 6
+        ).alias("df"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped OLS — per event type, regress value on hour-of-day via the
+# closed-form normal equations over int64 power sums (n, Σx, Σy, Σxy,
+# Σx², Σy²): ONE fact scan, map-side combined into |event_type|
+# groups.  Slope/intercept/r² are evaluated double-side with a shared
+# op sequence (r²'s squared numerator would overflow int64, so it is
+# cast to double first).  The distributed-regression shape MLlib's
+# LinearRegression iterates for, done exactly in one pass.
+# --------------------------------------------------------------------------
+@q(
+    "q_ols_by_group",
+    """
+    WITH sums AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM((epoch_us(ts) // 3600000000) % 24) AS sx,
+               SUM(((epoch_us(ts) // 3600000000) % 24)
+                   * ((epoch_us(ts) // 3600000000) % 24)) AS sxx,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS sy,
+               SUM(((epoch_us(ts) // 3600000000) % 24)
+                   * CAST(round(value * 100, 0) AS BIGINT)) AS sxy,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)
+                   * CAST(round(value * 100, 0) AS BIGINT)) AS syy
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(1.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0, 6)
+             AS slope,
+           round((1.0 * sy / n
+                  - 1.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    * (1.0 * sx / n)) / 100.0, 6) AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM sums
+    """,
+)
+def q_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    x = (F.expr("ts div 3600000000") % 24).cast("bigint")
+    y = F.round(F.col("value") * 100, 0).cast("bigint")
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope_raw = F.lit(1.0) * num / den
+    return sums.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(slope_raw / 100.0, 6).alias("slope"),
+        F.round(
+            (F.lit(1.0) * sy / n - slope_raw * (F.lit(1.0) * sx / n)) / 100.0, 6
+        ).alias("intercept"),
+        F.round(
+            num.cast("double") * num.cast("double")
+            / (den.cast("double") * (n * syy - sy * sy).cast("double")),
+            6,
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation per user — the serial-dependence diagnostic
+# over each user's time-ordered value series.  One user-keyed window
+# (the suite's shared trajectory exchange) pairs each value with its
+# predecessor; Pearson r then comes from int64 cents power sums per
+# user — the same exact-corr recipe as q_group_corr, here over
+# (prev, cur) pairs.  Users with < 10 pairs or a constant side are
+# excluded identically on both engines.
+# --------------------------------------------------------------------------
+@q(
+    "q_autocorr",
+    """
+    WITH pairs AS (
+        SELECT user_id,
+               LAG(CAST(round(value * 100, 0) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS x,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+        FROM events
+    ), sums AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs WHERE x IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf1
+    FROM sums
+    WHERE n >= 10 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id", F.lag(vc).over(w).alias("x"), vc.alias("y")
+    ).filter(F.col("x").isNotNull())
+    sums = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        sums.filter((n >= 10) & (dx > 0) & (dy > 0))
+        .select(
+            "user_id",
+            n.cast("bigint").alias("n_pairs"),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                6,
+            ).alias("acf1"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift alarms per user — the sequential change-point detector
+# S_t = max(0, S_{t-1} + (x_t − target)).  The recursion LOOKS
+# stateful but has the classic prefix identity S_t = cs_t −
+# min(0, min_{j≤t} cs_j) over the plain cumulative sum, so it runs as
+# two stock window functions on ONE user-keyed sort — no iterative
+# operator, no UDF.  All arithmetic is int64 cents; alarm rows
+# (S > 200.00) surface with their running statistic.
+# --------------------------------------------------------------------------
+@q(
+    "q_cusum",
+    """
+    WITH d AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CAST(round(value * 100, 0) AS BIGINT) - 5000 AS dev_c
+        FROM events
+    ), cs AS (
+        SELECT event_id, user_id, ts_us,
+               SUM(dev_c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS cs_c
+        FROM d
+    ), s AS (
+        SELECT event_id, user_id,
+               cs_c - least(0, MIN(cs_c) OVER (PARTITION BY user_id
+                                               ORDER BY ts_us, event_id
+                                               ROWS UNBOUNDED PRECEDING)) AS s_c
+        FROM cs
+    )
+    SELECT event_id, user_id, s_c / 100.0 AS s_stat
+    FROM s WHERE s_c > 20000
+    """,
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    dev_c = F.round(F.col("value") * 100, 0).cast("bigint") - 5000
+    wcs = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs = ev.select(
+        "event_id", "user_id", "ts", F.sum(dev_c).over(wcs).alias("cs_c")
+    )
+    wmin = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = cs.select(
+        "event_id",
+        "user_id",
+        (F.col("cs_c") - F.least(F.lit(0), F.min("cs_c").over(wmin))).alias("s_c"),
+    )
+    return s.filter(F.col("s_c") > 20000).select(
+        "event_id", "user_id", (F.col("s_c") / 100.0).alias("s_stat")
+    )

@@ -447,3 +447,199 @@ def q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Brier score — mean squared error of the probability forecast
+# p = value/100 against the purchase label.  Per-row (p−y)² is pure
+# IEEE arithmetic; the sum rides exact integer micros (round(term·1e6))
+# so partial-aggregation order is irrelevant.  One scan, one 1-row agg.
+# --------------------------------------------------------------------------
+@q(
+    "q_brier",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round((value / 100.0 - CASE WHEN event_type = 'purchase'
+                                                     THEN 1.0 ELSE 0.0 END)
+                               * (value / 100.0 - CASE WHEN event_type = 'purchase'
+                                                       THEN 1.0 ELSE 0.0 END)
+                               * 1000000, 0) AS BIGINT)) AS BIGINT)
+             / COUNT(*) / 1000000.0 AS brier
+    FROM events
+    """,
+)
+def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    err = F.col("value") / 100.0 - y
+    term_u = F.round(err * err * 1000000, 0).cast("bigint")
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(term_u).cast("bigint") / F.count(F.lit(1)) / 1000000.0).alias("brier"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Log loss (cross-entropy) of the same forecast, probabilities clamped
+# to [1e-6, 1−1e-6].  ln() is libm-backed → each row's term is rounded
+# to integer micro-nats BEFORE the sum (the module's libm last-ulp
+# rule), making the aggregate order-free and bitwise-portable.
+# --------------------------------------------------------------------------
+@q(
+    "q_logloss",
+    """
+    WITH t AS (
+        SELECT least(greatest(value / 100.0, 0.000001), 0.999999) AS p,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) * 1000000, 0)
+                         AS BIGINT)) AS BIGINT)
+             / COUNT(*) / 1000000.0 AS logloss
+    FROM t
+    """,
+)
+def q_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = F.least(F.greatest(F.col("value") / 100.0, F.lit(0.000001)), F.lit(0.999999))
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+    term = -(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))
+    term_u = F.round(term * 1000000, 0).cast("bigint")
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(term_u).cast("bigint") / F.count(F.lit(1)) / 1000000.0).alias(
+            "logloss"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# PR-AUC (average precision) — like q_auc, computed over the
+# per-distinct-score histogram, never the raw rows: walking scores
+# high→low, AP = Σ_s pos_s · precision(s) / n_pos where precision(s)
+# = cum_pos(s)/cum_all(s).  The per-score term is forced double with
+# ONE shared op sequence then frozen to integer micros, so the final
+# sum is order-free.  Window runs over |distinct scores| rows.
+# --------------------------------------------------------------------------
+@q(
+    "q_pr_auc",
+    """
+    WITH hist AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS score_c,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT pos,
+               SUM(pos) OVER (ORDER BY score_c DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum_pos,
+               SUM(cnt) OVER (ORDER BY score_c DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum_all
+        FROM hist
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN pos > 0
+                    THEN CAST(round(1000000.0 * pos * cum_pos / cum_all, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT)
+             / CAST(SUM(pos) AS BIGINT) / 1000000.0 AS pr_auc
+    FROM cum
+    """,
+)
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("score_c")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = W.orderBy(F.col("score_c").desc()).rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "pos",
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("cnt").over(w).alias("cum_all"),
+    )
+    term_u = F.round(
+        F.lit(1000000.0) * F.col("pos") * F.col("cum_pos") / F.col("cum_all"), 0
+    ).cast("bigint")
+    return cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (
+            F.sum(F.when(F.col("pos") > 0, term_u).otherwise(0)).cast("bigint")
+            / F.sum("pos").cast("bigint")
+            / 1000000.0
+        ).alias("pr_auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Decile lift / cumulative-gains table — rank rows by score, split
+# into population deciles, report each decile's positive rate against
+# the base rate.  Deciles are assigned on the score HISTOGRAM (each
+# distinct score's decile = its cumulative position), so no global
+# sort of raw rows ever happens — the same |distinct scores| window
+# as q_auc/q_pr_auc, then a ≤10-group aggregate.  The integer gate
+# (10·cum_before) div total is exact on both engines.
+# --------------------------------------------------------------------------
+@q(
+    "q_lift",
+    """
+    WITH hist AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS score_c,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT pos, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY score_c DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+               SUM(cnt) OVER () AS total,
+               SUM(pos) OVER () AS tot_pos
+        FROM hist
+    )
+    SELECT CAST(least((10 * cum_before) // total, 9) AS BIGINT) AS decile,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           round(1.0 * SUM(pos) / SUM(cnt), 6) AS pos_rate,
+           round((1.0 * SUM(pos) / SUM(cnt))
+                 / (1.0 * MAX(tot_pos) / MAX(total)), 6) AS lift
+    FROM cum GROUP BY 1
+    """,
+)
+def q_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("score_c")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    wb = W.orderBy(F.col("score_c").desc()).rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy(F.col("score_c").desc()).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "pos",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(wall).alias("total"),
+        F.sum("pos").over(wall).alias("tot_pos"),
+    )
+    decile = F.least(F.expr("(10 * cum_before) div total"), F.lit(9)).cast("bigint")
+    return cum.groupBy(decile.alias("decile")).agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.round(F.lit(1.0) * F.sum("pos") / F.sum("cnt"), 6).alias("pos_rate"),
+        F.round(
+            (F.lit(1.0) * F.sum("pos") / F.sum("cnt"))
+            / (F.lit(1.0) * F.max("tot_pos") / F.max("total")),
+            6,
+        ).alias("lift"),
+    )

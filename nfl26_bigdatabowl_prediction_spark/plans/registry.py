@@ -36,6 +36,7 @@ from . import lakehouse  # noqa: E402
 from . import graph  # noqa: E402
 from . import sql_surface  # noqa: E402
 from . import mleval  # noqa: E402
+from . import decision  # noqa: E402
 
 _merge(relational)
 _merge(events_windows)
@@ -49,3 +50,4 @@ _merge(lakehouse)
 _merge(graph)
 _merge(sql_surface)
 _merge(mleval)
+_merge(decision)

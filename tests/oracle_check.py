@@ -64,6 +64,33 @@ def _cell_equal(a, b) -> tuple[bool, bool]:
     return eq, eq
 
 
+# pandas dtype.kind → comparison class.  The driver's value hash is
+# type-sensitive (round-1 q_pivot/q_hypertable_rollup: DuckDB HUGEINT
+# surfaces as float64 via fetchdf() while Spark yields int64, so equal
+# values hash differently).  Catch that class of artifact locally by
+# requiring both engines' pandas representations to land in the same
+# kind bucket per column.
+_KIND = {"i": "int", "u": "int", "f": "float", "b": "bool", "O": "obj", "M": "dt", "m": "td"}
+
+
+def _dtype_problems(
+    name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame
+) -> list[str]:
+    if len(spark_pdf) == 0:
+        return []  # empty frames carry no values to hash
+    problems = []
+    for col in spark_pdf.columns:
+        sd, dd = spark_pdf[col].dtype, duck_pdf[col].dtype
+        sk = _KIND.get(sd.kind, sd.kind)
+        dk = _KIND.get(dd.kind, dd.kind)
+        if sk != dk:
+            problems.append(
+                f"{name}: dtype-kind mismatch col={col} spark={sd} duck={dd} "
+                "(driver value hash is type-sensitive — cast the oracle SQL)"
+            )
+    return problems
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     """Return a list of problems (empty == pass)."""
     problems: list[str] = []
@@ -74,6 +101,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return [
             f"{name}: row count mismatch spark={len(spark_pdf)} duck={len(duck_pdf)}"
         ]
+    problems.extend(_dtype_problems(name, spark_pdf, duck_pdf))
+    if problems:
+        return problems
     a, b = canon(spark_pdf), canon(duck_pdf)
     n_approx = 0
     for col in sp_cols:

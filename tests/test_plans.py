@@ -176,11 +176,12 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
         if name.startswith("q_stream") or name == "q_embed_kmeans":
             continue  # streaming plans / iterative MLlib fit
         if name in ("q_tfidf_topk", "q_bm25", "q_crosstab", "q_psi",
-                    "q_ks_stat", "q_top_supplier"):
+                    "q_ks_stat", "q_top_supplier", "q_top_value_parts",
+                    "q_idle_customers"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
-            # total / split totals / KS totals / max revenue): NL is
-            # O(n·1) — the scalar-subquery shape, not a degenerated
-            # equi-join
+            # total / split totals / KS totals / max revenue / nation
+            # value total / acctbal threshold): NL is O(n·1) — the
+            # scalar-subquery shape, not a degenerated equi-join
         plan = _plan(spark, name)
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in plan, f"{name} compiles to {bad}"
