@@ -227,6 +227,11 @@ HEADLINE = {
     "q_ols_by_group",
     "q_autocorr",
     "q_cusum",
+    "q_degree_dist",
+    "q_link_predict",
+    "q_snapshot_diff",
+    "q_ttr",
+    "q_dataset_card",
 }
 
 if __name__ == "__main__":

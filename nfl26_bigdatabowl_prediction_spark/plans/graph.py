@@ -219,3 +219,124 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # as operators/components.py's pointer-jumping loop).
         pr = pr.localCheckpoint(eager=False)
     return pr.select("part", F.col("pr_u").alias("pr_micro"))
+
+
+# --------------------------------------------------------------------------
+# Degree distribution — the first whole-graph diagnostic anyone runs
+# (power-law check, skew audit before choosing a partitioning).  Two
+# tiny hash aggs: per-node degree over the symmetric adjacency, then
+# a ≤|max degree| histogram.  Both map-side combine.
+# --------------------------------------------------------------------------
+@q(
+    "q_degree_dist",
+    f"""
+    WITH e AS ({_EDGE_SQL}),
+    adj AS (SELECT src AS part, dst AS nbr FROM e
+            UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT part, COUNT(*) AS deg FROM adj GROUP BY part)
+    SELECT CAST(deg AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM deg GROUP BY 1
+    """,
+)
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    adj = e.select(F.col("src").alias("part")).unionAll(
+        e.select(F.col("dst").alias("part"))
+    )
+    deg = adj.groupBy("part").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.groupBy(F.col("deg").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Link-prediction scores — common-neighbor count and Jaccard
+# similarity for every EXISTING edge (the self-audit variant: how
+# cohesive is each observed link).  Common neighbors per edge fall
+# out of the same ordered-wedge triangle enumeration as
+# q_triangle_count — each triangle (a<b<c) credits its three edges
+# (a,b) (a,c) (b,c) — so the quadratic neighbor-set intersection
+# never materializes.  Jaccard = cn / (deg(a)+deg(b)−cn) is an
+# exact-int ratio (neighbor sets include the endpoints' own link,
+# hence no −2 correction).
+# --------------------------------------------------------------------------
+@q(
+    "q_link_predict",
+    f"""
+    WITH e AS ({_EDGE_SQL}),
+    adj AS (SELECT src AS part, dst AS nbr FROM e
+            UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT part, COUNT(*) AS deg FROM adj GROUP BY part),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1
+        JOIN e e2 ON e1.dst = e2.src
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    pair_cn AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cn FROM (
+            SELECT a AS src, b AS dst FROM tri
+            UNION ALL SELECT a, c FROM tri
+            UNION ALL SELECT b, c FROM tri
+        ) GROUP BY 1, 2
+    )
+    SELECT e.src, e.dst,
+           CAST(COALESCE(p.cn, 0) AS BIGINT) AS common_neighbors,
+           round(1.0 * COALESCE(p.cn, 0)
+                 / (ds.deg + dd.deg - COALESCE(p.cn, 0)), 6) AS jaccard
+    FROM e
+    LEFT JOIN pair_cn p ON p.src = e.src AND p.dst = e.dst
+    JOIN deg ds ON ds.part = e.src
+    JOIN deg dd ON dd.part = e.dst
+    """,
+)
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir).cache()
+    n_e = e.count()
+    b = F.broadcast if n_e <= 5_000_000 else (lambda d: d)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(b(e2), F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            b(e3),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    pair_cn = (
+        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+        .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    adj = e.select(F.col("src").alias("part")).unionAll(
+        e.select(F.col("dst").alias("part"))
+    )
+    deg = adj.groupBy("part").agg(F.count(F.lit(1)).alias("deg"))
+    cn = F.coalesce(F.col("cn"), F.lit(0))
+    return (
+        e.join(b(pair_cn), ["src", "dst"], "left")
+        .join(
+            F.broadcast(deg.select(F.col("part"), F.col("deg").alias("deg_src"))),
+            F.col("src") == F.col("part"),
+        )
+        .drop("part")
+        .join(
+            F.broadcast(deg.select(F.col("part"), F.col("deg").alias("deg_dst"))),
+            F.col("dst") == F.col("part"),
+        )
+        .select(
+            "src",
+            "dst",
+            cn.cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.lit(1.0) * cn / (F.col("deg_src") + F.col("deg_dst") - cn), 6
+            ).alias("jaccard"),
+        )
+    )

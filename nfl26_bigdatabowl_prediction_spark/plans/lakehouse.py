@@ -192,3 +192,101 @@ def q_cdc_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
         )
     )
+
+
+DIFF_T1_US = ASOF_SNAPSHOT_US  # 2024-01-15T00:00:00Z
+DIFF_T2_US = 1_706_140_800_000_000  # 2024-01-25T00:00:00Z
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff — what changed between two time-travel snapshots of
+# the CDC log (the audit query behind "show me the delta between
+# Monday's and Friday's table").  Both snapshots come from ONE scan
+# with ts <= T2 pushed to the parquet reader (history prefix only);
+# the T1 snapshot is the same latest-per-key window restricted to
+# ts <= T1 rows.  A key is live if its latest op is an upsert
+# ('error' plays the delete).  One user-keyed exchange computes both
+# ranks; the diff classifier is a projection over the 1-row-per-key
+# result — no second scan, no join against the raw log.
+# --------------------------------------------------------------------------
+@q(
+    "q_snapshot_diff",
+    f"""
+    WITH ranked AS (
+        SELECT user_id, value, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC
+               ) AS rn2,
+               CASE WHEN epoch_us(ts) <= {DIFF_T1_US} THEN
+                   row_number() OVER (
+                       PARTITION BY user_id,
+                                    CASE WHEN epoch_us(ts) <= {DIFF_T1_US}
+                                         THEN 1 ELSE 0 END
+                       ORDER BY epoch_us(ts) DESC, event_id DESC
+                   ) END AS rn1
+        FROM events WHERE epoch_us(ts) <= {DIFF_T2_US}
+    ), snap AS (
+        SELECT user_id,
+               MAX(CASE WHEN rn1 = 1 AND op = 'U' THEN value END) AS v1,
+               MAX(CASE WHEN rn1 = 1 THEN op END) AS op1,
+               MAX(CASE WHEN rn2 = 1 AND op = 'U' THEN value END) AS v2,
+               MAX(CASE WHEN rn2 = 1 THEN op END) AS op2
+        FROM ranked GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN COALESCE(op1, 'D') = 'D' THEN 'added'
+                WHEN op2 = 'D' THEN 'removed'
+                ELSE 'updated' END AS change,
+           v1 AS value_before, v2 AS value_after
+    FROM snap
+    WHERE (COALESCE(op1, 'D') <> 'D' OR COALESCE(op2, 'D') <> 'D')
+      AND NOT (COALESCE(op1, 'D') = 'U' AND COALESCE(op2, 'D') = 'U'
+               AND v1 = v2)
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import events_asof
+
+    ev = events_asof(spark, sf_dir, DIFF_T2_US).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    op = F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    in_t1 = F.when(F.col("ts") <= DIFF_T1_US, 1).otherwise(0)
+    w2 = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    w1 = Window.partitionBy("user_id", "in_t1").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = (
+        ev.withColumn("op", op)
+        .withColumn("in_t1", in_t1)
+        .withColumn("rn2", F.row_number().over(w2))
+        .withColumn(
+            "rn1",
+            F.when(F.col("in_t1") == 1, F.row_number().over(w1)),
+        )
+    )
+    is1 = F.col("rn1") == 1
+    is2 = F.col("rn2") == 1
+    snap = ranked.groupBy("user_id").agg(
+        F.max(F.when(is1 & (F.col("op") == "U"), F.col("value"))).alias("v1"),
+        F.max(F.when(is1, F.col("op"))).alias("op1"),
+        F.max(F.when(is2 & (F.col("op") == "U"), F.col("value"))).alias("v2"),
+        F.max(F.when(is2, F.col("op"))).alias("op2"),
+    )
+    live1 = F.coalesce(F.col("op1"), F.lit("D")) == "U"
+    live2 = F.col("op2") == "U"
+    return (
+        snap.filter(live1 | live2)
+        .filter(~(live1 & live2 & (F.col("v1") == F.col("v2"))))
+        .select(
+            "user_id",
+            F.when(~live1, "added")
+            .when(~live2, "removed")
+            .otherwise("updated")
+            .alias("change"),
+            F.col("v1").alias("value_before"),
+            F.col("v2").alias("value_after"),
+        )
+    )

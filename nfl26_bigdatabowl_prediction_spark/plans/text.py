@@ -1846,3 +1846,82 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(5 * F.col("n_inter") >= 3 * F.col("n_union"))
     )
+
+
+# --------------------------------------------------------------------------
+# Type-token ratio per document — the classic lexical-diversity
+# signal (low TTR ⇒ repetitive/boilerplate text; the per-doc
+# companion of q_repetition_score's trigram gate).  One explode +
+# per-doc two-count aggregate: n_types is countDistinct within the
+# doc_id group — the Expand is per-doc-sized, never corpus-wide.
+# The ratio is exact-int / exact-int.
+# --------------------------------------------------------------------------
+@q(
+    "q_ttr",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS_DUCK}) AS token FROM documents
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+           round(1.0 * COUNT(DISTINCT token) / COUNT(*), 6) AS ttr
+    FROM toks WHERE token <> ''
+    GROUP BY doc_id
+    """,
+)
+def q_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        _with_words(d, "doc_id")
+        .select("doc_id", F.explode("words").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("token").cast("bigint").alias("n_types"),
+        F.round(
+            F.lit(1.0) * F.countDistinct("token") / F.count(F.lit(1)), 6
+        ).alias("ttr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset card — the per-(source, lang) governance rollup a training
+# corpus publishes with its datasheet: volume, length stats, and the
+# share of docs passing a minimal quality gate (non-empty, ≥5 words).
+# ONE scan, map-side combined into |sources|×|langs| groups; exactly
+# the pre-aggregated summary a 100 TB corpus materializes once and
+# serves cheaply.  Mean length is the exact-int ratio; the gate rate
+# divides two exact counts.
+# --------------------------------------------------------------------------
+@q(
+    "q_dataset_card",
+    f"""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           round(1.0 * SUM(n_chars) / COUNT(*), 6) AS mean_chars,
+           CAST(SUM(CASE WHEN len({_WORDS_DUCK}) >= 5
+                          AND trim(text) <> '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           round(1.0 * SUM(CASE WHEN len({_WORDS_DUCK}) >= 5
+                                 AND trim(text) <> '' THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS pass_rate
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    gate = F.when(
+        (F.size(F.expr(_WORDS_SPARK)) >= 5) & (F.trim(F.col("text")) != ""), 1
+    ).otherwise(0)
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.lit(1.0) * F.sum("n_chars") / F.count(F.lit(1)), 6).alias(
+            "mean_chars"
+        ),
+        F.sum(gate).cast("bigint").alias("n_pass"),
+        F.round(F.lit(1.0) * F.sum(gate) / F.count(F.lit(1)), 6).alias("pass_rate"),
+    )
