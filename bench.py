@@ -232,6 +232,8 @@ HEADLINE = {
     "q_snapshot_diff",
     "q_ttr",
     "q_dataset_card",
+    "q_kmeans_step",
+    "q_ridge_fit",
 }
 
 if __name__ == "__main__":

@@ -643,3 +643,87 @@ def q_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Closed-form ridge regression — two features (hour-of-day, day-of-
+# week) plus intercept against the value target, trained in ONE scan:
+# the 3×3 normal-equation system is assembled from int64 power sums
+# (map-side combined into a single row) and solved by Cramer's rule
+# driver-free in the projection.  The distributed-training shape
+# ml/seqreg.py uses for the M9 sequence model, here as an
+# oracle-checkable query: MLlib's LinearRegression iterates to the
+# same solution, this computes it exactly.  λ = 1000 cents² on the
+# weight diagonal (intercept unpenalized).  All determinant
+# arithmetic is double with ONE shared op tree, so the result is
+# bitwise-portable.
+# --------------------------------------------------------------------------
+@q(
+    "q_ridge_fit",
+    """
+    WITH sums AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS a,
+               CAST(SUM((epoch_us(ts) // 3600000000) % 24) AS DOUBLE) AS b,
+               CAST(SUM((epoch_us(ts) // 86400000000) % 7) AS DOUBLE) AS c,
+               CAST(SUM(((epoch_us(ts) // 3600000000) % 24)
+                        * ((epoch_us(ts) // 3600000000) % 24)) AS DOUBLE)
+                 + 1000.0 AS d,
+               CAST(SUM(((epoch_us(ts) // 3600000000) % 24)
+                        * ((epoch_us(ts) // 86400000000) % 7)) AS DOUBLE) AS e,
+               CAST(SUM(((epoch_us(ts) // 86400000000) % 7)
+                        * ((epoch_us(ts) // 86400000000) % 7)) AS DOUBLE)
+                 + 1000.0 AS f,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) AS r0,
+               CAST(SUM(((epoch_us(ts) // 3600000000) % 24)
+                        * CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) AS r1,
+               CAST(SUM(((epoch_us(ts) // 86400000000) % 7)
+                        * CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) AS r2,
+               COUNT(*) AS n
+        FROM events
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((r0 * (d * f - e * e) - b * (r1 * f - e * r2)
+                  + c * (r1 * e - d * r2))
+                 / (a * (d * f - e * e) - b * (b * f - c * e)
+                    + c * (b * e - c * d)) / 100.0, 6) AS intercept,
+           round((a * (r1 * f - e * r2) - r0 * (b * f - e * c)
+                  + c * (b * r2 - r1 * c))
+                 / (a * (d * f - e * e) - b * (b * f - c * e)
+                    + c * (b * e - c * d)) / 100.0, 6) AS w_hour,
+           round((a * (d * r2 - r1 * e) - b * (b * r2 - r1 * c)
+                  + r0 * (b * e - d * c))
+                 / (a * (d * f - e * e) - b * (b * f - c * e)
+                    + c * (b * e - c * d)) / 100.0, 6) AS w_dow
+    FROM sums
+    """,
+)
+def q_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    x1 = (F.expr("ts div 3600000000") % 24).cast("bigint")
+    x2 = (F.expr("ts div 86400000000") % 7).cast("bigint")
+    y = F.round(F.col("value") * 100, 0).cast("bigint")
+    sums = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("a"),
+        F.sum(x1).cast("double").alias("b"),
+        F.sum(x2).cast("double").alias("c"),
+        (F.sum(x1 * x1).cast("double") + 1000.0).alias("d"),
+        F.sum(x1 * x2).cast("double").alias("e"),
+        (F.sum(x2 * x2).cast("double") + 1000.0).alias("f"),
+        F.sum(y).cast("double").alias("r0"),
+        F.sum(x1 * y).cast("double").alias("r1"),
+        F.sum(x2 * y).cast("double").alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    d, e, f = F.col("d"), F.col("e"), F.col("f")
+    r0, r1, r2 = F.col("r0"), F.col("r1"), F.col("r2")
+    det = a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d)
+    det0 = r0 * (d * f - e * e) - b * (r1 * f - e * r2) + c * (r1 * e - d * r2)
+    det1 = a * (r1 * f - e * r2) - r0 * (b * f - e * c) + c * (b * r2 - r1 * c)
+    det2 = a * (d * r2 - r1 * e) - b * (b * r2 - r1 * c) + r0 * (b * e - d * c)
+    return sums.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(det0 / det / 100.0, 6).alias("intercept"),
+        F.round(det1 / det / 100.0, 6).alias("w_hour"),
+        F.round(det2 / det / 100.0, 6).alias("w_dow"),
+    )

@@ -1809,7 +1809,20 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("words") >= 3)
         .select("doc_id", F.expr(_SHINGLES_FROM_WORDS).alias("els"))
         .select("doc_id", "els", F.size("els").alias("sz"))
+        # Materialize the shingle arrays ONCE: CollapseProject inlines
+        # the transform() into the downstream Generate, where it is
+        # re-evaluated per EMITTED element (O(|els|²) per doc —
+        # measured 13.7 s vs 0.3 s for the explode alone at sf0.1),
+        # and the plan consumes `els` three times (token explode +
+        # both verify arms).  Doc-id+shingles is the small derived
+        # table here (≤ corpus token footprint), safe to pin.
+        .cache()
     )
+    # Eager materialization: the three consumers live in ONE action,
+    # and a lazy cache lets each branch race to compute the shingles
+    # independently before the cache is populated (measured 12 s vs
+    # 4.5 s first-call at sf0.1).  Same pattern as q_triangle_count.
+    sized.count()
     tok = sized.select("doc_id", "sz", F.explode("els").alias("t"))
     df_tab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     ranked = tok.join(df_tab, "t").withColumn(

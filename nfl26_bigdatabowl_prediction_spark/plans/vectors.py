@@ -720,3 +720,99 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("within_int") / 1000000.0).alias("within_var"),
         (F.sum("sep_int") / 1000000.0).alias("centroid_sep"),
     )
+
+
+# --------------------------------------------------------------------------
+# One exact k-means (Lloyd) iteration, fully relational — the
+# oracle-checkable twin of the MLlib fit behind q_embed_kmeans
+# (rows-only by contract).  K=4 deterministic seeds (vec_id 0..3)
+# broadcast as a 4-row side; assignment = argmin squared L2 over the
+# 4 candidates, frozen to integer micros with (dist, seed) tie-break;
+# new centroid components are exact int-ratio means per (cluster,
+# dim).  Scale: the 4-row nested-loop broadcast is O(K·n) — the
+# canonical assignment plan at any corpus size; the component agg is
+# map-side combined into K·dim groups.  Chain the iteration to taste:
+# each round is this same plan with the previous round's centroids
+# broadcast back in.
+# --------------------------------------------------------------------------
+@q(
+    "q_kmeans_step",
+    f"""
+    WITH seeds AS (
+        SELECT vec_id AS sid, embedding AS se FROM embeddings WHERE vec_id < 4
+    ), scored AS (
+        SELECT v.vec_id, v.embedding, s.sid,
+               CAST(round(({_dot_duck('v.embedding', 'v.embedding')}
+                           - 2 * {_dot_duck('v.embedding', 's.se')}
+                           + {_dot_duck('s.se', 's.se')}) * 1000000, 0) AS BIGINT)
+                 AS dist_micro
+        FROM embeddings v CROSS JOIN seeds s
+    ), assigned AS (
+        SELECT vec_id, embedding, sid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist_micro ASC, sid ASC) AS rn
+            FROM scored)
+        WHERE rn = 1
+    ), comps AS (
+        SELECT sid, i,
+               SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT))
+                 AS s,
+               COUNT(*) AS n
+        FROM assigned, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY sid, i
+    )
+    SELECT CAST(sid AS BIGINT) AS cluster, CAST(i AS BIGINT) AS dim,
+           (1.0 * s / n) / 1000000.0 AS centroid_comp,
+           CAST(n AS BIGINT) AS n_members
+    FROM comps
+    """,
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
+    )
+    scored = e.select("vec_id", "embedding").crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "sid",
+        F.round(
+            (
+                F.expr(_dot_spark("embedding", "embedding"))
+                - 2 * F.expr(_dot_spark("embedding", "se"))
+                + F.expr(_dot_spark("se", "se"))
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("dist_micro"),
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("dist_micro").asc(), F.col("sid").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("sid", "embedding")
+    )
+    comps = (
+        assigned.select(
+            "sid", F.posexplode(F.col("embedding")).alias("i0", "x")
+        )
+        .select(
+            "sid",
+            (F.col("i0") + 1).alias("i"),
+            F.round(F.col("x").cast("double") * 1000000, 0)
+            .cast("bigint")
+            .alias("xm"),
+        )
+        .groupBy("sid", "i")
+        .agg(F.sum("xm").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return comps.select(
+        F.col("sid").cast("bigint").alias("cluster"),
+        F.col("i").cast("bigint").alias("dim"),
+        ((F.lit(1.0) * F.col("s") / F.col("n")) / 1000000.0).alias("centroid_comp"),
+        F.col("n").cast("bigint").alias("n_members"),
+    )
