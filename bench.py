@@ -234,6 +234,9 @@ HEADLINE = {
     "q_dataset_card",
     "q_kmeans_step",
     "q_ridge_fit",
+    "q_nth_value",
+    "q_path_topn",
+    "q_bfs_levels",
 }
 
 if __name__ == "__main__":

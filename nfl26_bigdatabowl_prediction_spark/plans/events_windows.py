@@ -1407,3 +1407,96 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.coalesce(F.col("pv"), F.col("nv")))
         .alias("v_interp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Window-surface completion — nth_value / first_value / cume_dist on
+# the shared trajectory window (the three frame functions the W-suite
+# had not yet exercised; q_rank_fns covers the rank family, q_ffill
+# the IGNORE NULLS family).  One user-keyed exchange like every §2.5
+# query.
+# --------------------------------------------------------------------------
+@q(
+    "q_nth_value",
+    """
+    SELECT event_id, user_id,
+           NTH_VALUE(CAST(round(value * 100, 0) AS BIGINT), 3) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_vc,
+           FIRST_VALUE(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+           round(CUME_DIST() OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 6) AS cdist
+    FROM events
+    """,
+)
+def q_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.nth_value(vc, 3).over(wf).alias("third_vc"),
+        F.first("event_type").over(wf).alias("first_type"),
+        F.round(F.cume_dist().over(wo), 6).alias("cdist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Path mining — corpus top-10 three-step event-type paths (the
+# navigation-analysis aggregate behind "what do users do next-next").
+# Two leads on the shared user exchange build the path string; the
+# path histogram is map-side combined (≤|event types|³ keys) and the
+# top-10 compiles to TakeOrderedAndProject — never a full sort.
+# --------------------------------------------------------------------------
+@q(
+    "q_path_topn",
+    """
+    WITH steps AS (
+        SELECT user_id,
+               event_type
+                 || '>' || LEAD(event_type, 1) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                 || '>' || LEAD(event_type, 2) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                 AS path
+        FROM events
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM steps WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path ASC
+    LIMIT 10
+    """,
+)
+def q_path_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    steps = ev.select(
+        "user_id",
+        path.alias("path"),
+        F.lead("event_type", 2).over(w).alias("l2"),
+    ).filter(F.col("l2").isNotNull())
+    return (
+        steps.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(10)
+    )

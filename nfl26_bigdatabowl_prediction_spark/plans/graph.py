@@ -340,3 +340,59 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BFS levels — 3-hop frontier expansion from a deterministic seed
+# (the smallest part key in the edge set): the traversal primitive
+# behind "what can this node reach in k hops".  Complements
+# q_dedup_components (global min-label convergence) with the
+# SEED-ROOTED iteration: each round joins the frontier (broadcast —
+# frontier ≤ reachable set, node-sized) against the adjacency, anti-
+# joins the visited set, and localCheckpoints to truncate lineage —
+# the same fixed-iteration discipline as q_pagerank.  The oracle is
+# the recursive-CTE spelling (UNION dedupes per level, min(level)
+# collapses revisits).
+# --------------------------------------------------------------------------
+@q(
+    "q_bfs_levels",
+    f"""
+    WITH RECURSIVE e AS ({_EDGE_SQL}),
+    adj AS (SELECT src AS part, dst AS nbr FROM e
+            UNION ALL SELECT dst, src FROM e),
+    seed AS (SELECT MIN(part) AS s FROM adj),
+    bfs AS (
+        SELECT (SELECT s FROM seed) AS part, 0 AS lvl
+        UNION
+        SELECT adj.nbr, bfs.lvl + 1
+        FROM bfs JOIN adj ON adj.part = bfs.part
+        WHERE bfs.lvl < 3
+    )
+    SELECT part, CAST(MIN(lvl) AS BIGINT) AS level
+    FROM bfs GROUP BY part
+    """,
+)
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    adj = e.select(F.col("src").alias("part"), F.col("dst").alias("nbr")).unionAll(
+        e.select(F.col("dst").alias("part"), F.col("src").alias("nbr"))
+    ).cache()
+    seed = adj.agg(F.min("part")).first()[0]  # 1-row driver fetch, like q_pagerank's n
+    visited = (
+        adj.sparkSession.createDataFrame([(seed, 0)], "part bigint, level int")
+    )
+    frontier = visited
+    for lvl in range(1, 4):
+        frontier = (
+            adj.join(
+                F.broadcast(frontier.select(F.col("part").alias("f"))),
+                F.col("part") == F.col("f"),
+            )
+            .select(F.col("nbr").alias("part"))
+            .distinct()
+            .join(visited.select("part"), "part", "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+    return visited.select("part", F.col("level").cast("bigint").alias("level"))
