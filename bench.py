@@ -237,6 +237,7 @@ HEADLINE = {
     "q_nth_value",
     "q_path_topn",
     "q_bfs_levels",
+    "q_stream_cdc_upsert",
 }
 
 if __name__ == "__main__":

@@ -366,3 +366,39 @@ def q_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         join_type="leftOuter",
     )
     return run_available_now(joined, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC upsert (foreachBatch MERGE): each micro-batch appends
+# its per-key latest change row to a delta log; the reader
+# reconstructs the current table (latest wins, trailing delete drops
+# the key).  The streaming face of q_cdc_apply / q_merge_upsert —
+# per-key global latest equals latest-among-batch-winners, so the
+# materialized table is bit-identical to the batch CDC apply the
+# oracle computes.  Replay-idempotent like the rollup MV (DISTINCT
+# over byte-identical replayed winners).
+# --------------------------------------------------------------------------
+@q(
+    "q_stream_cdc_upsert",
+    """
+    WITH ranked AS (
+        SELECT user_id, value, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, value AS value_current, ts_us AS updated_us
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming import incremental_cdc_table, read_cdc_table
+
+    path = tempfile.mkdtemp(prefix="cdc_upsert_") + "/log"
+    incremental_cdc_table(events_stream(spark, sf_dir), path)
+    return read_cdc_table(spark, path)

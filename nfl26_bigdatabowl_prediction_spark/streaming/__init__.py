@@ -27,8 +27,11 @@ from .stateful import streaming_ewm, streaming_running_stats
 from .run import run_available_now
 from .sink import (
     compact_rollup,
+    incremental_cdc_table,
     incremental_hourly_rollup,
+    read_cdc_table,
     read_hourly_rollup,
+    write_key_upserts,
     write_hourly_partials,
 )
 
@@ -44,7 +47,10 @@ __all__ = [
     "streaming_running_stats",
     "run_available_now",
     "compact_rollup",
+    "incremental_cdc_table",
     "incremental_hourly_rollup",
+    "read_cdc_table",
     "read_hourly_rollup",
+    "write_key_upserts",
     "write_hourly_partials",
 ]

@@ -119,3 +119,72 @@ def compact_rollup(spark: SparkSession, src_path: str, dst_path: str) -> None:
         .write.mode("overwrite")
         .parquet(dst_path)
     )
+
+
+def write_key_upserts(batch_df: DataFrame, batch_id: int, path: str) -> None:
+    """One micro-batch → its per-key LATEST change row (the batch-local
+    CDC winner), appended with the batch id.  Per-key global latest =
+    latest among batch winners (each row lives in exactly one batch),
+    so readers reconstruct the table from winners only — the delta log
+    stays per-key-per-batch sized, never raw-row sized.  Replay-safe
+    like write_hourly_partials: a replayed batch appends byte-identical
+    winner rows and the reader's DISTINCT collapses them."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    (
+        batch_df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "value",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def incremental_cdc_table(
+    events: DataFrame, path: str, timeout_sec: int = 300
+) -> None:
+    """Drain the events stream into the per-key upsert delta log at
+    ``path`` (Trigger.AvailableNow) — the streaming MERGE INTO."""
+    ckpt = tempfile.mkdtemp(prefix="spark_ckpt_cdc_")
+    query = (
+        events.writeStream.foreachBatch(
+            lambda bdf, bid: write_key_upserts(bdf, bid, path)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    if query.isActive:  # pragma: no cover - defensive
+        query.stop()
+        raise TimeoutError(f"incremental CDC table did not drain in {timeout_sec}s")
+
+
+def read_cdc_table(spark: SparkSession, path: str) -> DataFrame:
+    """Materialize the current table from the upsert log: DISTINCT
+    collapses replayed batches, per-key latest (ts, event_id) wins,
+    a trailing delete drops the key."""
+    from pyspark.sql.window import Window as W
+
+    partials = spark.read.parquet(path).distinct()
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        partials.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("value").alias("value_current"),
+            F.col("ts").alias("updated_us"),
+        )
+    )

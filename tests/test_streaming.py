@@ -340,3 +340,73 @@ def test_compacted_rollup_preserves_view_and_shrinks_files(spark, tmp_path):
     write_hourly_partials(b.filter(F.col("event_id") % 3 == 0), 99, compacted)
     grown = read_hourly_rollup(spark, compacted)
     assert int(grown.agg(F.sum("n_events")).first()[0]) > n
+
+
+def test_incremental_cdc_table_is_replay_idempotent(spark, tmp_path):
+    """The foreachBatch CDC-upsert sink must (a) reconstruct exactly
+    the batch latest-per-key table after draining a multi-batch
+    stream and (b) stay bit-identical when one batch's winner rows
+    are re-appended with the same batch_id (failure replay)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from nfl26_bigdatabowl_prediction_spark.sources.io import normalize_ts, table
+    from nfl26_bigdatabowl_prediction_spark.streaming import (
+        events_stream,
+        incremental_cdc_table,
+        read_cdc_table,
+        write_key_upserts,
+    )
+
+    raw = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    src = tmp_path / "ev_cdc"
+    src.mkdir()
+    n = len(raw)
+    for i in range(4):
+        raw.iloc[i * n // 4 : (i + 1) * n // 4].to_parquet(
+            src / f"chunk{i}.parquet", index=False
+        )
+        _time.sleep(0.05)
+
+    log = str(tmp_path / "cdc_log")
+    incremental_cdc_table(
+        events_stream(spark, str(src), max_files_per_trigger=1, glob="chunk*.parquet"),
+        log,
+    )
+    got = read_cdc_table(spark, log).toPandas().sort_values("user_id")
+
+    ev = table(spark, SF_DIR, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = (
+        ev.withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("value").alias("value_current"),
+            F.col("ts").alias("updated_us"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+    )
+    assert len(got) == len(want) > 0
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (got["value_current"].to_numpy() == want["value_current"].to_numpy()).all()
+    assert (got["updated_us"].to_numpy() == want["updated_us"].to_numpy()).all()
+
+    # replay batch 0: identical winner rows with the same batch_id —
+    # the materialized table must not move.
+    batch0 = normalize_ts(spark.read.parquet(str(src / "chunk0.parquet")))
+    write_key_upserts(batch0, 0, log)
+    again = read_cdc_table(spark, log).toPandas().sort_values("user_id")
+    assert (again["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (again["value_current"].to_numpy() == want["value_current"].to_numpy()).all()
