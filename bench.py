@@ -238,6 +238,8 @@ HEADLINE = {
     "q_path_topn",
     "q_bfs_levels",
     "q_stream_cdc_upsert",
+    "q_group_entropy",
+    "q_mutual_info",
 }
 
 if __name__ == "__main__":

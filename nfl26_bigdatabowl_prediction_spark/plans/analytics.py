@@ -881,3 +881,129 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(F.col("s_c") > 20000).select(
         "event_id", "user_id", (F.col("s_c") / 100.0).alias("s_stat")
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral entropy per user — Shannon entropy of each user's
+# event-type distribution (low entropy ⇒ single-purpose bots, high ⇒
+# diverse organic use; the per-group face of q_char_entropy).  The
+# fact scan collapses to (user, type) counts (map-side combined);
+# the per-user total rides a window over that tiny table.  Each ln
+# term is rounded to integer micro-nats BEFORE the per-user sum —
+# the libm rule — so the aggregate is order-free.
+# --------------------------------------------------------------------------
+@q(
+    "q_group_entropy",
+    """
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT user_id, event_type, c,
+               SUM(c) OVER (PARTITION BY user_id) AS n
+        FROM counts
+    )
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(-(1.0 * c / n) * ln(1.0 * c / n) * 1000000, 0)
+                         AS BIGINT)) AS BIGINT) / 1000000.0 AS entropy_nats
+    FROM tot GROUP BY user_id
+    """,
+)
+def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("user_id"))
+    )
+    p = F.lit(1.0) * F.col("c") / F.col("n")
+    term_u = F.round(-p * F.log(p) * 1000000, 0).cast("bigint")
+    return tot.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        (F.sum(term_u).cast("bigint") / 1000000.0).alias("entropy_nats"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual information between the A/B variant and conversion — the
+# information-theoretic companion of q_ab_test's z-test and
+# q_crosstab's chi-square: how many nats the variant actually tells
+# you about converting.  The 2×2 contingency cells pivot wide into
+# ONE row, so the four ln terms evaluate in a single projection with
+# a fixed op order — deterministic without per-term rounding.
+# --------------------------------------------------------------------------
+@q(
+    "q_mutual_info",
+    """
+    WITH per_user AS (
+        SELECT user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT variant, converted, COUNT(*) AS c
+        FROM per_user GROUP BY 1, 2
+    ), wide AS (
+        SELECT MAX(CASE WHEN variant = 0 AND converted = 0 THEN c ELSE 0 END) AS c00,
+               MAX(CASE WHEN variant = 0 AND converted = 1 THEN c ELSE 0 END) AS c01,
+               MAX(CASE WHEN variant = 1 AND converted = 0 THEN c ELSE 0 END) AS c10,
+               MAX(CASE WHEN variant = 1 AND converted = 1 THEN c ELSE 0 END) AS c11
+        FROM cells
+    )
+    SELECT CAST(c00 + c01 + c10 + c11 AS BIGINT) AS n,
+           round(
+             (CASE WHEN c00 > 0 THEN (1.0 * c00 / (c00 + c01 + c10 + c11))
+                  * ln((1.0 * c00 * (c00 + c01 + c10 + c11))
+                       / ((c00 + c01) * (c00 + c10))) ELSE 0 END)
+           + (CASE WHEN c01 > 0 THEN (1.0 * c01 / (c00 + c01 + c10 + c11))
+                  * ln((1.0 * c01 * (c00 + c01 + c10 + c11))
+                       / ((c00 + c01) * (c01 + c11))) ELSE 0 END)
+           + (CASE WHEN c10 > 0 THEN (1.0 * c10 / (c00 + c01 + c10 + c11))
+                  * ln((1.0 * c10 * (c00 + c01 + c10 + c11))
+                       / ((c10 + c11) * (c00 + c10))) ELSE 0 END)
+           + (CASE WHEN c11 > 0 THEN (1.0 * c11 / (c00 + c01 + c10 + c11))
+                  * ln((1.0 * c11 * (c00 + c01 + c10 + c11))
+                       / ((c10 + c11) * (c01 + c11))) ELSE 0 END), 6)
+             AS mi_nats
+    FROM wide
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy((F.col("user_id") % 2).alias("variant"), "user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    cells = per_user.groupBy("variant", "converted").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wide = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("variant") == v) & (F.col("converted") == k), F.col("c")
+                ).otherwise(0)
+            ).alias(f"c{v}{k}")
+            for v in (0, 1)
+            for k in (0, 1)
+        ]
+    )
+    c00, c01 = F.col("c00"), F.col("c01")
+    c10, c11 = F.col("c10"), F.col("c11")
+    n = c00 + c01 + c10 + c11
+    r0, r1 = c00 + c01, c10 + c11
+    k0, k1 = c00 + c10, c01 + c11
+    def term(c, r, k):
+        return F.when(
+            c > 0, (F.lit(1.0) * c / n) * F.log((F.lit(1.0) * c * n) / (r * k))
+        ).otherwise(0.0)
+    return wide.select(
+        n.cast("bigint").alias("n"),
+        F.round(
+            term(c00, r0, k0) + term(c01, r0, k1)
+            + term(c10, r1, k0) + term(c11, r1, k1),
+            6,
+        ).alias("mi_nats"),
+    )
