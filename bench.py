@@ -240,6 +240,8 @@ HEADLINE = {
     "q_stream_cdc_upsert",
     "q_group_entropy",
     "q_mutual_info",
+    "q_pandas_scalar",
+    "q_bpe_pairs",
 }
 
 if __name__ == "__main__":

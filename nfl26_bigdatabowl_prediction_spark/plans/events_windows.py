@@ -1500,3 +1500,41 @@ def q_path_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Arrow scalar pandas_udf (U1's explicit UDF face) — the reference's
+# per-element lambdas (height parse main_cuda.py:161, angle wrap
+# nn-mps.py:217-219) are expressed as native exprs wherever possible
+# (q_str_parse); THIS query exercises the escape hatch itself: a
+# vectorized numpy kernel behind @pandas_udf, Arrow-batched, for the
+# decayed-oscillation score sin(v/10)·exp(−v/100).  libm-adjacent ⇒
+# round 6 on both sides (the house rule).  Scale: scan-side, zero
+# shuffle; ArrowEvalPython batches ~10k rows per call — the slow path
+# done as fast as the slow path goes.
+# --------------------------------------------------------------------------
+@q(
+    "q_pandas_scalar",
+    """
+    SELECT event_id, value,
+           round(sin(value / 10.0) * exp(-value / 100.0), 6) AS osc_score
+    FROM events
+    """,
+)
+def q_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def osc(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # raw product only — the round-6 freeze happens JVM-side with
+        # F.round (half-up), matching the oracle; np.round is
+        # half-EVEN and would diverge on exact .5 boundaries.
+        return pd.Series(np.sin(v / 10.0) * np.exp(-v / 100.0))
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "value", F.round(osc(F.col("value")), 6).alias("osc_score")
+    )

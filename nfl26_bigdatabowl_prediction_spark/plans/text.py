@@ -1938,3 +1938,49 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(gate).cast("bigint").alias("n_pass"),
         F.round(F.lit(1.0) * F.sum(gate) / F.count(F.lit(1)), 6).alias("pass_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE pair statistics — corpus-wide adjacent character-pair counts
+# within words: the first merge step of byte-pair-encoding tokenizer
+# training (the op a tokenizer-training pipeline fans out before each
+# merge round).  Scale shape: words explode scan-side, the char-pair
+# fan-out is another scan-side Generate over substr (no join), and
+# the pair histogram is map-side combined (alphabet² keys at most);
+# top-20 compiles to TakeOrderedAndProject.  Each merge round at
+# 100 TB is this same plan over the re-segmented corpus.
+# --------------------------------------------------------------------------
+@q(
+    "q_bpe_pairs",
+    f"""
+    WITH words AS (
+        SELECT unnest({_WORDS_DUCK}) AS w FROM documents
+    ), pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substr(w, i, 2))) AS pair
+        FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = (
+        _with_words(d)
+        .select(F.explode("words").alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(20)
+    )

@@ -56,3 +56,20 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() >= 0
     assert len(df.columns) >= 2
+
+
+def test_driver_window_rotation_front_loads_pending():
+    """The driver verifies the first 50 queries() entries in insertion
+    order; the rotation contract is that every query WITHOUT a green
+    driver row from a prior round sorts before every query WITH one,
+    so each round's window spends its 50 slots on new evidence."""
+    qs = E.queries()
+    names = list(qs)
+    pending = [n for n in names if n not in E._DRIVER_GREEN]
+    done = [n for n in names if n in E._DRIVER_GREEN]
+    assert names == pending + done
+    # the rotation only matters while ungreen queries remain
+    if len(pending) >= 50:
+        assert all(n not in E._DRIVER_GREEN for n in names[:50])
+    # _DRIVER_GREEN must only name real queries (no typos going stale)
+    assert set(E._DRIVER_GREEN) <= set(qs)
