@@ -242,6 +242,8 @@ HEADLINE = {
     "q_mutual_info",
     "q_pandas_scalar",
     "q_bpe_pairs",
+    "q_expanding",
+    "q_spearman",
 }
 
 if __name__ == "__main__":

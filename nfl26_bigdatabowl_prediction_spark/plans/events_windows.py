@@ -1538,3 +1538,122 @@ def q_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "value", F.round(osc(F.col("value")), 6).alias("osc_score")
     )
+
+
+# --------------------------------------------------------------------------
+# Expanding (cumulative) mean/std per user — the pandas
+# `.expanding()` family the reference's rolling/EWM suite implies,
+# expressed as exact integer prefix sums on the shared trajectory
+# exchange: mean = cumsum/cumcount, variance from the cumulative
+# power sums (n·Σx² − (Σx)²)/(n(n−1)).  The squared numerator is
+# cast to double before the division (int64 would overflow at
+# corpus scale); guard n ≥ 2 for the std.
+# --------------------------------------------------------------------------
+@q(
+    "q_expanding",
+    """
+    WITH cum AS (
+        SELECT event_id, user_id,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS s,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)
+                   * CAST(round(value * 100, 0) AS BIGINT)) OVER w AS ss,
+               COUNT(*) OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, CAST(n AS BIGINT) AS n,
+           round(1.0 * s / n / 100.0, 6) AS exp_mean,
+           CASE WHEN n >= 2 THEN
+               round(sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                          / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 6)
+           END AS exp_std
+    FROM cum
+    """,
+)
+def q_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = ev.select(
+        "event_id",
+        "user_id",
+        F.sum(vc).over(w).alias("s"),
+        F.sum(vc * vc).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (n.cast("double") * ss - s.cast("double") * s) / (
+        n.cast("double") * (n - 1)
+    )
+    return cum.select(
+        "event_id",
+        "user_id",
+        n.cast("bigint").alias("n"),
+        F.round(F.lit(1.0) * s / n / 100.0, 6).alias("exp_mean"),
+        F.when(n >= 2, F.round(F.sqrt(var) / 100.0, 6)).alias("exp_std"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation per event type — monotone association
+# between event time-order and value: rank both variables inside the
+# group (average-rank ties via RANK + COUNT arithmetic would be
+# needed for value ties, so value ranks use ROW_NUMBER over the
+# (value, event_id) total order — deterministic and identical on both
+# engines), then exact Pearson over the integer ranks from power
+# sums.  Two windows + one agg on a single event_type exchange.
+# --------------------------------------------------------------------------
+@q(
+    "q_spearman",
+    """
+    WITH ranked AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY epoch_us(ts), event_id) AS rx,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS ry
+        FROM events
+    ), sums AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+        FROM ranked GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+    FROM sums WHERE n >= 2
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wx = W.partitionBy("event_type").orderBy("ts", "event_id")
+    wy = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.filter(n >= 2).select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("spearman_rho"),
+    )
