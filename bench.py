@@ -244,6 +244,7 @@ HEADLINE = {
     "q_bpe_pairs",
     "q_expanding",
     "q_spearman",
+    "q_listagg",
 }
 
 if __name__ == "__main__":

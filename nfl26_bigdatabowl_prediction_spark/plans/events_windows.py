@@ -1657,3 +1657,31 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("spearman_rho"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation (Spark 4 LISTAGG WITHIN GROUP) — each
+# user's full event-type sequence as one delimited string: the
+# order-SENSITIVE aggregate class (every other agg in the suite is
+# order-free by design; this one declares its order and the engine
+# must sort within the group).  The companion of q_collect_traj's
+# sorted arrays, for consumers that want flat strings (session
+# replay, sequence export).  One hash shuffle on user_id.
+# --------------------------------------------------------------------------
+@q(
+    "q_listagg",
+    """
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS type_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr(
+            "listagg(event_type, ',') WITHIN GROUP (ORDER BY ts, event_id)"
+        ).alias("type_seq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
