@@ -259,9 +259,13 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # Prune the orders side to the region's customers BEFORE the
+    # orderkey fact-fact join: the broadcast semi-shape shrinks the
+    # build side to the region fraction, and AQE's runtime stats see
+    # the reduced size when planning the big join.
+    o_asia = o.join(F.broadcast(asia_cust), o.o_custkey == F.col("c_custkey"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o_asia, li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
         .agg(
@@ -508,13 +512,20 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_brand") == "Brand#12")
         .select("p_partkey")
     )
-    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+    # Restrict the fact scan to the brand's parts BEFORE the per-part
+    # average: the threshold is per partkey, so a broadcast semi join
+    # on the filtered part dimension keeps exactly the rows that
+    # matter and the agg runs over 1/|brands| of lineitem — at 100 TB
+    # this is the difference between a full-fact and a brand-sized
+    # shuffle.  (Identical result: the final join restricts to these
+    # parts anyway.)
+    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    avg_qty = li_b.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         F.sum(cents(F.col("l_quantity"))).alias("sum_qc"),
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_qty), li.l_partkey == F.col("a_partkey"))
+        li_b.join(F.broadcast(avg_qty), li_b.l_partkey == F.col("a_partkey"))
         .filter(
             F.col("l_quantity")
             < F.col("sum_qc") / F.col("cnt") / F.lit(500.0)
