@@ -245,6 +245,8 @@ HEADLINE = {
     "q_expanding",
     "q_spearman",
     "q_listagg",
+    "q_decimal_agg",
+    "q_interval_arith",
 }
 
 if __name__ == "__main__":

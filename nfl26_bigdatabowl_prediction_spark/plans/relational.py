@@ -2416,3 +2416,92 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# DECIMAL-typed exact aggregation — the suite's integer-cents rule is
+# ONE exactness strategy; this query exercises the other: native
+# DECIMAL(18,2) arithmetic, where the engine itself guarantees exact
+# scale-2 sums in any aggregation order.  Both engines parse the
+# price into DECIMAL at the scan, sum exactly, and emit DECIMAL —
+# the division to currency units happens AFTER the exact sum, in
+# double on both engines (DuckDB's decimal/int division degrades to
+# double, so dividing per-row would re-introduce float summation).
+# Scale note: Spark's decimal sums carry precision widening (sum of
+# (18,0) is (28,0)) through partial aggregation — exact at any fan-in.
+# --------------------------------------------------------------------------
+@q(
+    "q_decimal_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                         AS DECIMAL(18, 0))) AS DOUBLE) / 100 AS gross,
+           CAST(SUM(CAST(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                              AS BIGINT) AS DECIMAL(18, 0))) AS DOUBLE) / 100 AS net,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    gross_d = cents(F.col("l_extendedprice")).cast(T.DecimalType(18, 0))
+    net_d = cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        T.DecimalType(18, 0)
+    )
+    # The DECIMAL sums are exact in any aggregation order; the final
+    # cast to DOUBLE is for the cross-engine compare only (DuckDB's
+    # fetchdf renders DECIMAL as float64, Spark's toPandas as Decimal
+    # objects — same value, different pandas dtype, and the driver's
+    # value hash is type-sensitive).
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(gross_d).cast("double") / 100).alias("gross"),
+        (F.sum(net_d).cast("double") / 100).alias("net"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval / calendar arithmetic surface — the date-math companions of
+# q_date_parts' extraction: day-interval addition, calendar-aware
+# month addition (both engines clamp to month end), day difference
+# against an epoch literal, and month span.  Timestamps emit as
+# formatted strings (the module convention — engine-native epoch
+# rendering is timezone-dependent); everything else is exact integer.
+# Scan-side, zero shuffle.  NB: the oracle spells the +90d as epoch
+# arithmetic, not INTERVAL — DuckDB 1.0.0's common-subexpression
+# elimination wrongly unifies two different INTERVAL literals added
+# to the same column in one SELECT (t + INTERVAL 90 DAY and
+# t + INTERVAL 3 MONTH both evaluate to the first).
+# --------------------------------------------------------------------------
+@q(
+    "q_interval_arith",
+    """
+    SELECT o_orderkey,
+           strftime(to_timestamp(epoch_us(o_orderdate) / 1000000 + 7776000),
+                    '%Y-%m-%d') AS due_90d,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS due_3mo,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch,
+           CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT)
+             AS months_since_epoch
+    FROM orders
+    """,
+)
+def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd"
+        ).alias("due_90d"),
+        F.date_format(F.add_months(F.col("o_orderdate"), 3), "yyyy-MM-dd").alias(
+            "due_3mo"
+        ),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("bigint").alias("days_since_epoch"),
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("months_since_epoch"),
+    )
