@@ -428,3 +428,47 @@ def test_dpp_join_prunes_fact_partitions(spark):
     df = QUERIES["q_dpp_join"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan, plan
+
+
+def test_decision_support_plan_shapes(spark):
+    # Q6 analog: pure scan-aggregation — zero joins, all three
+    # predicates pushed to the parquet reader.
+    plan = _plan(spark, "q_forecast_revenue")
+    assert not any("Join" in o for o in _ops(plan)), plan
+    pushed = [l for l in plan.splitlines() if l.startswith("PushedFilters")]
+    assert pushed, plan
+    assert "GreaterThanOrEqual(l_shipdate" in pushed[0]
+    assert "LessThan(l_quantity,24.0)" in pushed[0]
+
+    # Q19 analog: Catalyst extracts the common l_partkey equi conjunct
+    # → ONE broadcast hash join; the OR-of-ANDs must not degrade the
+    # join to a shuffle or nested loop.
+    plan = _plan(spark, "q_or_pushdown")
+    ops = _ops(plan)
+    assert ops.count("BroadcastHashJoin") == 1, plan
+    assert ops.count("SortMergeJoin") + ops.count("ShuffledHashJoin") == 0, plan
+
+    # Q2 analog: the per-part minimum must run as WindowGroupLimit
+    # over the (part, supp) aggregate — never a sort of the fact side.
+    plan = _plan(spark, "q_min_cost_supp")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_metric_histograms_never_sort_raw_rows(spark):
+    # AUC / PR-AUC / lift walk the DISTINCT-SCORE histogram: every
+    # Sort must sit above the first aggregation (formatted-plan node
+    # numbering is leaves-first, so the first HashAggregate index must
+    # precede the first Sort index).
+    for name in ["q_auc", "q_pr_auc", "q_lift"]:
+        ops = _ops(_plan(spark, name))
+        assert "Sort" in ops and "HashAggregate" in ops, (name, ops)
+        assert ops.index("HashAggregate") < ops.index("Sort"), (name, ops)
+
+
+def test_bpe_pairs_heavy_hitter_shape(spark):
+    # tokenizer pair counts: map-side combine + TakeOrderedAndProject
+    # (per-partition 20-heaps) — the q_vocab_topn contract applied to
+    # the char-pair histogram.
+    plan = _plan(spark, "q_bpe_pairs")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
