@@ -247,6 +247,8 @@ HEADLINE = {
     "q_listagg",
     "q_decimal_agg",
     "q_interval_arith",
+    "q_geo_track",
+    "q_geo_join",
 }
 
 if __name__ == "__main__":

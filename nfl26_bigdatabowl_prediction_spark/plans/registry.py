@@ -37,6 +37,7 @@ from . import graph  # noqa: E402
 from . import sql_surface  # noqa: E402
 from . import mleval  # noqa: E402
 from . import decision  # noqa: E402
+from . import geo  # noqa: E402
 
 _merge(relational)
 _merge(events_windows)
@@ -51,3 +52,4 @@ _merge(graph)
 _merge(sql_surface)
 _merge(mleval)
 _merge(decision)
+_merge(geo)
