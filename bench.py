@@ -249,6 +249,8 @@ HEADLINE = {
     "q_interval_arith",
     "q_geo_track",
     "q_geo_join",
+    "q_observe",
+    "q_sql_param",
 }
 
 if __name__ == "__main__":

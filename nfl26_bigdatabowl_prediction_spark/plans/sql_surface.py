@@ -192,3 +192,83 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT part, ancestor, depth FROM anc
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Observation metrics (df.observe) — pipeline instrumentation: named
+# aggregates computed AS A SIDE EFFECT of a pass the job was running
+# anyway (here a noop sink), collected driver-side without a second
+# scan.  The monitoring primitive for 100 TB ETL: row counts and
+# checksums ride every write for free.  The 1-row result re-enters
+# the engine as a DataFrame so the driver contract (and the oracle)
+# can check the observed values exactly.
+# --------------------------------------------------------------------------
+@q(
+    "q_observe",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    """,
+)
+def q_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation("orders_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_urgent"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    # the pass the metrics ride on (a real pipeline's actual sink)
+    observed.write.mode("overwrite").format("noop").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_rows"], row["n_urgent"], row["total_cents"])],
+        "n_rows bigint, n_urgent bigint, total_cents bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# Parameterized SQL (Spark 4 named-parameter markers) — the SQL-text
+# API with bind variables instead of string interpolation: the same
+# Catalyst plan as q_big_spenders' DataFrame form, with the threshold
+# delivered as a typed parameter (plan caching + injection safety,
+# the production SQL-service shape).
+# --------------------------------------------------------------------------
+@q(
+    "q_sql_param",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+             AS revenue
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 / 100.0D AS revenue
+        FROM orders_v
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "status": "F"},
+    )
