@@ -251,6 +251,7 @@ HEADLINE = {
     "q_geo_join",
     "q_observe",
     "q_sql_param",
+    "q_schema_evolution",
 }
 
 if __name__ == "__main__":

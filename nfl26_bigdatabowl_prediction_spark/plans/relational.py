@@ -2505,3 +2505,46 @@ def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("months_since_epoch"),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution on read — two parquet batches written with
+# DIFFERENT column subsets (the lakehouse reality: producers add and
+# drop columns over time), merged by spark.read.option("mergeSchema"):
+# the scan unions the footers' schemas and null-fills the columns a
+# file lacks.  The oracle spells the same union-by-name over the
+# source rows.  At 100 TB, mergeSchema is a FOOTER-only operation
+# (one read per file footer, no data pass) — evolution costs nothing
+# at scan time.
+# --------------------------------------------------------------------------
+@q(
+    "q_schema_evolution",
+    """
+    SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+    FROM nation WHERE n_nationkey < 13
+    UNION ALL
+    SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey
+    FROM nation WHERE n_nationkey >= 13
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    n = table(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(), "nfl26_schema_evolution_nation")
+    (
+        n.filter(F.col("n_nationkey") < 13)
+        .select("n_nationkey", "n_name")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "v1"))
+    )
+    (
+        n.filter(F.col("n_nationkey") >= 13)
+        .select("n_nationkey", "n_regionkey")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "v2"))
+    )
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "v1"), os.path.join(path, "v2")
+    )

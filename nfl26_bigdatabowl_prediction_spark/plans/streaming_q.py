@@ -402,3 +402,97 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="cdc_upsert_") + "/log"
     incremental_cdc_table(events_stream(spark, sf_dir), path)
     return read_cdc_table(spark, path)
+
+
+# --------------------------------------------------------------------------
+# Python STREAMING data source (Spark 4 SimpleDataSourceStreamReader)
+# — the custom-connector face of §2.8: a pure-Python source serving
+# deterministic offset-tracked batches, drained by TWO availableNow
+# runs sharing one checkpoint.  The second run resumes from the
+# committed offset (no re-read, no overlap) — checkpointed
+# exactly-once across restarts, which is the property the two-run
+# shape exists to prove.  readBetweenOffsets serves replay after a
+# failure.  Oracle: the closed-form aggregate over the full emitted
+# range.
+# --------------------------------------------------------------------------
+@q(
+    "q_stream_python_source",
+    """
+    SELECT CAST(range % 7 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((range * 31) % 1000) AS BIGINT) AS payload_sum
+    FROM range(0, 2000) GROUP BY 1
+    """,
+)
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class SynthStreamReader(SimpleDataSourceStreamReader):
+        BATCHES, ROWS = 2, 1000
+
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def read(self, start):
+            b = start["batch"]
+            if b >= self.BATCHES:
+                return iter([]), start
+            base = b * self.ROWS
+            rows = [
+                (base + i, (base + i) % 7, ((base + i) * 31) % 1000)
+                for i in range(self.ROWS)
+            ]
+            return iter(rows), {"batch": b + 1}
+
+        def readBetweenOffsets(self, start, end):
+            out = []
+            for b in range(start["batch"], end["batch"]):
+                base = b * self.ROWS
+                out += [
+                    (base + i, (base + i) % 7, ((base + i) * 31) % 1000)
+                    for i in range(self.ROWS)
+                ]
+            return iter(out)
+
+    class SynthStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synth_stream"
+
+        def schema(self):
+            return "id bigint, bucket bigint, payload bigint"
+
+        def simpleStreamReader(self, schema):
+            return SynthStreamReader()
+
+    spark.dataSource.register(SynthStreamSource)
+    name = "s" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="spark_ckpt_pysrc_")
+    agg = (
+        spark.readStream.format("synth_stream")
+        .load()
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("payload").cast("bigint").alias("payload_sum"),
+        )
+    )
+    for _ in range(2):  # restart from the SAME checkpoint: offset resume
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+        if query.isActive:  # pragma: no cover - defensive
+            query.stop()
+            raise TimeoutError("python stream source did not drain")
+    return spark.table(name).select(
+        F.col("bucket").cast("bigint").alias("bucket"), "n", "payload_sum"
+    )
