@@ -252,6 +252,8 @@ HEADLINE = {
     "q_observe",
     "q_sql_param",
     "q_schema_evolution",
+    "q_rfm",
+    "q_gini",
 }
 
 if __name__ == "__main__":

@@ -1007,3 +1007,112 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mi_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — recency / frequency / monetary quintile scores
+# per user, the classic CRM partitioning.  The fact scan collapses to
+# one row per user (map-side combined); the three ntile windows run
+# over that dimension-sized table with unique tie-breaks (user_id) so
+# the quintile boundaries are deterministic on both engines.  Scale
+# path when even the user rollup outgrows one partition: replace the
+# exact ntile with approx-quantile cutpoints broadcast onto the
+# rollup (the q_winsorize shape) — same output contract, bounded
+# boundary error.
+# --------------------------------------------------------------------------
+@q(
+    "q_rfm",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(epoch_us(ts)) AS last_ts,
+               COUNT(*) AS freq,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS monetary_c
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(NTILE(5) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary_c DESC, user_id) AS BIGINT)
+             AS m_score,
+           CAST(freq AS BIGINT) AS freq,
+           CAST(monetary_c AS BIGINT) / 100.0 AS monetary
+    FROM per_user
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(vc).alias("monetary_c"),
+    )
+    wr = Window.orderBy(F.desc("last_ts"), F.col("user_id"))
+    wf = Window.orderBy(F.desc("freq"), F.col("user_id"))
+    wm = Window.orderBy(F.desc("monetary_c"), F.col("user_id"))
+    return per_user.select(
+        "user_id",
+        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
+        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+        F.col("freq").cast("bigint").alias("freq"),
+        (F.col("monetary_c").cast("bigint") / 100.0).alias("monetary"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of spend concentration across customers — the
+# inequality statistic over per-user monetary totals, via the sorted
+# cumulative-share identity G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n with xᵢ
+# ascending.  The rank window runs over the USER-sized aggregate
+# (never the fact rows); every term is exact int64 until the two
+# final divisions, which share one op order across engines.  Scale
+# path: like q_auc, the identity also evaluates over the per-distinct-
+# value histogram (rank positions from cumulative counts with
+# average-rank tie handling) when the user rollup outgrows one
+# partition's sort.
+# --------------------------------------------------------------------------
+@q(
+    "q_gini",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS x
+        FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i,
+               COUNT(*) OVER () AS n, SUM(x) OVER () AS tot
+        FROM per_user
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(MAX(tot) AS BIGINT) / 100.0 AS total_spend,
+           round(2.0 * SUM(i * x) / (MAX(n) * MAX(tot))
+                 - (1.0 * (MAX(n) + 1)) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(F.sum(vc).alias("x"))
+    wi = Window.orderBy("x", "user_id")
+    wall = Window.orderBy("x", "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(wi).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        (F.max("tot").cast("bigint") / 100.0).alias("total_spend"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
+            / (F.max("n") * F.max("tot"))
+            - (F.lit(1.0) * (F.max("n") + 1)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
