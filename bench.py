@@ -254,6 +254,7 @@ HEADLINE = {
     "q_schema_evolution",
     "q_rfm",
     "q_gini",
+    "q_pivot_multi",
 }
 
 if __name__ == "__main__":

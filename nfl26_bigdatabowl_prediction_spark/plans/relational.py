@@ -2548,3 +2548,60 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(
         os.path.join(path, "v1"), os.path.join(path, "v2")
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot with MULTIPLE aggregates per cell — q_pivot's single-agg
+# rotation extended to (count, exact-cents sum) pairs per pivot
+# value: the wide-report shape BI tools emit.  Explicit pivot values
+# keep the plan single-pass (no distinct-scan to discover columns);
+# both aggregates fold into the same partial aggregation, so the
+# pivot costs ONE shuffle regardless of how many measures ride it.
+# --------------------------------------------------------------------------
+@q(
+    "q_pivot_multi",
+    """
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+             AS a_cnt,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) / 100.0 AS a_rev,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cnt,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) / 100.0 AS n_rev,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS r_cnt,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) / 100.0 AS r_rev
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            (F.sum(cents(F.col("l_extendedprice"))).cast("bigint") / 100.0).alias(
+                "rev"
+            ),
+        )
+    )
+    # Spark names multi-agg pivot columns "{value}_{alias}"; empty
+    # cells surface as NULL where the oracle's CASE yields 0 — align.
+    out = piv.select(
+        "ship_year",
+        *[
+            F.coalesce(F.col(f"{v}_{m}"), F.lit(0) if m == "cnt" else F.lit(0.0))
+            .alias(f"{v.lower()}_{m}")
+            for v in ("A", "N", "R")
+            for m in ("cnt", "rev")
+        ],
+    )
+    return out
