@@ -255,6 +255,8 @@ HEADLINE = {
     "q_rfm",
     "q_gini",
     "q_pivot_multi",
+    "q_assoc_rules",
+    "q_benford",
 }
 
 if __name__ == "__main__":

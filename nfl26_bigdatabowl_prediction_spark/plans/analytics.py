@@ -1116,3 +1116,50 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit — the fraud/synthetic-data screen: the
+# leading-digit distribution of the value column against Benford's
+# law.  The first digit comes from STRING arithmetic on the exact
+# integer cents (no log10, no float) so both engines agree bitwise;
+# the expected Benford share ln(1+1/d)/ln(10) is the one libm term,
+# rounded 6.  One scan, 9-key map-side-combined histogram.
+# --------------------------------------------------------------------------
+@q(
+    "q_benford",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR),
+                           1, 1) AS BIGINT) AS d
+        FROM events WHERE value > 0.005
+    )
+    SELECT d AS first_digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(1.0 * COUNT(*) / (SUM(COUNT(*)) OVER ()), 6) AS observed,
+           round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS benford_expected
+    FROM digits GROUP BY d
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = F.substring(
+        F.round(F.col("value") * 100, 0).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    hist = (
+        ev.filter(F.col("value") > 0.005)
+        .select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return hist.select(
+        F.col("d").alias("first_digit"),
+        "n",
+        F.round(F.lit(1.0) * F.col("n") / F.sum("n").over(wall), 6).alias(
+            "observed"
+        ),
+        F.round(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("d")) / F.log(F.lit(10.0)), 6
+        ).alias("benford_expected"),
+    )

@@ -396,3 +396,106 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         visited = visited.unionByName(frontier).localCheckpoint(eager=False)
     return visited.select("part", F.col("level").cast("bigint").alias("level"))
+
+
+# --------------------------------------------------------------------------
+# Association rules (market basket) — support / confidence / lift for
+# part pairs that co-occur in orders: the rule-mining layer over the
+# same bounded per-basket pairwise join as the co-occurrence graph
+# (orders have ≤7 lines ⇒ ≤21 pairs per basket, never O(n²) on the
+# table).  Both rule directions emit from each unordered pair.
+# Ratios are exact-int divisions; the final top-20 by lift compiles
+# to TakeOrderedAndProject.  Item supports are dimension-sized and
+# broadcast onto the pair table.
+# --------------------------------------------------------------------------
+@q(
+    "q_assoc_rules",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_quantity >= 45
+    ), n_orders AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets
+    ), item AS (
+        SELECT l_partkey, COUNT(*) AS item_cnt FROM baskets GROUP BY 1
+    ), pair AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS pair_cnt
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), rules AS (
+        SELECT x AS antecedent, y AS consequent, pair_cnt,
+               ix.item_cnt AS ante_cnt, iy.item_cnt AS cons_cnt
+        FROM pair JOIN item ix ON ix.l_partkey = pair.x
+                  JOIN item iy ON iy.l_partkey = pair.y
+        UNION ALL
+        SELECT y, x, pair_cnt, iy.item_cnt, ix.item_cnt
+        FROM pair JOIN item ix ON ix.l_partkey = pair.x
+                  JOIN item iy ON iy.l_partkey = pair.y
+    )
+    SELECT antecedent, consequent,
+           CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           round(1.0 * pair_cnt / (SELECT n FROM n_orders), 6) AS support,
+           round(1.0 * pair_cnt / ante_cnt, 6) AS confidence,
+           round((1.0 * pair_cnt / ante_cnt)
+                 / (1.0 * cons_cnt / (SELECT n FROM n_orders)), 6) AS lift
+    FROM rules WHERE pair_cnt >= 2
+    ORDER BY lift DESC, antecedent ASC, consequent ASC
+    LIMIT 20
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.select("l_orderkey").distinct().count()  # 1 scalar, like q_pagerank's n
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("item_cnt"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    ix = item.select(F.col("l_partkey").alias("x"), F.col("item_cnt").alias("ante_cnt"))
+    iy = item.select(F.col("l_partkey").alias("y"), F.col("item_cnt").alias("cons_cnt"))
+    joined = pair.join(F.broadcast(ix), "x").join(F.broadcast(iy), "y")
+    fwd = joined.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        "pair_cnt",
+        "ante_cnt",
+        "cons_cnt",
+    )
+    rev = joined.select(
+        F.col("y").alias("antecedent"),
+        F.col("x").alias("consequent"),
+        "pair_cnt",
+        F.col("cons_cnt").alias("ante_cnt"),
+        F.col("ante_cnt").alias("cons_cnt"),
+    )
+    rules = fwd.unionByName(rev)
+    return (
+        rules.select(
+            "antecedent",
+            "consequent",
+            F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+            F.round(F.lit(1.0) * F.col("pair_cnt") / n, 6).alias("support"),
+            F.round(F.lit(1.0) * F.col("pair_cnt") / F.col("ante_cnt"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.lit(1.0) * F.col("pair_cnt") / F.col("ante_cnt"))
+                / (F.lit(1.0) * F.col("cons_cnt") / n),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("antecedent").asc(), F.col("consequent").asc())
+        .limit(20)
+    )
