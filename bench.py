@@ -257,6 +257,7 @@ HEADLINE = {
     "q_pivot_multi",
     "q_assoc_rules",
     "q_benford",
+    "q_traj_similarity",
 }
 
 if __name__ == "__main__":

@@ -1043,3 +1043,89 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_asof").alias("click_value"),
         F.col("ts_asof").alias("click_ts_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Top-k trajectory similarity search — which users' daily activity
+# profiles most resemble a query user's (REPOSE, ICDE 2021, frames
+# the distributed shape: compact per-trajectory signatures first,
+# exact distance only against the pruned candidate set; here the
+# signature IS the distance domain — a 24-dim hourly mean-value
+# profile — so one pass suffices).  The query profile is a 24-row
+# broadcast; each user's squared L2 distance decomposes as
+# Σ_h∈obs[(p_uh−p_0h)² − p_0h²] + Σ_h p_0h², so users missing hours
+# need NO grid completion — the constant rides a 1-row broadcast.
+# Per-term products are frozen to integer micros before the per-user
+# sum; top-10 compiles to TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+@q(
+    "q_traj_similarity",
+    """
+    WITH prof AS (
+        SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS h,
+               1.0 * SUM(CAST(round(value * 100, 0) AS BIGINT)) / COUNT(*) / 100.0
+                 AS p
+        FROM events GROUP BY 1, 2
+    ), qprof AS (
+        SELECT h, p AS p0 FROM prof WHERE user_id = 0
+    ), qconst AS (
+        SELECT CAST(SUM(CAST(round(p0 * p0 * 1000000, 0) AS BIGINT)) AS BIGINT)
+                 AS c_micro
+        FROM qprof
+    ), partial AS (
+        SELECT prof.user_id,
+               CAST(SUM(CAST(round(((prof.p - COALESCE(q.p0, 0.0))
+                                    * (prof.p - COALESCE(q.p0, 0.0))
+                                    - COALESCE(q.p0, 0.0) * COALESCE(q.p0, 0.0))
+                                   * 1000000, 0) AS BIGINT)) AS BIGINT) AS s_micro
+        FROM prof LEFT JOIN qprof q ON prof.h = q.h
+        WHERE prof.user_id <> 0
+        GROUP BY prof.user_id
+    )
+    SELECT user_id,
+           round((s_micro + (SELECT c_micro FROM qconst)) / 1000000.0, 6) AS dist2
+    FROM partial
+    ORDER BY dist2 ASC, user_id ASC
+    LIMIT 10
+    """,
+)
+def q_traj_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    prof = (
+        ev.groupBy(
+            "user_id", (F.expr("ts div 3600000000") % 24).alias("h")
+        )
+        .agg(
+            (F.lit(1.0) * F.sum(vc) / F.count(F.lit(1)) / 100.0).alias("p")
+        )
+    )
+    qprof = prof.filter(F.col("user_id") == 0).select(
+        "h", F.col("p").alias("p0")
+    )
+    c_micro = qprof.agg(
+        F.sum(F.round(F.col("p0") * F.col("p0") * 1000000, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c_micro")
+    )
+    p0 = F.coalesce(F.col("p0"), F.lit(0.0))
+    term_u = F.round(
+        ((F.col("p") - p0) * (F.col("p") - p0) - p0 * p0) * 1000000, 0
+    ).cast("bigint")
+    partial = (
+        prof.filter(F.col("user_id") != 0)
+        .join(F.broadcast(qprof), "h", "left")
+        .groupBy("user_id")
+        .agg(F.sum(term_u).cast("bigint").alias("s_micro"))
+    )
+    return (
+        partial.crossJoin(F.broadcast(c_micro))
+        .select(
+            "user_id",
+            F.round(
+                (F.col("s_micro") + F.col("c_micro")) / 1000000.0, 6
+            ).alias("dist2"),
+        )
+        .orderBy(F.col("dist2").asc(), F.col("user_id").asc())
+        .limit(10)
+    )
