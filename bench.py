@@ -258,6 +258,7 @@ HEADLINE = {
     "q_assoc_rules",
     "q_benford",
     "q_traj_similarity",
+    "q_dq_rules",
 }
 
 if __name__ == "__main__":

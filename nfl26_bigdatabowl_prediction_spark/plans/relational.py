@@ -2605,3 +2605,79 @@ def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Data-quality rule audit — the validation pass every ingest runs
+# before publishing a partition: N declarative rules evaluated in ONE
+# scan (each a conditional count), plus the quarantine rate (rows
+# violating ANY rule).  Rules compile to a single projection; the
+# aggregate is map-side combined into one row, unpivoted with stack()
+# for the per-rule report.  At 100 TB this is the cheap gate in front
+# of the expensive pipeline — never a second scan per rule.
+# --------------------------------------------------------------------------
+@q(
+    "q_dq_rules",
+    """
+    WITH flags AS (
+        SELECT CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END AS v_qty,
+               CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END AS v_disc,
+               CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END AS v_price,
+               CASE WHEN l_shipdate IS NULL
+                     OR l_shipdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END AS v_date,
+               CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END AS v_tax
+        FROM lineitem
+    ), agg AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(v_qty) AS BIGINT) AS c_qty,
+               CAST(SUM(v_disc) AS BIGINT) AS c_disc,
+               CAST(SUM(v_price) AS BIGINT) AS c_price,
+               CAST(SUM(v_date) AS BIGINT) AS c_date,
+               CAST(SUM(v_tax) AS BIGINT) AS c_tax,
+               CAST(SUM(CASE WHEN v_qty + v_disc + v_price + v_date + v_tax > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c_any
+        FROM flags
+    )
+    SELECT rule, n_violations, CAST(n AS BIGINT) AS n_rows,
+           round(1.0 * n_violations / n, 6) AS violation_rate
+    FROM (
+        SELECT 'quantity_range' AS rule, c_qty AS n_violations, n FROM agg
+        UNION ALL SELECT 'discount_range', c_disc, n FROM agg
+        UNION ALL SELECT 'price_positive', c_price, n FROM agg
+        UNION ALL SELECT 'shipdate_valid', c_date, n FROM agg
+        UNION ALL SELECT 'tax_range', c_tax, n FROM agg
+        UNION ALL SELECT 'any_rule', c_any, n FROM agg
+    )
+    """,
+)
+def q_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    v = {
+        "quantity_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        "discount_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        "price_positive": F.col("l_extendedprice") <= 0,
+        "shipdate_valid": F.col("l_shipdate").isNull()
+        | (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")),
+        "tax_range": (F.col("l_tax") < 0) | (F.col("l_tax") > 0.08),
+    }
+    flags = li.select(
+        *[F.when(cond, 1).otherwise(0).alias(f"v_{k}") for k, cond in v.items()]
+    )
+    any_v = sum(F.col(f"v_{k}") for k in v) > 0
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"v_{k}").cast("bigint").alias(f"c_{k}") for k in v],
+        F.sum(F.when(any_v, 1).otherwise(0)).cast("bigint").alias("c_any"),
+    )
+    stack_args = ", ".join([f"'{k}', `c_{k}`" for k in v] + ["'any_rule', c_any"])
+    return agg.select(
+        F.expr(f"stack({len(v) + 1}, {stack_args}) AS (rule, n_violations)"),
+        F.col("n").cast("bigint").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_violations",
+        "n_rows",
+        F.round(F.lit(1.0) * F.col("n_violations") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    )
