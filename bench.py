@@ -259,6 +259,7 @@ HEADLINE = {
     "q_benford",
     "q_traj_similarity",
     "q_dq_rules",
+    "q_logit_irls",
 }
 
 if __name__ == "__main__":

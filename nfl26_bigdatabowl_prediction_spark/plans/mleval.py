@@ -727,3 +727,129 @@ def q_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(det1 / det / 100.0, 6).alias("w_hour"),
         F.round(det2 / det / 100.0, 6).alias("w_dow"),
     )
+
+
+def _logit_sql() -> str:
+    """Unrolled 2-iteration IRLS oracle.  Each iteration: per-row
+    weights w = p(1−p) and working response z from the previous beta,
+    every weighted power sum frozen to integer micros (exp is libm —
+    the per-row terms are rounded BEFORE summation), then the 3×3
+    weighted normal equations solved by the same Cramer expressions
+    as q_ridge_fit.  beta0 = (0,0,0) makes iteration 1's weights
+    constant 0.25 — spelled literally so both engines share the op
+    tree."""
+    x1 = "((epoch_us(ts) // 3600000000) % 24)"
+    x2 = "((epoch_us(ts) // 86400000000) % 7)"
+    y = "(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)"
+
+    def sums(prev_b0: str, prev_b1: str, prev_b2: str, tag: str) -> str:
+        eta = f"({prev_b0} + {prev_b1} * {x1} + {prev_b2} * {x2})"
+        p = f"(1.0 / (1.0 + exp(-{eta})))"
+        w = f"round({p} * (1.0 - {p}), 6)"
+        wz = f"round({w} * ({eta} + ({y} - {p}) / ({w} + 0.000001)), 6)"
+        um = lambda e: f"CAST(SUM(CAST(round(({e}) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0"  # noqa: E731
+        return f"""
+    s{tag} AS (
+        SELECT {um(w)} AS a, {um(f"{w} * {x1}")} AS b, {um(f"{w} * {x2}")} AS c,
+               {um(f"{w} * {x1} * {x1}")} + 0.001 AS d,
+               {um(f"{w} * {x1} * {x2}")} AS e,
+               {um(f"{w} * {x2} * {x2}")} + 0.001 AS f,
+               {um(wz)} AS r0, {um(f"{wz} * {x1}")} AS r1, {um(f"{wz} * {x2}")} AS r2,
+               COUNT(*) AS n
+        FROM events
+    ), b{tag} AS (
+        SELECT n,
+               (r0 * (d * f - e * e) - b * (r1 * f - e * r2) + c * (r1 * e - d * r2))
+                 / (a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d))
+                 AS b0,
+               (a * (r1 * f - e * r2) - r0 * (b * f - e * c) + c * (b * r2 - r1 * c))
+                 / (a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d))
+                 AS b1,
+               (a * (d * r2 - r1 * e) - b * (b * r2 - r1 * c) + r0 * (b * e - d * c))
+                 / (a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d))
+                 AS b2
+        FROM s{tag}
+    )"""
+
+    return (
+        "WITH"
+        + sums("0.0", "0.0", "0.0", "1")
+        + ","
+        + sums("(SELECT b0 FROM b1)", "(SELECT b1 FROM b1)", "(SELECT b2 FROM b1)", "2")
+        + """
+    SELECT CAST(n AS BIGINT) AS n,
+           round(b0, 6) AS intercept, round(b1, 6) AS w_hour, round(b2, 6) AS w_dow
+    FROM b2
+    """
+    )
+
+
+# --------------------------------------------------------------------------
+# Logistic regression by 2 fixed IRLS iterations — the registry's
+# iterative-trainer capstone: each Newton step is ONE scan producing
+# integer-frozen weighted power sums, solved driver-free by the same
+# Cramer projection as q_ridge_fit; iteration 2's per-row weights use
+# iteration 1's beta (a 1-row broadcast).  Bitwise parity holds
+# because the sums are exact and every downstream double op shares
+# one tree.  MLlib's LogisticRegression runs the same math with
+# treeAggregate; this is the transparent twin.  Ridge 0.001 on the
+# weight diagonal; w+1e-6 guards the z division.
+# --------------------------------------------------------------------------
+@q("q_logit_irls", _logit_sql())
+def q_logit_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    x1 = (F.expr("ts div 3600000000") % 24).cast("double")
+    x2 = (F.expr("ts div 86400000000") % 7).cast("double")
+    y = F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+
+    def um(e):
+        return F.sum(F.round(e * 1000000, 0).cast("bigint")).cast("double") / 1000000.0
+
+    def step(b0, b1, b2):
+        eta = b0 + b1 * x1 + b2 * x2
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = F.round(p * (F.lit(1.0) - p), 6)
+        wz = F.round(w * (eta + (y - p) / (w + F.lit(0.000001))), 6)
+        s = ev.agg(
+            um(w).alias("a"),
+            um(w * x1).alias("b"),
+            um(w * x2).alias("c"),
+            (um(w * x1 * x1) + 0.001).alias("d"),
+            um(w * x1 * x2).alias("e"),
+            (um(w * x2 * x2) + 0.001).alias("f"),
+            um(wz).alias("r0"),
+            um(wz * x1).alias("r1"),
+            um(wz * x2).alias("r2"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        a_, b_, c_ = s["a"], s["b"], s["c"]
+        d_, e_, f_ = s["d"], s["e"], s["f"]
+        r0, r1, r2 = s["r0"], s["r1"], s["r2"]
+        det = a_ * (d_ * f_ - e_ * e_) - b_ * (b_ * f_ - c_ * e_) + c_ * (
+            b_ * e_ - c_ * d_
+        )
+        nb0 = (
+            r0 * (d_ * f_ - e_ * e_)
+            - b_ * (r1 * f_ - e_ * r2)
+            + c_ * (r1 * e_ - d_ * r2)
+        ) / det
+        nb1 = (
+            a_ * (r1 * f_ - e_ * r2)
+            - r0 * (b_ * f_ - e_ * c_)
+            + c_ * (b_ * r2 - r1 * c_)
+        ) / det
+        nb2 = (
+            a_ * (d_ * r2 - r1 * e_)
+            - b_ * (b_ * r2 - r1 * c_)
+            + r0 * (b_ * e_ - d_ * c_)
+        ) / det
+        return s["n"], nb0, nb1, nb2
+
+    # beta is 3 doubles — the legitimate 1-"row" driver fetch of every
+    # fixed-iteration op in this repo (q_pagerank's n, q_bfs' seed).
+    _, b0, b1, b2 = step(F.lit(0.0), F.lit(0.0), F.lit(0.0))
+    n, b0, b1, b2 = step(F.lit(b0), F.lit(b1), F.lit(b2))
+    return ev.sparkSession.createDataFrame(
+        [(n, round(b0, 6), round(b1, 6), round(b2, 6))],
+        "n bigint, intercept double, w_hour double, w_dow double",
+    )
