@@ -260,6 +260,7 @@ HEADLINE = {
     "q_traj_similarity",
     "q_dq_rules",
     "q_logit_irls",
+    "q_survival",
 }
 
 if __name__ == "__main__":

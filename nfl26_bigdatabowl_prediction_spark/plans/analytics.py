@@ -1163,3 +1163,132 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.lit(1.0) + F.lit(1.0) / F.col("d")) / F.log(F.lit(10.0)), 6
         ).alias("benford_expected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve — time from first click to purchase,
+# with non-converters right-censored at the corpus horizon: the
+# survival-analysis estimator S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over the
+# distinct event-hour grid.  The risk set nᵢ comes from a reverse
+# cumulative count over the observation-time histogram (|distinct
+# hours| rows, never |users|); the product becomes exp(Σ ln(...))
+# with each ln term frozen to 6 decimals — the cumulative sum of
+# frozen terms is exact, so S hashes bitwise.  One user rollup + two
+# tiny histogram windows.
+# --------------------------------------------------------------------------
+@q(
+    "q_survival",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c_ts
+        FROM events GROUP BY user_id
+    ), hz AS (
+        SELECT MAX(epoch_us(ts)) AS horizon FROM events
+    ), conv AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_ts
+        FROM events e JOIN per_user u ON e.user_id = u.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= u.c_ts
+        GROUP BY e.user_id
+    ), obs AS (
+        SELECT u.user_id,
+               CASE WHEN p.p_ts IS NOT NULL
+                    THEN (p.p_ts - u.c_ts) // 3600000000
+                    ELSE (hz.horizon - u.c_ts) // 3600000000 END AS t_h,
+               (p.p_ts IS NOT NULL) AS converted
+        FROM per_user u CROSS JOIN hz
+        LEFT JOIN conv p ON u.user_id = p.user_id
+        WHERE u.c_ts IS NOT NULL
+    ), hist AS (
+        SELECT t_h, COUNT(*) AS n_obs,
+               CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM obs GROUP BY t_h
+    ), risk AS (
+        SELECT t_h, d,
+               SUM(n_obs) OVER (ORDER BY t_h DESC
+                                ROWS UNBOUNDED PRECEDING) AS n_risk
+        FROM hist
+    )
+    SELECT t_h AS hour, CAST(d AS BIGINT) AS n_events,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t_h ASC ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE round(exp(SUM(CASE WHEN d < n_risk THEN
+                                   CAST(round(ln(1.0 - 1.0 * d / n_risk)
+                                              * 1000000, 0) AS BIGINT)
+                                   ELSE 0 END)
+                               OVER (ORDER BY t_h ASC ROWS UNBOUNDED PRECEDING)
+                               / 1000000.0), 6) END AS survival
+    FROM risk WHERE d > 0
+    """,
+)
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("horizon"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("c_ts")
+        )
+        .crossJoin(F.broadcast(horizon))
+        .filter(F.col("c_ts").isNotNull())
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(per_user.select("user_id", "c_ts")), "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    obs = per_user.join(F.broadcast(conv), "user_id", "left").select(
+        F.when(
+            F.col("p_ts").isNotNull(),
+            F.expr("(p_ts - c_ts) div 3600000000"),
+        )
+        .otherwise(F.expr("(horizon - c_ts) div 3600000000"))
+        .alias("t_h"),
+        F.col("p_ts").isNotNull().alias("converted"),
+    )
+    hist = obs.groupBy("t_h").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("t_h").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = hist.select(
+        "t_h", "d", F.sum("n_obs").over(w_desc).alias("n_risk")
+    )
+    # d == n_risk (whole remaining risk set exits) ⇒ ln(0): survival
+    # is exactly 0 from that time on — guarded identically on both
+    # engines (DuckDB raises on ln(0), Spark NULLs).
+    term_u = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.log(F.lit(1.0) - F.lit(1.0) * F.col("d") / F.col("n_risk"))
+            * 1000000,
+            0,
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    dead = F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    w_asc = Window.orderBy(F.col("t_h").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        risk.withColumn("cs", F.sum(term_u).over(w_asc))
+        .withColumn("dead", F.max(dead).over(w_asc))
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t_h").alias("hour"),
+            F.col("d").cast("bigint").alias("n_events"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            F.when(F.col("dead") == 1, 0.0)
+            .otherwise(F.round(F.exp(F.col("cs") / 1000000.0), 6))
+            .alias("survival"),
+        )
+    )
