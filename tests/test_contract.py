@@ -73,3 +73,15 @@ def test_driver_window_rotation_front_loads_pending():
         assert all(n not in E._DRIVER_GREEN for n in names[:50])
     # _DRIVER_GREEN must only name real queries (no typos going stale)
     assert set(E._DRIVER_GREEN) <= set(qs)
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py ignores unknown HEADLINE names by design (the list may
+    lead the implementation); now that the surface is built, any
+    unknown name is a typo silently shrinking the benchmark — catch
+    it."""
+    import bench
+
+    qs = E.queries()
+    unknown = sorted(bench.HEADLINE - set(qs))
+    assert not unknown, f"HEADLINE names not in registry: {unknown}"
