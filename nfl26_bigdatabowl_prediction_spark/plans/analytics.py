@@ -656,6 +656,7 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * ((ss1 - 1.0 * s1 * s1 / n1) / (n1 - 1) / n1) / (n1 - 1)),
                  6) AS df
     FROM wide
+    WHERE n0 > 1 AND n1 > 1
     """,
 )
 def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,7 +679,9 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-variant squared standard error, cents²: vi = s²/(n-1)/n
     v0 = (ss0 - F.lit(1.0) * s0 * s0 / n0) / (n0 - 1) / n0
     v1 = (ss1 - F.lit(1.0) * s1 * s1 / n1) / (n1 - 1) / n1
-    return wide.select(
+    # n=1 variants make (n-1)=0 — DuckDB and Spark disagree on the
+    # zero-denominator result, so exclude identically on both sides.
+    return wide.filter((n0 > 1) & (n1 > 1)).select(
         n0.cast("bigint").alias("n0"),
         n1.cast("bigint").alias("n1"),
         F.round(F.lit(1.0) * s0 / n0 / 100.0, 6).alias("mean0"),
@@ -726,6 +729,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (CAST(n * sxx - sx * sx AS DOUBLE)
                     * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
     FROM sums
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
     """,
 )
 def q_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,8 +748,12 @@ def q_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
     num = n * sxy - sx * sy
     den = n * sxx - sx * sx
+    deny = n * F.col("syy") - sy * sy
     slope_raw = F.lit(1.0) * num / den
-    return sums.select(
+    # degenerate groups (constant x or constant y) diverge across
+    # engines on the zero-denominator division — exclude identically
+    # on both sides (the q_zscore_outliers rule).
+    return sums.filter((den > 0) & (deny > 0)).select(
         "event_type",
         n.cast("bigint").alias("n"),
         F.round(slope_raw / 100.0, 6).alias("slope"),
@@ -754,7 +762,7 @@ def q_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(
             num.cast("double") * num.cast("double")
-            / (den.cast("double") * (n * syy - sy * sy).cast("double")),
+            / (den.cast("double") * deny.cast("double")),
             6,
         ).alias("r2"),
     )
