@@ -653,12 +653,15 @@ def q_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# TPC-H Q22 analog — wealthy customers who never ordered, bucketed by
-# nation-derived country code: a global scalar threshold (1-row
-# broadcast) + a left-anti join against the orders fact.
-# Scale: the anti join probes the (distinct custkey) side of orders;
-# the scalar average is computed once over the dimension-sized
-# customer table.  Acctbal sums ride int cents.
+# TPC-H Q22 analog — wealthy LAPSED customers (no order since the
+# recency cutoff), bucketed by nation-derived country code: a global
+# scalar threshold (1-row broadcast) + a left-anti join against the
+# RECENT slice of the orders fact.  (The classic never-ordered form
+# is structurally empty on this dataset — every customer has at least
+# one order — so the anti-join evidence would be vacuous; the recency
+# cutoff keeps the identical plan shape with a real survivor set,
+# and the cutoff predicate prunes the anti join's build side at the
+# scan.)  Acctbal sums ride int cents.
 # --------------------------------------------------------------------------
 @q(
     "q_idle_customers",
@@ -676,13 +679,18 @@ def q_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) > t.avg_c
       AND NOT EXISTS (
           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
       )
     GROUP BY 1
     """,
 )
 def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    o = table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     thresh = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(
