@@ -1216,7 +1216,9 @@ def q_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the §2.5 suite, zero extra shuffles, and each match is anchored at
 # its first click so patterns never double-count.
 # --------------------------------------------------------------------------
-PATTERN_SPAN_US = 3600 * 1_000_000
+# 24 h: the 1 h span matched nothing below sf0.1 — a vacuous pattern
+# detector proves nothing, and the operator shape is span-invariant.
+PATTERN_SPAN_US = 24 * 3600 * 1_000_000
 
 
 @q(

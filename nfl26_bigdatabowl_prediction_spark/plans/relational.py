@@ -413,15 +413,23 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_except",
     """
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)  # EXCEPT (distinct) semantics, matching the SQL oracle
+    # customers whose orders are all finished (none open) — non-empty
+    # at every SF; the nationkey form returned 0 rows (both tables
+    # span all 25 nations), which proved nothing.
+    o = table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.subtract(op)  # EXCEPT (distinct) semantics, matching the SQL oracle
 
 
 @q(
