@@ -37,7 +37,9 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "q_groupby_multi", "q_scan_parquet", "q_scan_csv", "q_project",
     "q_filter_range", "q_filter_finite", "q_fill", "q_dropna", "q_clip",
     "q_cast", "q_dummy_encode", "q_str_parse", "q_concat_id", "q_distinct",
-    "q_union_all", "q_except", "q_intersect", "q_sort", "q_topn_global",
+    # q_except was re-defined in round 2 (the round-1 green covered a
+    # query that always returned 0 rows); it re-enters the rotation.
+    "q_union_all", "q_intersect", "q_sort", "q_topn_global",
     "q_join_inner", "q_join_left", "q_semi", "q_anti", "q_rmse", "q_rollup",
     "q_distinct_agg", "q_cube", "q_grouping_sets", "q_salted_join",
     "q_salted_distinct", "q_star_join", "q_quantile", "q_scan_orc",
