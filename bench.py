@@ -261,6 +261,7 @@ HEADLINE = {
     "q_dq_rules",
     "q_logit_irls",
     "q_survival",
+    "q_sql_udf",
 }
 
 if __name__ == "__main__":

@@ -272,3 +272,44 @@ def q_sql_param(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000.0, "status": "F"},
     )
+
+
+# --------------------------------------------------------------------------
+# SQL scalar UDF (Spark 4 CREATE FUNCTION ... RETURN) — the
+# declarative UDF face: the function body is a SQL expression, so
+# Catalyst INLINES it into the calling plan (whole-stage codegen, no
+# Python boundary, no serialization) — the UDF surface with zero
+# UDF cost.  The oracle spells the body inline, which is exactly
+# what the optimizer sees.
+# --------------------------------------------------------------------------
+@q(
+    "q_sql_udf",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_charge,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_v")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charge_cents(
+            price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(round(price * (1 - disc) * (1 + tax) * 100, 0) AS BIGINT)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(charge_cents(l_extendedprice, l_discount, l_tax))
+                    AS BIGINT) / 100.0D AS total_charge,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem_v GROUP BY l_returnflag
+        """
+    )
