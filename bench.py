@@ -262,6 +262,8 @@ HEADLINE = {
     "q_logit_irls",
     "q_survival",
     "q_sql_udf",
+    "q_did",
+    "q_cohort_ltv",
 }
 
 if __name__ == "__main__":

@@ -1300,3 +1300,134 @@ def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("survival"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences — the 2×2 causal estimate: how much more
+# did the treatment variant's mean value move across the mid-month
+# boundary than the control's.  One scan into four (variant, period)
+# cells (int64 cents sums, map-side combined), pivoted wide so all
+# four means and the DiD evaluate in a single projection with one
+# shared op tree.
+# --------------------------------------------------------------------------
+@q(
+    "q_did",
+    """
+    WITH cells AS (
+        SELECT user_id % 2 AS variant,
+               CASE WHEN epoch_us(ts) >= 1705276800000000 THEN 1 ELSE 0 END AS period,
+               COUNT(*) AS n,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS s
+        FROM events GROUP BY 1, 2
+    ), wide AS (
+        SELECT MAX(CASE WHEN variant = 0 AND period = 0 THEN s END) AS s00,
+               MAX(CASE WHEN variant = 0 AND period = 0 THEN n END) AS n00,
+               MAX(CASE WHEN variant = 0 AND period = 1 THEN s END) AS s01,
+               MAX(CASE WHEN variant = 0 AND period = 1 THEN n END) AS n01,
+               MAX(CASE WHEN variant = 1 AND period = 0 THEN s END) AS s10,
+               MAX(CASE WHEN variant = 1 AND period = 0 THEN n END) AS n10,
+               MAX(CASE WHEN variant = 1 AND period = 1 THEN s END) AS s11,
+               MAX(CASE WHEN variant = 1 AND period = 1 THEN n END) AS n11
+        FROM cells
+    )
+    SELECT CAST(n00 + n01 + n10 + n11 AS BIGINT) AS n,
+           round(1.0 * s00 / n00 / 100.0, 6) AS ctrl_before,
+           round(1.0 * s01 / n01 / 100.0, 6) AS ctrl_after,
+           round(1.0 * s10 / n10 / 100.0, 6) AS treat_before,
+           round(1.0 * s11 / n11 / 100.0, 6) AS treat_after,
+           round(((1.0 * s11 / n11 - 1.0 * s10 / n10)
+                  - (1.0 * s01 / n01 - 1.0 * s00 / n00)) / 100.0, 6) AS did
+    FROM wide
+    """,
+)
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("ts") >= 1705276800000000, 1).otherwise(0).alias("period"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(vc).alias("s"))
+    wide = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("variant") == v) & (F.col("period") == p), F.col(c)
+                )
+            ).alias(f"{c}{v}{p}")
+            for v in (0, 1)
+            for p in (0, 1)
+            for c in ("s", "n")
+        ]
+    )
+    m = {
+        (v, p): F.lit(1.0) * F.col(f"s{v}{p}") / F.col(f"n{v}{p}")
+        for v in (0, 1)
+        for p in (0, 1)
+    }
+    return wide.select(
+        (F.col("n00") + F.col("n01") + F.col("n10") + F.col("n11"))
+        .cast("bigint")
+        .alias("n"),
+        F.round(m[(0, 0)] / 100.0, 6).alias("ctrl_before"),
+        F.round(m[(0, 1)] / 100.0, 6).alias("ctrl_after"),
+        F.round(m[(1, 0)] / 100.0, 6).alias("treat_before"),
+        F.round(m[(1, 1)] / 100.0, 6).alias("treat_after"),
+        F.round(
+            ((m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])) / 100.0, 6
+        ).alias("did"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort lifetime value — cumulative purchase revenue per (first-day
+# cohort, day offset): the monetary companion of q_retention's count
+# grid.  The cohort map broadcasts onto the purchase slice of the
+# fact scan; the cumulative sum rides a window over the tiny
+# (cohorts × offsets) grid in exact int64 cents.
+# --------------------------------------------------------------------------
+@q(
+    "q_cohort_ltv",
+    """
+    WITH days AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(d) AS d0 FROM days GROUP BY user_id
+    ), rev AS (
+        SELECT c.d0, (epoch_us(e.ts) // 86400000000) - c.d0 AS offset_d,
+               SUM(CAST(round(e.value * 100, 0) AS BIGINT)) AS rev_c
+        FROM events e JOIN cohort c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT d0 AS cohort_day, offset_d,
+           CAST(rev_c AS BIGINT) / 100.0 AS revenue,
+           CAST(SUM(rev_c) OVER (PARTITION BY d0 ORDER BY offset_d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0
+             AS cum_ltv
+    FROM rev
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.expr(f"ts div {DAY_US}").alias("d"))
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "d0",
+            (F.expr(f"ts div {DAY_US}") - F.col("d0")).alias("offset_d"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("rev_c"))
+    )
+    w = (
+        Window.partitionBy("d0")
+        .orderBy("offset_d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        F.col("d0").alias("cohort_day"),
+        "offset_d",
+        (F.col("rev_c").cast("bigint") / 100.0).alias("revenue"),
+        (F.sum("rev_c").over(w).cast("bigint") / 100.0).alias("cum_ltv"),
+    )
