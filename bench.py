@@ -264,6 +264,7 @@ HEADLINE = {
     "q_sql_udf",
     "q_did",
     "q_cohort_ltv",
+    "q_holt",
 }
 
 if __name__ == "__main__":

@@ -1129,3 +1129,107 @@ def q_traj_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dist2").asc(), F.col("user_id").asc())
         .limit(10)
     )
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+HOLT_BUCKETS = 64  # kernel-invocation coarsening, the q_cogroup_asof lesson
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend) per user — the
+# coupled recurrence l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
+# b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} that single-state EWM (q_ewm)
+# cannot express: TWO interleaved states per key, the canonical
+# "genuinely stateful" operator.  Physical form: Arrow-batched
+# applyInPandas with 64-user buckets (per-group invocation cost —
+# the q_cogroup_asof lesson), a float64 left-to-right scan per user.
+# The oracle replays the SAME recurrence with a recursive CTE
+# stepping rank-by-rank across all users at once; both engines run
+# the identical IEEE op sequence, so level/trend round-6 match
+# bitwise.  Scale: one user-keyed exchange; state is O(1) per key —
+# the same recurrence runs unmodified under
+# applyInPandasWithState on a stream.
+# --------------------------------------------------------------------------
+@q(
+    "q_holt",
+    f"""
+    WITH RECURSIVE rows_r AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+    ), holt AS (
+        SELECT user_id, event_id, value, rn,
+               value AS lvl, CAST(0.0 AS DOUBLE) AS trend
+        FROM rows_r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.event_id, r.value, r.rn,
+               {HOLT_ALPHA} * r.value
+                 + (1.0 - {HOLT_ALPHA}) * (h.lvl + h.trend) AS lvl,
+               {HOLT_BETA} * (({HOLT_ALPHA} * r.value
+                               + (1.0 - {HOLT_ALPHA}) * (h.lvl + h.trend))
+                              - h.lvl)
+                 + (1.0 - {HOLT_BETA}) * h.trend AS trend
+        FROM holt h JOIN rows_r r
+          ON r.user_id = h.user_id AND r.rn = h.rn + 1
+    )
+    SELECT user_id, event_id, round(lvl, 6) AS level,
+           round(trend, 6) AS trend
+    FROM holt
+    """,
+)
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+
+    def kernel(pdf):
+        import math
+
+        import pandas as pd
+
+        def r6(x):
+            # half-AWAY-from-zero at 6 decimals — matching DuckDB's
+            # round() (and Spark's F.round); python round() is
+            # half-even and diverges on exact .5 boundaries.
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+        needed = {"user_id", "ts", "event_id", "value"}
+        if not needed <= set(pdf.columns):  # count-only pruned plan
+            n = len(pdf)
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([None] * n, dtype="Int64"),
+                    "event_id": pd.Series([None] * n, dtype="Int64"),
+                    "level": pd.Series([None] * n, dtype="Float64"),
+                    "trend": pd.Series([None] * n, dtype="Float64"),
+                }
+            )
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out_u, out_e, out_l, out_b = [], [], [], []
+        for _, g in pdf.groupby("user_id", sort=False):
+            lvl = trend = None
+            for uid, eid, x in zip(g["user_id"], g["event_id"], g["value"]):
+                x = float(x)
+                if lvl is None:
+                    lvl, trend = x, 0.0
+                else:
+                    prev = lvl
+                    lvl = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (lvl + trend)
+                    trend = (
+                        HOLT_BETA * (lvl - prev) + (1.0 - HOLT_BETA) * trend
+                    )
+                out_u.append(uid)
+                out_e.append(eid)
+                out_l.append(r6(lvl))
+                out_b.append(r6(trend))
+        return pd.DataFrame(
+            {"user_id": out_u, "event_id": out_e, "level": out_l, "trend": out_b}
+        )
+
+    return (
+        ev.withColumn("bkt", F.pmod(F.col("user_id"), F.lit(HOLT_BUCKETS)))
+        .groupBy("bkt")
+        .applyInPandas(
+            kernel, "user_id bigint, event_id bigint, level double, trend double"
+        )
+    )
