@@ -265,6 +265,8 @@ HEADLINE = {
     "q_did",
     "q_cohort_ltv",
     "q_holt",
+    "q_seasonal_anomaly",
+    "q_max_drawdown",
 }
 
 if __name__ == "__main__":

@@ -1431,3 +1431,140 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_c").cast("bigint") / 100.0).alias("revenue"),
         (F.sum("rev_c").over(w).cast("bigint") / 100.0).alias("cum_ltv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal anomaly detection — each event scored against its
+# (hour-of-day × day-of-week) seasonal cell: flag values beyond 3
+# seasonal standard deviations.  The 168-cell seasonal profile is ONE
+# map-side-combined aggregation broadcast back onto the fact scan —
+# no fact-side shuffle at all (the q_winsorize broadcast-bounds
+# shape, with a 2-D seasonal key).  Mean is the exact-int ratio; std
+# via power sums rounded 6 (libm sqrt); the flag compares the same
+# rounded quantities on both engines.
+# --------------------------------------------------------------------------
+@q(
+    "q_seasonal_anomaly",
+    """
+    WITH prof AS (
+        SELECT (epoch_us(ts) // 3600000000) % 24 AS hh,
+               (epoch_us(ts) // 86400000000) % 7 AS dw,
+               COUNT(*) AS n,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)
+                   * CAST(round(value * 100, 0) AS BIGINT)) AS ss
+        FROM events GROUP BY 1, 2
+    ), scored AS (
+        SELECT e.event_id, e.user_id, e.value,
+               round(1.0 * p.s / p.n / 100.0, 6) AS seasonal_mean,
+               round(sqrt((CAST(p.n AS DOUBLE) * p.ss - CAST(p.s AS DOUBLE) * p.s)
+                          / (CAST(p.n AS DOUBLE) * (p.n - 1))) / 100.0, 6)
+                 AS seasonal_std
+        FROM events e
+        JOIN prof p ON (epoch_us(e.ts) // 3600000000) % 24 = p.hh
+                   AND (epoch_us(e.ts) // 86400000000) % 7 = p.dw
+        WHERE p.n >= 2
+    )
+    SELECT event_id, user_id, value, seasonal_mean, seasonal_std
+    FROM scored
+    WHERE seasonal_std > 0
+      AND abs(value - seasonal_mean) > 3.0 * seasonal_std
+    """,
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    hh = (F.expr("ts div 3600000000") % 24).alias("hh")
+    dw = (F.expr("ts div 86400000000") % 7).alias("dw")
+    prof = ev.groupBy(hh, dw).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vc).alias("s"),
+        F.sum(vc * vc).alias("ss"),
+    ).filter(F.col("n") >= 2)
+    n, s_, ss = F.col("n"), F.col("s"), F.col("ss")
+    prof = prof.select(
+        "hh",
+        "dw",
+        F.round(F.lit(1.0) * s_ / n / 100.0, 6).alias("seasonal_mean"),
+        F.round(
+            F.sqrt(
+                (n.cast("double") * ss - s_.cast("double") * s_)
+                / (n.cast("double") * (n - 1))
+            )
+            / 100.0,
+            6,
+        ).alias("seasonal_std"),
+    )
+    return (
+        ev.select("event_id", "user_id", "value",
+                  hh.alias("hh"), dw.alias("dw"))
+        .join(F.broadcast(prof), ["hh", "dw"])
+        .filter(
+            (F.col("seasonal_std") > 0)
+            & (
+                F.abs(F.col("value") - F.col("seasonal_mean"))
+                > 3.0 * F.col("seasonal_std")
+            )
+        )
+        .select("event_id", "user_id", "value", "seasonal_mean", "seasonal_std")
+    )
+
+
+# --------------------------------------------------------------------------
+# Maximum drawdown per user — the financial risk metric over each
+# user's cumulative value curve: the largest peak-to-trough drop of
+# the running cents sum.  Two stock windows on the shared trajectory
+# exchange (prefix sum, then prefix max of it) and a plain max — all
+# int64, no float anywhere.  Completes the finance family around
+# q_ohlc's candlesticks.
+# --------------------------------------------------------------------------
+@q(
+    "q_max_drawdown",
+    """
+    WITH curve AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS equity_c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ), dd AS (
+        SELECT user_id,
+               MAX(equity_c) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run_peak_c,
+               equity_c
+        FROM curve
+    )
+    SELECT user_id,
+           CAST(MAX(run_peak_c - equity_c) AS BIGINT) / 100.0 AS max_drawdown,
+           CAST(MAX(equity_c) AS BIGINT) / 100.0 AS equity_peak
+    FROM dd GROUP BY user_id
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = ev.select(
+        "user_id", F.sum(vc).over(wcum).alias("equity_c"),
+        F.col("ts"), F.col("event_id"),
+    )
+    wpeak = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = curve.select(
+        "user_id",
+        "equity_c",
+        F.max("equity_c").over(wpeak).alias("run_peak_c"),
+    )
+    return dd.groupBy("user_id").agg(
+        (F.max(F.col("run_peak_c") - F.col("equity_c")).cast("bigint") / 100.0)
+        .alias("max_drawdown"),
+        (F.max("equity_c").cast("bigint") / 100.0).alias("equity_peak"),
+    )
