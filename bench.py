@@ -267,6 +267,8 @@ HEADLINE = {
     "q_holt",
     "q_seasonal_anomaly",
     "q_max_drawdown",
+    "q_peak_concurrency",
+    "q_vwap",
 }
 
 if __name__ == "__main__":

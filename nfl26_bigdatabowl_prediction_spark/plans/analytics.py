@@ -1568,3 +1568,102 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_drawdown"),
         (F.max("equity_c").cast("bigint") / 100.0).alias("equity_peak"),
     )
+
+
+# --------------------------------------------------------------------------
+# Peak concurrency (sweep line) — the interval-overlap maximum: treat
+# each event as a 30-minute session interval and find each day's
+# highest number of simultaneously open sessions.  The classic
+# +1/−1 endpoint explode (scan-side, 2× fan-out) followed by an
+# ordered prefix sum per day; ends sort before starts at the same
+# instant so touching intervals don't double-count.  One day-keyed
+# exchange; the per-day max is a plain aggregate.
+# --------------------------------------------------------------------------
+@q(
+    "q_peak_concurrency",
+    """
+    WITH endpoints AS (
+        SELECT epoch_us(ts) // 86400000000 AS d, epoch_us(ts) AS t_us,
+               1 AS delta, event_id
+        FROM events
+        UNION ALL
+        SELECT epoch_us(ts) // 86400000000 AS d,
+               epoch_us(ts) + 1800000000 AS t_us, -1 AS delta, event_id
+        FROM events
+    ), swept AS (
+        SELECT d,
+               SUM(delta) OVER (PARTITION BY d
+                                ORDER BY t_us, delta, event_id
+                                ROWS UNBOUNDED PRECEDING) AS open_now
+        FROM endpoints
+    )
+    SELECT d AS day, CAST(MAX(open_now) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY d
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    day = F.expr(f"ts div {DAY_US}").alias("d")
+    starts = ev.select(day, F.col("ts").alias("t_us"), F.lit(1).alias("delta"),
+                       "event_id")
+    ends = ev.select(
+        day,
+        (F.col("ts") + 1800000000).alias("t_us"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    endpoints = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("d")
+        .orderBy("t_us", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = endpoints.select("d", F.sum("delta").over(w).alias("open_now"))
+    return swept.groupBy(F.col("d").alias("day")).agg(
+        F.max("open_now").cast("bigint").alias("peak_concurrent")
+    )
+
+
+# --------------------------------------------------------------------------
+# VWAP — volume-weighted average price per (part brand, ship month):
+# Σ(price·qty)/Σ(qty), both sums exact int64 (cents·centiqty), the
+# ratio computed once at the end.  The weighted-mean surface as a
+# named analytic (A7 embeds it inside the flagship groupBy); brand
+# rides a broadcast dimension join.
+# --------------------------------------------------------------------------
+@q(
+    "q_vwap",
+    """
+    SELECT p.p_brand,
+           CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT)
+             AS ship_month,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                    * CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+             / 100.0 AS vwap,
+           CAST(SUM(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    qc = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    month = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", month.alias("ship_month"))
+        .agg(
+            (
+                F.sum(pc * qc).cast("double")
+                / F.sum(qc).cast("bigint")
+                / 100.0
+            ).alias("vwap"),
+            (F.sum(qc).cast("bigint") / 100.0).alias("total_qty"),
+        )
+    )
