@@ -269,6 +269,8 @@ HEADLINE = {
     "q_max_drawdown",
     "q_peak_concurrency",
     "q_vwap",
+    "q_regex_tokens",
+    "q_interval_merge",
 }
 
 if __name__ == "__main__":

@@ -1667,3 +1667,73 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(qc).cast("bigint") / 100.0).alias("total_qty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Interval coalescing — merge each user's overlapping 30-minute
+# session intervals into maximal covered spans (the interval cousin
+# of q_gaps_islands' day streaks): a new span opens where an interval
+# starts after the running max of all previous ends; span ids are the
+# prefix sum of those breaks.  Two windows + one aggregate on a
+# single user-keyed exchange, all integer micros.
+# --------------------------------------------------------------------------
+@q(
+    "q_interval_merge",
+    """
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s_us, epoch_us(ts) + 1800000000 AS e_us,
+               event_id
+        FROM events
+    ), flagged AS (
+        SELECT user_id, s_us, e_us,
+               CASE WHEN s_us > COALESCE(MAX(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_span,
+               event_id
+        FROM iv
+    ), spans AS (
+        SELECT user_id, s_us, e_us,
+               SUM(new_span) OVER (PARTITION BY user_id
+                                   ORDER BY s_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(span_id AS BIGINT) AS span_id,
+           MIN(s_us) AS span_start_us, MAX(e_us) AS span_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM spans GROUP BY user_id, span_id
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s_us"),
+        (F.col("ts") + 1800000000).alias("e_us"),
+        "event_id",
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_span",
+        F.when(
+            F.col("s_us") > F.coalesce(F.max("e_us").over(wprev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = flagged.withColumn("span_id", F.sum("new_span").over(wcum))
+    return spans.groupBy(
+        "user_id", F.col("span_id").cast("bigint").alias("span_id")
+    ).agg(
+        F.min("s_us").alias("span_start_us"),
+        F.max("e_us").alias("span_end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+    )

@@ -1984,3 +1984,47 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish regex token count — the tokenizer-style segmentation the
+# whitespace count (q_token_count) underestimates: letter runs,
+# digit runs, and individual punctuation marks each count as one
+# token (the GPT-2 pre-tokenizer's shape).  The expansion ratio
+# n_regex_tokens / n_words is the subword-pressure signal a corpus
+# budget uses to convert document counts into token budgets.
+# Scan-side, zero shuffle; the regex dialect is the RE2/Java-common
+# subset so both engines segment identically.
+# --------------------------------------------------------------------------
+@q(
+    "q_regex_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                AS BIGINT) AS n_regex_tokens,
+           CAST(len({_WORDS_DUCK}) AS BIGINT) AS n_words,
+           round(1.0 * len(regexp_extract_all(text,
+                                              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                 / len({_WORDS_DUCK}), 6) AS expansion
+    FROM documents
+    WHERE len({_WORDS_DUCK}) > 0
+    """,
+)
+def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+    )
+    base = d.select(
+        "doc_id",
+        toks.cast("bigint").alias("n_regex_tokens"),
+        F.size(F.expr(_WORDS_SPARK)).cast("bigint").alias("n_words"),
+    ).filter(F.col("n_words") > 0)
+    return base.select(
+        "doc_id",
+        "n_regex_tokens",
+        "n_words",
+        F.round(
+            F.lit(1.0) * F.col("n_regex_tokens") / F.col("n_words"), 6
+        ).alias("expansion"),
+    )
