@@ -271,6 +271,8 @@ HEADLINE = {
     "q_vwap",
     "q_regex_tokens",
     "q_interval_merge",
+    "q_shuffle_hash_join",
+    "q_equi_depth_hist",
 }
 
 if __name__ == "__main__":

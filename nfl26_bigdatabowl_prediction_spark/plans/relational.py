@@ -2689,3 +2689,93 @@ def q_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Join-strategy hint surface — the same fact⋈fact equi join as
+# q_join_inner forced to a SHUFFLED HASH join via hint: on clusters
+# with memory to hold the per-partition build side, hash beats
+# sort-merge by skipping both sorts (the classic big-join tuning move —
+# Spark only picks it automatically with preferSortMergeJoin=false).
+# The plan test pins ShuffledHashJoin; results are identical to the
+# unhinted form, which is the point: hints change the physical
+# strategy, never the answer.
+# --------------------------------------------------------------------------
+@q(
+    "q_shuffle_hash_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             / 100.0 AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            (F.sum(cents(F.col("l_extendedprice"))).cast("bigint") / 100.0).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram — quartile-bucketed value distribution: exact
+# percentile cutpoints (the q_quantile convention, rounded 4) become
+# a broadcast 1-row bound set; each fact row buckets by comparison
+# against the cutpoints, counts map-side combine into 4 keys.  The
+# equal-POPULATION companion of q_histogram's equal-WIDTH bins — at
+# 100 TB swap the exact percentile for approx_percentile and keep
+# the identical plan.
+# --------------------------------------------------------------------------
+@q(
+    "q_equi_depth_hist",
+    """
+    WITH b AS (
+        SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+               round(quantile_cont(o_totalprice, 0.50), 4) AS q2,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS q3
+        FROM orders
+    )
+    SELECT CASE WHEN o_totalprice <= b.q1 THEN 0
+                WHEN o_totalprice <= b.q2 THEN 1
+                WHEN o_totalprice <= b.q3 THEN 2
+                ELSE 3 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             / 100.0 AS bucket_revenue
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("q2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (
+                F.sum(cents(F.col("o_totalprice"))).cast("bigint") / 100.0
+            ).alias("bucket_revenue"),
+        )
+    )

@@ -178,7 +178,7 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
         if name in ("q_tfidf_topk", "q_bm25", "q_crosstab", "q_psi",
                     "q_ks_stat", "q_top_supplier", "q_top_value_parts",
                     "q_idle_customers", "q_kmeans_step", "q_traj_similarity",
-                    "q_survival"):
+                    "q_survival", "q_equi_depth_hist"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
@@ -186,7 +186,8 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
             # q_kmeans_step broadcasts the K=4 seed side: O(K·n), the
             # canonical assignment plan.  q_traj_similarity adds the
             # query user's 1-row profile constant; q_survival the
-            # 1-row censoring horizon.
+            # 1-row censoring horizon; q_equi_depth_hist the 1-row
+            # quartile cutpoints.
         plan = _plan(spark, name)
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in plan, f"{name} compiles to {bad}"
@@ -475,3 +476,14 @@ def test_bpe_pairs_heavy_hitter_shape(spark):
     plan = _plan(spark, "q_bpe_pairs")
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_shuffle_hash_hint_is_honored(spark):
+    # the SHUFFLE_HASH hint must surface as ShuffledHashJoin — the
+    # skip-both-sorts strategy for memory-rich clusters; and the
+    # unhinted twin must remain sort-merge, proving the hint (not a
+    # conf) made the difference.
+    plan = _plan(spark, "q_shuffle_hash_join")
+    assert "ShuffledHashJoin" in plan, plan
+    plan = _plan(spark, "q_join_inner")
+    assert "ShuffledHashJoin" not in plan, plan
