@@ -34,10 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # at the start of each round.
 _DRIVER_GREEN: frozenset[str] = frozenset({
     # ROUND-3 TODO (first thing): merge CORRECTNESS_r02.json's green
-    # names into this set.  The expected round-2 window (pre-flighted
-    # 50/50 green via tools/driver_sim.py this round) starts at
-    # q_except/q_pivot/q_hypertable_rollup and ends at q_winsorize —
-    # see `list(queries())[:50]`.
+    # names into this set.  The expected round-2 window (every member
+    # pre-flighted green via tools/driver_sim.py this round) starts at
+    # q_except/q_pivot/q_hypertable_rollup and ends at q_rolling_time
+    # — see `list(queries())[:50]`.
     # round 1 (CORRECTNESS_r01.json)
     "q_groupby_multi", "q_scan_parquet", "q_scan_csv", "q_project",
     "q_filter_range", "q_filter_finite", "q_fill", "q_dropna", "q_clip",
