@@ -273,6 +273,8 @@ HEADLINE = {
     "q_interval_merge",
     "q_shuffle_hash_join",
     "q_equi_depth_hist",
+    "q_moments",
+    "q_dedup_stats",
 }
 
 if __name__ == "__main__":

@@ -1737,3 +1737,84 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e_us").alias("span_end_us"),
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
     )
+
+
+# --------------------------------------------------------------------------
+# Higher moments — skewness and excess kurtosis per event type from
+# int64 cents power sums (Σx..Σx⁴): the engine's exact-moments
+# recipe extended past variance.  Spark's skewness()/kurtosis()
+# builtins merge float partials in nondeterministic order and never
+# hash-stable; the power sums are exact, and the closed forms
+# evaluate once per group with one shared op tree.  Σx⁴ of cents
+# (≤10⁴) bounds groups at ~10⁶ rows in int64 — per SCALING.md, the
+# DECIMAL(38) swap extends that; at this table's scale (≤10⁵ rows
+# per type at sf0.1) the margin is 10×.
+# --------------------------------------------------------------------------
+@q(
+    "q_moments",
+    """
+    WITH s AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(round(value, 0) AS BIGINT)) AS s1,
+               SUM(CAST(round(value, 0) AS BIGINT)
+                   * CAST(round(value, 0) AS BIGINT)) AS s2,
+               SUM(CAST(round(value, 0) AS BIGINT)
+                   * CAST(round(value, 0) AS BIGINT)
+                   * CAST(round(value, 0) AS BIGINT)) AS s3,
+               SUM(CAST(round(value, 0) AS BIGINT)
+                   * CAST(round(value, 0) AS BIGINT)
+                   * CAST(round(value, 0) AS BIGINT)
+                   * CAST(round(value, 0) AS BIGINT)) AS s4
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(1.0 * s1 / n, 6) AS mean_v,
+           round((1.0 * s2 / n - (1.0 * s1 / n) * (1.0 * s1 / n)), 6) AS var_v,
+           round((1.0 * s3 / n
+                  - 3.0 * (1.0 * s1 / n) * (1.0 * s2 / n)
+                  + 2.0 * (1.0 * s1 / n) * (1.0 * s1 / n) * (1.0 * s1 / n))
+                 / pow(1.0 * s2 / n - (1.0 * s1 / n) * (1.0 * s1 / n), 1.5), 6)
+             AS skew_v,
+           round((1.0 * s4 / n
+                  - 4.0 * (1.0 * s1 / n) * (1.0 * s3 / n)
+                  + 6.0 * (1.0 * s1 / n) * (1.0 * s1 / n) * (1.0 * s2 / n)
+                  - 3.0 * (1.0 * s1 / n) * (1.0 * s1 / n) * (1.0 * s1 / n)
+                    * (1.0 * s1 / n))
+                 / ((1.0 * s2 / n - (1.0 * s1 / n) * (1.0 * s1 / n))
+                    * (1.0 * s2 / n - (1.0 * s1 / n) * (1.0 * s1 / n))) - 3.0,
+                 6) AS excess_kurtosis
+    FROM s WHERE 1.0 * s2 / n - (1.0 * s1 / n) * (1.0 * s1 / n) > 0
+    """,
+)
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # whole units, not cents: x⁴ headroom (see docstring)
+    x = F.round(F.col("value"), 0).cast("bigint")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.lit(1.0) * F.col("s1") / n
+    m2 = F.lit(1.0) * F.col("s2") / n
+    m3 = F.lit(1.0) * F.col("s3") / n
+    m4 = F.lit(1.0) * F.col("s4") / n
+    var = m2 - m1 * m1
+    return s.filter(var > 0).select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(m1, 6).alias("mean_v"),
+        F.round(var, 6).alias("var_v"),
+        F.round(
+            (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) / F.pow(var, 1.5), 6
+        ).alias("skew_v"),
+        F.round(
+            (m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1)
+            / (var * var)
+            - 3.0,
+            6,
+        ).alias("excess_kurtosis"),
+    )

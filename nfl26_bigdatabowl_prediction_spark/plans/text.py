@@ -2028,3 +2028,51 @@ def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) * F.col("n_regex_tokens") / F.col("n_words"), 6
         ).alias("expansion"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup audit report — the cluster-size histogram + removal ratio a
+# curation run publishes: clusters keyed on the opening-boilerplate
+# digest (first four words), the blocking key that catches template
+# duplication exact-content hashing misses (the fixture has no
+# byte-identical docs below sf0.1, so the exact-digest audit would be
+# a vacuous single row).  Two tiny hash aggs past the digest rollup;
+# the removal share is an exact-int ratio.
+# --------------------------------------------------------------------------
+@q(
+    "q_dedup_stats",
+    """
+    WITH clusters AS (
+        SELECT md5(array_to_string(
+                   regexp_split_to_array(trim(text), '\s+')[1:4], ' ')) AS digest,
+               COUNT(*) AS sz
+        FROM documents GROUP BY 1
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           round(1.0 * SUM(sz - 1) / (SUM(SUM(sz)) OVER ()), 6)
+             AS removal_share
+    FROM clusters GROUP BY sz
+    """,
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.expr(_WORDS_SPARK), 1, 4))
+    clusters = d.groupBy(F.md5(prefix).alias("digest")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    hist = clusters.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum(F.col("sz") - 1).alias("n_removed"),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return hist.select(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(
+            F.lit(1.0) * F.col("n_removed") / F.sum("n_docs").over(wall), 6
+        ).alias("removal_share"),
+    )
