@@ -2076,3 +2076,81 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) * F.col("n_removed") / F.sum("n_docs").over(wall), 6
         ).alias("removal_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram LM scoring — per-doc average log-probability under the
+# corpus bigram model with add-one smoothing: the next step past
+# q_unigram_logprob's bag-of-words score (a low bigram logprob with
+# a normal unigram one flags shuffled/templated text).  Corpus bigram
+# and unigram-context counts are token-keyed aggregates joined back
+# onto each doc's bigrams; V (distinct tokens) rides a 1-row
+# broadcast into the smoothing term.  Each ln is frozen to integer
+# micro-nats before the per-doc mean (the libm rule).
+# --------------------------------------------------------------------------
+@q(
+    "q_bigram_logprob",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_WORDS_DUCK} AS words FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words)),
+                                     i -> words[i] || ' ' || words[i + 1])) AS bigram,
+               unnest(list_transform(range(1, len(words)), i -> words[i])) AS ctx
+        FROM toks WHERE len(words) >= 2
+    ), bg_counts AS (
+        SELECT bigram, COUNT(*) AS c_bg FROM bg GROUP BY 1
+    ), ctx_counts AS (
+        SELECT ctx, COUNT(*) AS c_ctx FROM bg GROUP BY 1
+    ), vocab AS (
+        SELECT COUNT(DISTINCT ctx) AS v FROM bg
+    )
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(round(ln((1.0 * bc.c_bg + 1.0)
+                                   / (1.0 * cc.c_ctx + (SELECT v FROM vocab)))
+                               * 1000000, 0) AS BIGINT)) AS BIGINT)
+             / COUNT(*) / 1000000.0 AS avg_logprob
+    FROM bg b
+    JOIN bg_counts bc ON b.bigram = bc.bigram
+    JOIN ctx_counts cc ON b.ctx = cc.ctx
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = _with_words(d, "doc_id").filter(F.size("words") >= 2)
+    bg = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1), "
+                "i -> struct(concat(element_at(words, i), ' ', "
+                "element_at(words, i + 1)) AS bigram, "
+                "element_at(words, i) AS ctx))"
+            )
+        ).alias("pos", "bc"),
+    ).select("doc_id", F.col("bc.bigram").alias("bigram"), F.col("bc.ctx").alias("ctx"))
+    bg_counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx_counts = bg.groupBy("ctx").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = bg.agg(F.countDistinct("ctx").cast("double").alias("v"))
+    term_u = F.round(
+        F.log(
+            (F.lit(1.0) * F.col("c_bg") + 1.0)
+            / (F.lit(1.0) * F.col("c_ctx") + F.col("v"))
+        )
+        * 1000000,
+        0,
+    ).cast("bigint")
+    return (
+        bg.join(bg_counts, "bigram")
+        .join(ctx_counts, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (F.sum(term_u).cast("bigint") / F.count(F.lit(1)) / 1000000.0).alias(
+                "avg_logprob"
+            ),
+        )
+    )
