@@ -60,6 +60,21 @@ def main() -> None:
                 timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
+    # Compact headline line FIRST: the full per-query line below can
+    # exceed a log tail capture (BENCH_r02's parsed payload was lost
+    # to exactly that), and the compact line keeps the headline
+    # number parseable either way.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "n": len(timings),
+                "sf": sf,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -275,6 +290,8 @@ HEADLINE = {
     "q_equi_depth_hist",
     "q_moments",
     "q_dedup_stats",
+    # round-3 additions
+    "q_bigram_logprob",
 }
 
 if __name__ == "__main__":

@@ -1095,7 +1095,8 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_users,
            CAST(MAX(tot) AS BIGINT) / 100.0 AS total_spend,
-           round(2.0 * SUM(i * x) / (MAX(n) * MAX(tot))
+           round(2.0 * CAST(SUM(CAST(i AS HUGEINT) * x) AS DOUBLE)
+                   / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(tot) AS DOUBLE))
                  - (1.0 * (MAX(n) + 1)) / MAX(n), 6) AS gini
     FROM ranked
     """,
@@ -1114,12 +1115,19 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wall).alias("n"),
         F.sum("x").over(wall).alias("tot"),
     )
+    # SUM(i·x) accumulates in DECIMAL(38,0) (HUGEINT on the oracle
+    # side): rank i (up to |users|) times cents totals x overflows
+    # int64 near 10^8 users × 10^6 cents — far thinner headroom than
+    # the plain cents sums analyzed in SCALING.md.  The denominator
+    # n·tot is formed as double×double in BOTH engines (same op
+    # order) for the same reason.
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_users"),
         (F.max("tot").cast("bigint") / 100.0).alias("total_spend"),
         F.round(
-            F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
-            / (F.max("n") * F.max("tot"))
+            F.lit(2.0)
+            * F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).cast("double")
+            / (F.max("n").cast("double") * F.max("tot").cast("double"))
             - (F.lit(1.0) * (F.max("n") + 1)) / F.max("n"),
             6,
         ).alias("gini"),

@@ -849,7 +849,16 @@ def q_logit_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-iteration op in this repo (q_pagerank's n, q_bfs' seed).
     _, b0, b1, b2 = step(F.lit(0.0), F.lit(0.0), F.lit(0.0))
     n, b0, b1, b2 = step(F.lit(b0), F.lit(b1), F.lit(b2))
+
+    # Half-AWAY-from-zero, matching DuckDB's round(); Python's builtin
+    # round() is half-even and diverges on exact .5 micro boundaries
+    # (same r6 convention as q_holt / q_pandas_scalar).
+    def r6(x: float) -> float:
+        import math
+
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
     return ev.sparkSession.createDataFrame(
-        [(n, round(b0, 6), round(b1, 6), round(b2, 6))],
+        [(n, r6(b0), r6(b1), r6(b2))],
         "n bigint, intercept double, w_hour double, w_dow double",
     )

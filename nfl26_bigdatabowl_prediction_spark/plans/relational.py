@@ -2540,7 +2540,10 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     n = table(spark, sf_dir, "nation")
-    path = os.path.join(tempfile.gettempdir(), "nfl26_schema_evolution_nation")
+    # Per-invocation temp dir (the q_stream_cdc_upsert convention):
+    # a fixed shared path races under concurrent test/bench sessions
+    # — two overwriting writers can interleave v1/v2 contents.
+    path = tempfile.mkdtemp(prefix="nfl26_schema_evolution_")
     (
         n.filter(F.col("n_nationkey") < 13)
         .select("n_nationkey", "n_name")

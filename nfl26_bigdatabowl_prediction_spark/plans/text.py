@@ -1803,26 +1803,30 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
     d = table(spark, sf_dir, "documents")
-    sized = (
+    shingled = (
         _with_words(d, "doc_id")
         .filter(F.size("words") >= 3)
         .select("doc_id", F.expr(_SHINGLES_FROM_WORDS).alias("els"))
         .select("doc_id", "els", F.size("els").alias("sz"))
-        # Materialize the shingle arrays ONCE: CollapseProject inlines
-        # the transform() into the downstream Generate, where it is
-        # re-evaluated per EMITTED element (O(|els|²) per doc —
-        # measured 13.7 s vs 0.3 s for the explode alone at sf0.1),
-        # and the plan consumes `els` three times (token explode +
-        # both verify arms).  Doc-id+shingles is the small derived
-        # table here (≤ corpus token footprint), safe to pin.
-        .cache()
     )
-    # Eager materialization: the three consumers live in ONE action,
-    # and a lazy cache lets each branch race to compute the shingles
-    # independently before the cache is populated (measured 12 s vs
-    # 4.5 s first-call at sf0.1).  Same pattern as q_triangle_count.
-    sized.count()
+    # Checkpoint the shingle projection to a per-invocation temp
+    # parquet: CollapseProject would otherwise inline the transform()
+    # into the downstream Generate, where it is re-evaluated per
+    # EMITTED element (O(|els|²) per doc — measured 13.7 s vs 0.3 s
+    # for the explode alone at sf0.1), and the plan consumes `els`
+    # three times (token explode + both verify arms).  A parquet
+    # checkpoint pays ONE columnar write and streams three scans —
+    # unlike the previous `.cache()` + eager `count()`, it holds
+    # nothing corpus-sized in executor storage, so the shape survives
+    # 100 TB (the write is parallel and the three readers get
+    # column-pruned scans: the token explode reads only doc_id/els,
+    # the verify arms read the full row).
+    ckpt = tempfile.mkdtemp(prefix="setsim_shingles_")
+    shingled.write.mode("overwrite").parquet(ckpt)
+    sized = spark.read.parquet(ckpt)
     tok = sized.select("doc_id", "sz", F.explode("els").alias("t"))
     df_tab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     ranked = tok.join(df_tab, "t").withColumn(
@@ -2041,10 +2045,10 @@ def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @q(
     "q_dedup_stats",
-    """
+    f"""
     WITH clusters AS (
         SELECT md5(array_to_string(
-                   regexp_split_to_array(trim(text), '\s+')[1:4], ' ')) AS digest,
+                   {_WORDS_DUCK}[1:4], ' ')) AS digest,
                COUNT(*) AS sz
         FROM documents GROUP BY 1
     )
@@ -2133,6 +2137,11 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bc.bigram").alias("bigram"), F.col("bc.ctx").alias("ctx"))
     bg_counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
     ctx_counts = bg.groupBy("ctx").agg(F.count(F.lit(1)).alias("c_ctx"))
+    # V rides a 1-ROW broadcast cross join — the scalar-subquery shape
+    # (O(n·1) at the executor), allowlisted in tests/test_plans.py's
+    # no-NL-join guard alongside q_tfidf_topk's corpus-N scalar.  A
+    # literal-keyed equi join does NOT avoid the BNLJ here: Catalyst
+    # constant-folds lit=lit to true and drops the equi keys.
     vocab = bg.agg(F.countDistinct("ctx").cast("double").alias("v"))
     term_u = F.round(
         F.log(

@@ -5,7 +5,12 @@ import os
 import duckdb
 import pytest
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Default to the DRIVER's verification scale (sf0.01): round 1's
+# q_except vacuity slipped through because the local differential ran
+# at sf0.001 while the driver checks sf0.01.  Export
+# SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.001 for a faster local
+# iteration loop.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",

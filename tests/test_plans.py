@@ -178,11 +178,15 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
         if name in ("q_tfidf_topk", "q_bm25", "q_crosstab", "q_psi",
                     "q_ks_stat", "q_top_supplier", "q_top_value_parts",
                     "q_idle_customers", "q_kmeans_step", "q_traj_similarity",
-                    "q_survival", "q_equi_depth_hist"):
+                    "q_survival", "q_equi_depth_hist", "q_bigram_logprob"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
             # scalar-subquery shape, not a degenerated equi-join.
+            # q_bigram_logprob broadcasts the 1-row vocab size V into
+            # the smoothing denominator (a literal-keyed equi join is
+            # constant-folded back to BNLJ, so the cross join is the
+            # honest spelling).
             # q_kmeans_step broadcasts the K=4 seed side: O(K·n), the
             # canonical assignment plan.  q_traj_similarity adds the
             # query user's 1-row profile constant; q_survival the
