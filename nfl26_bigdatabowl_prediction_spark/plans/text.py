@@ -678,10 +678,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, band,
                list_min(list_transform(mds, m -> substring(m, band * 8 + 1, 8))) AS sig
         FROM hashed, (SELECT unnest([0, 1, 2, 3]) AS band)
-    ), cand AS (
+    ), cand AS MATERIALIZED (
+        -- MATERIALIZED is load-bearing: DuckDB 1.0 inlines plain CTEs,
+        -- so the recursive reach join below would re-run the whole
+        -- shingle+md5 pipeline on EVERY iteration (measured 116 s vs
+        -- 5 s at sf0.01 with the pipeline pinned).
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-    ), edges_sym AS (
+    ), edges_sym AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM cand
         UNION SELECT doc_b, doc_a FROM cand
     ), reach AS (
