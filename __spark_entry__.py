@@ -84,6 +84,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_stream_join_left", "q_stream_cdc_upsert", "q_stream_python_source",
     # plans changed this round — re-verify at the driver
     "q_setsim_join", "q_bigram_logprob",
+    # round-3 real-codec multimodal (stdlib WAV/BMP/PNG byte paths)
+    "q_audio_features", "q_image_decode", "q_png_decode",
     # LLM dedup / ANN / text-analysis core
     "q_dedup_exact", "q_minhash_lsh", "q_simhash", "q_ngram_jaccard",
     "q_dedup_components", "q_embed_neardup", "q_embed_cosine_topk",

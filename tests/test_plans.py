@@ -197,6 +197,15 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
             assert bad not in plan, f"{name} compiles to {bad}"
 
 
+def test_real_codec_queries_are_shuffle_free(spark):
+    # synth-payload and parse kernels are two chained mapInPandas
+    # stages — decode is embarrassingly parallel, so the whole path
+    # must stay scan-side: zero exchanges.
+    for name in ("q_audio_features", "q_image_decode", "q_png_decode"):
+        plan = _plan(spark, name)
+        assert _ops(plan).count("Exchange") == 0, f"{name}: {plan}"
+
+
 def test_frame_sample_is_shuffle_free(spark):
     # sequence+explode fanout happens executor-side: scan → project →
     # generate, zero exchanges.
