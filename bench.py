@@ -295,6 +295,10 @@ HEADLINE = {
     "q_audio_features",
     "q_image_decode",
     "q_png_decode",
+    "q_ann_recall",
+    "q_stl_lite",
+    "q_pq_quantize",
+    "q_pq_search",
 }
 
 if __name__ == "__main__":

@@ -1826,3 +1826,88 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("excess_kurtosis"),
     )
+
+
+# --------------------------------------------------------------------------
+# STL-lite seasonal decomposition — the classic trend/seasonal/
+# remainder split over the daily revenue series: trend = centered
+# 7-row moving average (emitted only where the full window exists),
+# seasonal = per-ISO-weekday mean of the detrended series, remainder
+# = what's left.  Every mean is computed from exact integers (cents
+# for the trend, frozen micro-units for the seasonal) so both engines
+# share one op order.  Scale: the series is DAY-grain — the fact scan
+# reduces to |days| rows before any window runs; the windows are
+# dimension-sized.
+# --------------------------------------------------------------------------
+@q(
+    "q_stl_lite",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_orderdate
+    ), windowed AS (
+        SELECT day, cents,
+               SUM(cents) OVER w AS c7,
+               COUNT(*) OVER w AS n7
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), trended AS (
+        SELECT day, cents,
+               CAST(c7 AS DOUBLE) / 100.0 / 7.0 AS trend,
+               CAST(cents AS DOUBLE) / 100.0 - CAST(c7 AS DOUBLE) / 100.0 / 7.0
+                 AS detrended,
+               isodow(day) - 1 AS wd
+        FROM windowed WHERE n7 = 7
+    ), frozen AS (
+        SELECT day, cents, trend, detrended, wd,
+               CAST(round(detrended * 1000000, 0) AS BIGINT) AS d_micro
+        FROM trended
+    )
+    SELECT day,
+           CAST(cents AS BIGINT) / 100.0 AS revenue,
+           trend,
+           CAST(SUM(d_micro) OVER (PARTITION BY wd) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY wd) / 1000000.0 AS seasonal,
+           detrended
+             - CAST(SUM(d_micro) OVER (PARTITION BY wd) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY wd) / 1000000.0 AS remainder
+    FROM frozen
+    """,
+)
+def q_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    windowed = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w7).alias("c7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    ).filter(F.col("n7") == 7)
+    trend = F.col("c7").cast("double") / 100.0 / 7.0
+    detrended = F.col("cents").cast("double") / 100.0 - trend
+    # Spark weekday() is Mon=0..Sun=6 == DuckDB isodow - 1
+    frozen = windowed.select(
+        "day",
+        "cents",
+        trend.alias("trend"),
+        detrended.alias("detrended"),
+        F.weekday("day").alias("wd"),
+        F.round(detrended * 1000000, 0).cast("bigint").alias("d_micro"),
+    )
+    ws = Window.partitionBy("wd")
+    seasonal = (
+        F.sum("d_micro").over(ws).cast("double")
+        / F.count(F.lit(1)).over(ws)
+        / 1000000.0
+    )
+    return frozen.select(
+        "day",
+        (F.col("cents").cast("bigint") / 100.0).alias("revenue"),
+        "trend",
+        seasonal.alias("seasonal"),
+        (F.col("detrended") - seasonal).alias("remainder"),
+    )

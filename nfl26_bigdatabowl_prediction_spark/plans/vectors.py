@@ -816,3 +816,318 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.lit(1.0) * F.col("s") / F.col("n")) / 1000000.0).alias("centroid_comp"),
         F.col("n").cast("bigint").alias("n_members"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation — recall@5 of the IVF probe-1 path against
+# the brute-force ground truth, per query.  This is the query every
+# ANN deployment runs before trusting the index: both sides are
+# deterministic registry members (q_embed_cosine_topk truncated to
+# k=5 as truth, q_embed_ivf_topk as retrieved), so the evaluation
+# itself carries a full value oracle.  Scale: the two top-K tables
+# are query-set-sized (n_q × 5), so the hit join and the per-query
+# count are dimension-sized — the corpus is never re-scanned.
+# --------------------------------------------------------------------------
+@q(
+    "q_ann_recall",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 20 = 0
+    ), brute_scored AS (
+        SELECT q.qid, c.vec_id AS nb_id,
+               {_dot_duck('q.qe', 'c.embedding')}
+                 / (sqrt({_dot_duck('q.qe', 'q.qe')}) * sqrt({_dot_duck('c.embedding', 'c.embedding')})) AS cosine
+        FROM q JOIN embeddings c ON q.qid <> c.vec_id
+    ), bt AS (
+        SELECT qid, nb_id FROM (
+            SELECT qid, nb_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nb_id ASC) AS rnk
+            FROM brute_scored) WHERE rnk <= 5
+    ), comps AS (
+        SELECT label, i,
+               (CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                / 1000000.0) / COUNT(*) AS c
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY label, i
+    ), qcomp AS (
+        SELECT qid, i, CAST(qe[i] AS DOUBLE) AS x
+        FROM q, (SELECT unnest(range(1, 65)) AS i)
+    ), cell_scores AS (
+        SELECT qc.qid, c.label,
+               SUM(CAST(round(qc.x * c.c * 1000000, 0) AS BIGINT)) AS dot_micro
+        FROM qcomp qc JOIN comps c ON qc.i = c.i
+        GROUP BY qc.qid, c.label
+    ), best AS (
+        SELECT qid, label AS cell FROM (
+            SELECT qid, label,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_micro DESC, label ASC) AS rn
+            FROM cell_scores) WHERE rn = 1
+    ), ivf_scored AS (
+        SELECT b.qid, e.vec_id AS nb_id,
+               {_dot_duck('q.qe', 'e.embedding')}
+                 / (sqrt({_dot_duck('q.qe', 'q.qe')}) * sqrt({_dot_duck('e.embedding', 'e.embedding')})) AS cosine
+        FROM best b
+        JOIN q ON q.qid = b.qid
+        JOIN embeddings e ON e.label = b.cell AND e.vec_id <> b.qid
+    ), it AS (
+        SELECT qid, nb_id FROM (
+            SELECT qid, nb_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nb_id ASC) AS rnk
+            FROM ivf_scored) WHERE rnk <= 5
+    ), hits AS (
+        SELECT i.qid, COUNT(*) AS n_hit
+        FROM it i JOIN bt b ON i.qid = b.qid AND i.nb_id = b.nb_id
+        GROUP BY i.qid
+    )
+    SELECT g.qid,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           COALESCE(h.n_hit, 0) / 5.0 AS recall_at_5
+    FROM (SELECT DISTINCT qid FROM bt) g
+    LEFT JOIN hits h ON g.qid = h.qid
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the two registered search paths and grades one against
+    the other — reusing the registry callables keeps truth and
+    retrieved bitwise-identical to their standalone queries."""
+    brute = (
+        QUERIES["q_embed_cosine_topk"](spark, sf_dir)
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "nb_id")
+    )
+    ivf = QUERIES["q_embed_ivf_topk"](spark, sf_dir).select("qid", "nb_id")
+    hits = (
+        ivf.join(brute, ["qid", "nb_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    truth_q = brute.select("qid").distinct()
+    return truth_q.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Product quantization — the memory-side ANN building block IVF
+# composes with (IVF-PQ): the 64-dim vector splits into 8 subspaces
+# of 8 dims; each subvector snaps to the nearest of 8 deterministic
+# codebook entries (same pseudo-random integer lattice family as the
+# LSH planes), so the vector compresses 64×4 B → 8 codes.  Entirely
+# scan-side: per row, the 8×8 (subspace × code) distance table folds
+# inside ONE projection (nested HOFs — sequence/transform/aggregate),
+# the argmin is a sort_array on (dist, code) structs (ties → smaller
+# code), and the only Generate is the 8-row per-vector output
+# explode.  Zero exchanges — the quantization of a 100 TB corpus is
+# embarrassingly parallel.  Distances accumulate as per-term frozen
+# micro-ints so both engines sum exact integers in any order.
+# --------------------------------------------------------------------------
+_PQ_TERM_DUCK = (
+    "CAST(round((CAST(embedding[j * 8 + d + 1] AS DOUBLE)"
+    " - (CAST((k * 31 + (j * 8 + d) * 17) % 13 AS DOUBLE) - 6) / 6.0)"
+    " * (CAST(embedding[j * 8 + d + 1] AS DOUBLE)"
+    " - (CAST((k * 31 + (j * 8 + d) * 17) % 13 AS DOUBLE) - 6) / 6.0)"
+    " * 1000000, 0) AS BIGINT)"
+)
+
+_PQ_SPARK = (
+    "transform(sequence(0, 7), j -> "
+    "element_at(array_sort(transform(sequence(0, 7), k -> "
+    "struct(aggregate(transform(sequence(0, 7), d -> "
+    "cast(round((cast(element_at(embedding, j * 8 + d + 1) as double)"
+    " - (cast((k * 31 + (j * 8 + d) * 17) % 13 as double) - 6) / 6.0)"
+    " * (cast(element_at(embedding, j * 8 + d + 1) as double)"
+    " - (cast((k * 31 + (j * 8 + d) * 17) % 13 as double) - 6) / 6.0)"
+    " * 1000000, 0) as bigint)), "
+    "cast(0 as bigint), (a, v) -> a + v) AS dmicro, k AS code))), 1))"
+)
+
+
+@q(
+    "q_pq_quantize",
+    f"""
+    WITH sub AS (
+        SELECT vec_id, embedding, unnest(range(0, 8)) AS j FROM embeddings
+    ), cand AS (
+        SELECT vec_id, embedding, j, unnest(range(0, 8)) AS k FROM sub
+    ), dist AS (
+        SELECT vec_id, j, k,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, 8), d -> {_PQ_TERM_DUCK})),
+                 (a, v) -> a + v) AS dmicro
+        FROM cand
+    )
+    SELECT vec_id, CAST(j AS BIGINT) AS subspace,
+           CAST(k AS BIGINT) AS code, dmicro
+    FROM (
+        SELECT vec_id, j, k, dmicro,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dmicro ASC, k ASC) AS rn
+        FROM dist) WHERE rn = 1
+    """,
+)
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    picked = e.select(
+        "vec_id", F.expr(_PQ_SPARK).alias("codes")
+    ).select("vec_id", F.posexplode("codes").alias("subspace", "c"))
+    return picked.select(
+        "vec_id",
+        F.col("subspace").cast("bigint").alias("subspace"),
+        F.col("c.code").cast("bigint").alias("code"),
+        F.col("c.dmicro").alias("dmicro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ search — the production ANN composition: the query routes to
+# its best IVF cell (probe-1, the q_embed_ivf_topk head) and scores
+# ONLY that cell's members by asymmetric distance computation (ADC):
+# each candidate costs 8 integer table lookups + adds against the
+# query's 8×8 per-subspace distance table, never a 64-dim float scan.
+# Scale: the distance table is (n_q × 64) rows — broadcast; corpus
+# codes come from the shuffle-free q_pq_quantize projection; the only
+# data-sized shuffle is the (qid, candidate) 8-row-group sum inside
+# one pruned cell.  Exactness: every table entry is the same frozen
+# micro-int fold as q_pq_quantize, so ADC sums integers in any order.
+# --------------------------------------------------------------------------
+_PQ_QTERM_DUCK = _PQ_TERM_DUCK.replace("embedding[", "qe[")
+
+_PQ_DTABLE_SPARK = (
+    "flatten(transform(sequence(0, 7), j -> transform(sequence(0, 7), k -> "
+    "struct(j AS j, k AS k, aggregate(transform(sequence(0, 7), d -> "
+    "cast(round((cast(element_at(qe, j * 8 + d + 1) as double)"
+    " - (cast((k * 31 + (j * 8 + d) * 17) % 13 as double) - 6) / 6.0)"
+    " * (cast(element_at(qe, j * 8 + d + 1) as double)"
+    " - (cast((k * 31 + (j * 8 + d) * 17) % 13 as double) - 6) / 6.0)"
+    " * 1000000, 0) as bigint)), "
+    "cast(0 as bigint), (a, v) -> a + v) AS dmicro))))"
+)
+
+
+@q(
+    "q_pq_search",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 20 = 0
+    ), comps AS (
+        SELECT label, i,
+               (CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                / 1000000.0) / COUNT(*) AS c
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY label, i
+    ), qcomp AS (
+        SELECT qid, i, CAST(qe[i] AS DOUBLE) AS x
+        FROM q, (SELECT unnest(range(1, 65)) AS i)
+    ), cell_scores AS (
+        SELECT qc.qid, c.label,
+               SUM(CAST(round(qc.x * c.c * 1000000, 0) AS BIGINT)) AS dot_micro
+        FROM qcomp qc JOIN comps c ON qc.i = c.i
+        GROUP BY qc.qid, c.label
+    ), best AS (
+        SELECT qid, label AS cell FROM (
+            SELECT qid, label,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_micro DESC, label ASC) AS rn
+            FROM cell_scores) WHERE rn = 1
+    ), corpus_sub AS (
+        SELECT vec_id, label, embedding, unnest(range(0, 8)) AS j FROM embeddings
+    ), corpus_cand AS (
+        SELECT vec_id, label, embedding, j, unnest(range(0, 8)) AS k FROM corpus_sub
+    ), corpus_dist AS (
+        SELECT vec_id, label, j, k,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, 8), d -> {_PQ_TERM_DUCK})),
+                 (a, v) -> a + v) AS dmicro
+        FROM corpus_cand
+    ), codes AS (
+        SELECT vec_id, label, j, k AS code FROM (
+            SELECT vec_id, label, j, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dmicro ASC, k ASC) AS rn
+            FROM corpus_dist) WHERE rn = 1
+    ), dtab_sub AS (
+        SELECT qid, qe, unnest(range(0, 8)) AS j FROM q
+    ), dtab_cand AS (
+        SELECT qid, qe, j, unnest(range(0, 8)) AS k FROM dtab_sub
+    ), dtable AS (
+        SELECT qid, j, k,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, 8), d -> {_PQ_QTERM_DUCK})),
+                 (a, v) -> a + v) AS dmicro
+        FROM dtab_cand
+    ), adc AS (
+        SELECT b.qid, co.vec_id AS nb_id,
+               CAST(SUM(dt.dmicro) AS BIGINT) AS admicro
+        FROM best b
+        JOIN codes co ON co.label = b.cell AND co.vec_id <> b.qid
+        JOIN dtable dt ON dt.qid = b.qid AND dt.j = co.j AND dt.k = co.code
+        GROUP BY b.qid, co.vec_id
+    )
+    SELECT qid, nb_id, admicro, rnk FROM (
+        SELECT qid, nb_id, admicro,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY admicro ASC, nb_id ASC) AS rnk
+        FROM adc) WHERE rnk <= 5
+    """,
+)
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    micro = lambda c: F.round(c * F.lit(1000000.0), 0).cast("bigint")  # noqa: E731
+    # --- probe-1 cell routing (same ops as q_embed_ivf_topk) ---
+    comps = (
+        e.select("label", F.posexplode("embedding").alias("i0", "x"))
+        .select("label", (F.col("i0") + 1).alias("i"),
+                micro(F.col("x").cast("double")).alias("xm"))
+        .groupBy("label", "i")
+        .agg(((F.sum("xm").cast("double") / 1000000.0) / F.count(F.lit(1))).alias("c"))
+    )
+    qs = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    qcomp = qs.select("qid", F.posexplode("qe").alias("i0", "xf")).select(
+        "qid", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x")
+    )
+    cell_scores = (
+        qcomp.join(F.broadcast(comps), "i")
+        .groupBy("qid", "label")
+        .agg(F.sum(micro(F.col("x") * F.col("c"))).alias("dot_micro"))
+    )
+    wb = W.partitionBy("qid").orderBy(F.col("dot_micro").desc(), F.col("label").asc())
+    best = (
+        cell_scores.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("cell"))
+    )
+    # --- corpus codes (shuffle-free quantization projection) ---
+    codes = (
+        e.select("vec_id", F.col("label"), F.expr(_PQ_SPARK).alias("cs"))
+        .select("vec_id", "label", F.posexplode("cs").alias("j", "c"))
+        .select("vec_id", "label", "j", F.col("c.code").alias("code"))
+    )
+    # --- query distance tables (n_q × 64 rows → broadcast) ---
+    dtable = (
+        qs.select("qid", F.expr(_PQ_DTABLE_SPARK).alias("dt"))
+        .select("qid", F.explode("dt").alias("e"))
+        .select("qid", F.col("e.j").alias("j"), F.col("e.k").alias("k"),
+                F.col("e.dmicro").alias("dmicro"))
+    )
+    adc = (
+        F.broadcast(best)
+        .join(codes, best.cell == codes.label)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(
+            F.broadcast(dtable),
+            (dtable.qid == best.qid)
+            & (dtable.j == codes.j)
+            & (dtable.k == F.col("code")),
+        )
+        .select(best.qid.alias("qid"), F.col("vec_id").alias("nb_id"), "dmicro")
+        .groupBy("qid", "nb_id")
+        .agg(F.sum("dmicro").alias("admicro"))
+    )
+    wr = W.partitionBy("qid").orderBy(F.col("admicro").asc(), F.col("nb_id").asc())
+    return (
+        adc.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "nb_id", "admicro", "rnk")
+    )

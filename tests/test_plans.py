@@ -156,6 +156,14 @@ def test_quantize_is_shuffle_free(spark):
     assert _ops(plan).count("Exchange") == 0, plan
 
 
+def test_pq_quantize_is_shuffle_free(spark):
+    # the full 8×8 subspace×code distance table folds inside one
+    # projection (nested HOFs) — quantizing the corpus must stay
+    # embarrassingly parallel: zero exchanges.
+    plan = _plan(spark, "q_pq_quantize")
+    assert _ops(plan).count("Exchange") == 0, plan
+
+
 def test_star_join_broadcasts_all_dims(spark):
     # q_star_join: the four true dimension arms (customer/supplier/
     # nation/region) broadcast via explicit hints; lineitem⋈orders is
