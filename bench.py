@@ -299,6 +299,12 @@ HEADLINE = {
     "q_stl_lite",
     "q_pq_quantize",
     "q_pq_search",
+    "q_zorder_cells",
+    "q_skipgram_pairs",
+    "q_percentiles_by_group",
+    "q_try_cast",
+    "q_sql_pipe",
+    "q_lateral_topk",
 }
 
 if __name__ == "__main__":

@@ -200,3 +200,63 @@ def q_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ua", "ub", dist.alias("dist_km"))
         .filter(F.col("dist_km") <= 100.0)
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) cells — quantize lat/lon to 8 bits each over the
+# synthetic 12°×12° region and interleave the bits into one integer
+# cell key.  This is BOTH the spatial index primitive (range queries
+# touch O(√cells) Morton runs) and the lakehouse layout key (OPTIMIZE
+# ZORDER BY clusters multi-column locality into one sort key so file
+# skipping works on both dimensions at 100 TB).  Pure scan-side
+# integer arithmetic — the bit interleave folds in one projection —
+# then a single cell-keyed aggregate.
+# --------------------------------------------------------------------------
+_ZQ_LAT = f"CAST(floor(({_LAT_SQL} + 6.0) / 12.0 * 256.0) AS BIGINT)"
+_ZQ_LON = f"CAST(floor(({_LON_SQL} + 6.0) / 12.0 * 256.0) AS BIGINT)"
+
+# bit interleave: morton = Σ_b ((latq>>b)&1)<<(2b+1) | ((lonq>>b)&1)<<(2b)
+_Z_SPARK = (
+    "aggregate(transform(sequence(0, 7), b -> "
+    "shiftleft(shiftright(latq, b) & 1, 2 * b + 1)"
+    " + shiftleft(shiftright(lonq, b) & 1, 2 * b)), "
+    "cast(0 as bigint), (a, v) -> a + v)"
+)
+_Z_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(0, 8), b -> "
+    "(((latq >> b) & 1) << (2 * b + 1)) + (((lonq >> b) & 1) << (2 * b)))), "
+    "(a, v) -> a + v)"
+)
+
+
+@q(
+    "q_zorder_cells",
+    f"""
+    WITH pts AS (
+        SELECT user_id, {_ZQ_LAT} AS latq, {_ZQ_LON} AS lonq FROM events
+    ), cells AS (
+        SELECT user_id, latq, lonq, {_Z_DUCK} AS zcell FROM pts
+    )
+    SELECT zcell,
+           CAST(MIN(latq) AS BIGINT) AS cell_lat,
+           CAST(MIN(lonq) AS BIGINT) AS cell_lon,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM cells GROUP BY zcell
+    """,
+)
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.expr(_ZQ_LAT).alias("latq"),
+        F.expr(_ZQ_LON).alias("lonq"),
+    )
+    cells = pts.select("user_id", "latq", "lonq", F.expr(_Z_SPARK).alias("zcell"))
+    return cells.groupBy("zcell").agg(
+        F.min("latq").cast("bigint").alias("cell_lat"),
+        F.min("lonq").cast("bigint").alias("cell_lon"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -2782,3 +2782,119 @@ def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact per-group percentiles by rank position — the SLA/latency
+# report shape (p50/p90/p99 per group) computed EXACTLY: rank every
+# row inside its group, pick the value at position ceil(p·n) by pure
+# integer arithmetic ((n·p + 99) div 100 — no float percentile
+# semantics to disagree on), one conditional-max agg per percentile.
+# One group-keyed window exchange; at 100 TB swap the full sort for
+# the per-distinct-value histogram (rank positions from cumulative
+# counts), same positions, same answers — the q_gini/q_auc scale
+# path.
+# --------------------------------------------------------------------------
+@q(
+    "q_percentiles_by_group",
+    """
+    WITH cents AS (
+        SELECT l_returnflag AS rf,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        FROM lineitem
+    ), ranked AS (
+        SELECT rf, c,
+               ROW_NUMBER() OVER (PARTITION BY rf ORDER BY c) AS rn,
+               COUNT(*) OVER (PARTITION BY rf) AS n
+        FROM cents
+    )
+    SELECT rf AS l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN c END) AS BIGINT)
+             / 100.0 AS p50,
+           CAST(MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN c END) AS BIGINT)
+             / 100.0 AS p90,
+           CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN c END) AS BIGINT)
+             / 100.0 AS p99
+    FROM ranked GROUP BY rf
+    """,
+)
+def q_percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    wr = W.partitionBy("rf").orderBy("c")
+    wn = W.partitionBy("rf")
+    ranked = cents.select(
+        "rf",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(pct: int):
+        pos = F.expr(f"(n * {pct} + 99) div 100")
+        return (
+            F.max(F.when(F.col("rn") == pos, F.col("c"))).cast("bigint") / 100.0
+        )
+
+    return ranked.groupBy(F.col("rf").alias("l_returnflag")).agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        at(50).alias("p50"),
+        at(90).alias("p90"),
+        at(99).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dirty-data quarantine via try_cast — the ingest-hardening shape: a
+# string field that SHOULD be numeric is salvaged with try_cast
+# (NULL instead of job failure — at 100 TB one poisoned row must
+# never kill a 6-hour pipeline), bad rows are counted per partition
+# key, and the salvage aggregates run over the good subset only.
+# Malformation is synthesized deterministically (every 7th event gets
+# a non-numeric suffix) since the fixture is clean; the plan is
+# identical on truly dirty data.  Scan-side cast + one hash agg.
+# --------------------------------------------------------------------------
+@q(
+    "q_try_cast",
+    """
+    WITH raw AS (
+        SELECT event_type,
+               CASE WHEN event_id % 7 = 0
+                    THEN CAST(value AS VARCHAR) || 'x'
+                    ELSE CAST(value AS VARCHAR) END AS s
+        FROM events
+    ), parsed AS (
+        SELECT event_type, TRY_CAST(s AS DOUBLE) AS v FROM raw
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(SUM(CASE WHEN v IS NOT NULL
+                    THEN CAST(round(v * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+             / 100.0 AS salvaged_sum
+    FROM parsed GROUP BY event_type
+    """,
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.col("value").cast("string"), F.lit("x"))
+    ).otherwise(F.col("value").cast("string"))
+    parsed = ev.select("event_type", s.alias("s")).select(
+        "event_type", F.expr("try_cast(s AS DOUBLE)").alias("v")
+    )
+    salvaged = F.when(
+        F.col("v").isNotNull(), F.round(F.col("v") * 100, 0).cast("bigint")
+    ).otherwise(F.lit(0))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quarantined"),
+        (F.sum(salvaged).cast("bigint") / 100.0).alias("salvaged_sum"),
+    )

@@ -313,3 +313,79 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_v GROUP BY l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4.0 `|>`): the linear query-authoring
+# surface (FROM ... |> WHERE ... |> AGGREGATE ... |> ORDER BY) that
+# compiles to exactly the same logical plan as the nested ANSI form —
+# the oracle IS that ANSI form, so the value hash proves the
+# equivalence.  Feature-surface query: a migrating user keeps their
+# pipe-syntax SQL verbatim.
+# --------------------------------------------------------------------------
+@q(
+    "q_sql_pipe",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_quantity < 30
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_pipe")
+    return spark.sql(
+        """
+        FROM v_li_pipe
+        |> WHERE l_quantity < 30
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                          AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_rows, revenue
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery join — "for each region, its top-2
+# nations by customer count": the inner subquery references the
+# outer row (decorrelated by Catalyst into a ranked join, the same
+# physical shape as q_topk_per_group's window).  The surface matters:
+# LATERAL is how users express per-row dependent scans without
+# rewriting to window functions.
+# --------------------------------------------------------------------------
+@q(
+    "q_lateral_topk",
+    """
+    SELECT r.r_name, t.n_name, t.n_customers
+    FROM region r, LATERAL (
+        SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name ASC
+        LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("region", "nation", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}_lat")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_customers
+        FROM v_region_lat r, LATERAL (
+            SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM v_nation_lat n JOIN v_customer_lat c
+              ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY n_customers DESC, n.n_name ASC
+            LIMIT 2
+        ) t
+        """
+    )

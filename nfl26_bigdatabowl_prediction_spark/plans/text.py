@@ -2167,3 +2167,54 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Skip-gram pair counts — word2vec/GloVe training-data prep: for each
+# token, its context tokens at offsets ±1/±2, counted corpus-wide,
+# top-50 heavy hitters.  The pair fan-out is a scan-side HOF (one
+# Generate, ≤4 pairs per token, no self-join of the token stream —
+# the join form shuffles the corpus twice at 100 TB; this shape
+# shuffles only (center, context) partial counts), then the standard
+# heavy-hitter partial agg + TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+_SKIPGRAM_SPARK = (
+    "flatten(transform(sequence(1, size(words)), i -> "
+    "filter(transform(array(-2, -1, 1, 2), o -> "
+    "CASE WHEN i + o >= 1 AND i + o <= size(words) "
+    "THEN struct(element_at(words, i) AS w, element_at(words, i + o) AS c) "
+    "END), x -> x IS NOT NULL)))"
+)
+
+
+@q(
+    "q_skipgram_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_WORDS_DUCK} AS words FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(words) AS w,
+               generate_subscripts(words, 1) AS i
+        FROM toks
+    )
+    SELECT a.w AS center, b.w AS context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND b.i - a.i IN (-2, -1, 1, 2)
+    GROUP BY a.w, b.w
+    ORDER BY n_pairs DESC, center ASC, context ASC
+    LIMIT 50
+    """,
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = (
+        _with_words(d, "doc_id")
+        .select(F.explode(F.expr(_SKIPGRAM_SPARK)).alias("p"))
+        .select(F.col("p.w").alias("center"), F.col("p.c").alias("context"))
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("center").asc(), F.col("context").asc())
+        .limit(50)
+    )

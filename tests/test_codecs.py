@@ -156,3 +156,37 @@ def test_png_multi_idat_decode():
             out += b[pos : pos + 12 + size]
         pos += 12 + size
     assert decode_png(out) == (w, h, rows)
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): round-trip identity over random content
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_round_trip_property(samples, rate):
+    nch, r, out = decode_wav(encode_wav(samples, rate))
+    assert (nch, r, out) == (1, rate, samples)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 9), st.integers(1, 9), st.randoms(use_true_random=False))
+def test_bmp_round_trip_property(w, h, rnd):
+    rows = [
+        [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    assert decode_bmp(encode_bmp(w, h, rows)) == (w, h, rows)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.randoms(use_true_random=False))
+def test_png_round_trip_property(w, h, rnd):
+    rows = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+    assert decode_png(encode_png(w, h, rows)) == (w, h, rows)
