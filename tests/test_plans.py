@@ -508,3 +508,27 @@ def test_shuffle_hash_hint_is_honored(spark):
     assert "ShuffledHashJoin" in plan, plan
     plan = _plan(spark, "q_join_inner")
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_skipgram_is_generate_plus_topn(spark):
+    # pair fan-out must be ONE scan-side Generate (no token-stream
+    # self-join: that is two corpus shuffles at 100 TB) and the top-50
+    # must compile to TakeOrderedAndProject over partial aggs.
+    plan = _plan(spark, "q_skipgram_pairs")
+    ops = _ops(plan)
+    assert ops.count("SortMergeJoin") + ops.count("ShuffledHashJoin") == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zorder_cells_single_exchange(spark):
+    # bit interleave is scan-side; the only shuffle is the cell agg
+    # (countDistinct adds its Expand inside the same keyed exchange
+    # pair: partial -> exchange -> final).
+    plan = _plan(spark, "q_zorder_cells")
+    assert _ops(plan).count("Exchange") <= 2, plan
+
+
+def test_percentiles_by_group_single_window_exchange(spark):
+    # one group-keyed exchange shared by the rank window and the agg
+    plan = _plan(spark, "q_percentiles_by_group")
+    assert _ops(plan).count("Exchange") <= 2, plan
