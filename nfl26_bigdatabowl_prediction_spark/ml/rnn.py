@@ -425,3 +425,36 @@ def train_and_predict_gru(
         rmse_baseline=score(sol, base),
         rmse_rnn=score(sol, rn),
     )
+
+
+def save_gru(model: GruModel, path: str) -> None:
+    """S5 analog for the recurrent learner (reference pickles its
+    torch state dicts, main_cuda.py:1544-1559): one compressed npz —
+    flat parameter vectors per model id + shapes + standardization."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    sh = model.shapes
+    np.savez_compressed(
+        os.path.join(path, "gru.npz"),
+        meta=np.array(
+            [sh.f, sh.window, sh.hidden, sh.attn, sh.max_horizon], dtype=np.int64
+        ),
+        feature_cols=np.array(model.feature_cols, dtype=object),
+        model_ids=np.array(sorted(model.params), dtype=np.int64),
+        mu=model.mu if model.mu is not None else np.zeros(sh.f),
+        sd=model.sd if model.sd is not None else np.ones(sh.f),
+        **{f"p_{m}": model.params[m] for m in model.params},
+    )
+
+
+def load_gru(path: str) -> GruModel:
+    import os
+
+    z = np.load(os.path.join(path, "gru.npz"), allow_pickle=True)
+    f, window, hidden, attn, max_h = (int(x) for x in z["meta"])
+    sh = GruShapes(f, window, hidden, attn, max_h)
+    model = GruModel([str(c) for c in z["feature_cols"]], sh)
+    model.params = {int(m): z[f"p_{int(m)}"] for m in z["model_ids"]}
+    model.mu, model.sd = z["mu"], z["sd"]
+    return model

@@ -109,3 +109,23 @@ def test_gru_beats_physics_baseline(spark):
     assert pred.filter(
         F.col("rnn_pred_x").isNull() | F.isnan("rnn_pred_x")
     ).count() == 0
+
+
+def test_gru_save_load_roundtrip(tmp_path):
+    # S5 parity for the recurrent learner: bitwise param round-trip
+    from nfl26_bigdatabowl_prediction_spark.ml.rnn import (
+        GruModel, load_gru, save_gru,
+    )
+
+    sh = GruShapes(f=2, window=3, hidden=4, attn=3, max_horizon=5)
+    m = GruModel(["a", "b"], sh)
+    m.params = {-1: sh.init(1), 0: sh.init(2), 1: sh.init(3)}
+    m.mu = np.array([0.5, -1.0])
+    m.sd = np.array([2.0, 3.0])
+    save_gru(m, str(tmp_path / "m"))
+    m2 = load_gru(str(tmp_path / "m"))
+    assert m2.feature_cols == ["a", "b"]
+    assert m2.shapes == sh
+    for k in m.params:
+        assert (m2.params[k] == m.params[k]).all()
+    assert (m2.mu == m.mu).all() and (m2.sd == m.sd).all()
