@@ -532,3 +532,33 @@ def test_percentiles_by_group_single_window_exchange(spark):
     # one group-keyed exchange shared by the rank window and the agg
     plan = _plan(spark, "q_percentiles_by_group")
     assert _ops(plan).count("Exchange") <= 2, plan
+
+
+def test_pq_kernel_matches_hof_expression_twin(spark):
+    # the Arrow kernel (production path) and the pure-expression
+    # nested-HOF form must agree bitwise — the expression twin is the
+    # documented fallback for Python-runner-free deployments.
+    from pyspark.sql import functions as F
+
+    from nfl26_bigdatabowl_prediction_spark.plans.vectors import _PQ_SPARK
+    from nfl26_bigdatabowl_prediction_spark.sources.io import table as _table
+
+    e = _table(spark, SF_DIR, "embeddings")
+    hof = (
+        e.select("vec_id", F.expr(_PQ_SPARK).alias("codes"))
+        .select("vec_id", F.posexplode("codes").alias("subspace", "c"))
+        .select(
+            "vec_id",
+            F.col("subspace").cast("bigint").alias("subspace"),
+            F.col("c.code").cast("bigint").alias("code"),
+            F.col("c.dmicro").alias("dmicro"),
+        )
+        .orderBy("vec_id", "subspace")
+        .toPandas()
+    )
+    kern = (
+        QUERIES["q_pq_quantize"](spark, SF_DIR)
+        .orderBy("vec_id", "subspace")
+        .toPandas()
+    )
+    assert hof.equals(kern)
