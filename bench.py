@@ -305,6 +305,8 @@ HEADLINE = {
     "q_try_cast",
     "q_sql_pipe",
     "q_lateral_topk",
+    "q_minhash_error",
+    "q_udtf_polymorphic",
 }
 
 if __name__ == "__main__":

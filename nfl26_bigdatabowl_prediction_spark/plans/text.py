@@ -2218,3 +2218,136 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pairs").desc(), F.col("center").asc(), F.col("context").asc())
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator audit — the sketch-quality twin of q_ann_recall:
+# for every LSH candidate pair, the banded-signature similarity
+# estimate (matched bands / 4) against the EXACT shingle-set Jaccard,
+# with the absolute estimation error.  This is the calibration query
+# a dedup deployment runs before trusting its band/row configuration.
+# Scale: candidates are LSH-bucket-bounded (never all-pairs), and the
+# exact verify joins each doc's shingle set to the candidate list by
+# key — the same join shape as q_setsim_join's verify arm.
+# --------------------------------------------------------------------------
+@q(
+    "q_minhash_error",
+    f"""
+    WITH shingled AS MATERIALIZED (
+        SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
+        WHERE len({_WORDS_DUCK}) >= 3
+    ), hashed AS (
+        SELECT doc_id, list_transform(sh, s -> md5(s)) AS mds FROM shingled
+    ), sigs AS (
+        SELECT doc_id, band,
+               list_min(list_transform(mds, m -> substring(m, band * 8 + 1, 8))) AS sig
+        FROM hashed, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_bands_matched
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.n_bands_matched AS BIGINT) AS n_bands_matched,
+           c.n_bands_matched / 4.0 AS est_sim,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) AS exact_jaccard,
+           abs(c.n_bands_matched / 4.0
+               - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh)))) AS abs_err
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    """,
+)
+def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cand = QUERIES["q_minhash_lsh"](spark, sf_dir)
+    shingled = (
+        _with_words(d, "doc_id")
+        .filter(F.size("words") >= 3)
+        .select("doc_id", F.expr(_SHINGLES_FROM_WORDS).alias("sh"))
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    ni = F.size(F.array_intersect("sha", "shb")).cast("double")
+    nu = F.size(F.array_union("sha", "shb"))
+    est = F.col("n_bands_matched") / F.lit(4.0)
+    exact = ni / nu
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_bands_matched").cast("bigint").alias("n_bands_matched"),
+            est.alias("est_sim"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Polymorphic Python UDTF — the analyze()-time schema contract
+# (Spark 4): the function's OUTPUT SCHEMA is computed from its
+# arguments at plan time (one column per requested stat name), not
+# declared statically — the UDTF surface q_udtf_sentences's fixed
+# returnType cannot express.  The kernel computes per-doc word stats
+# for whichever stat list the CALL SITE names; the oracle spells the
+# same columns for the same call.  AnalyzeResult runs on the DRIVER
+# at planning — zero runtime cost over a static UDTF.
+# --------------------------------------------------------------------------
+@q(
+    "q_udtf_polymorphic",
+    f"""
+    WITH words AS (
+        SELECT doc_id, {_WORDS_DUCK} AS ws FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_filter(ws, w -> len(w) >= 6)) AS BIGINT) AS n_long,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(ws, w -> CAST(len(w) AS BIGINT))),
+                (a, v) -> a + v) AS BIGINT) AS total_len
+    FROM words
+    """,
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import LongType, StructType
+
+    @udtf
+    class WordStats:
+        @staticmethod
+        def analyze(doc_id: AnalyzeArgument, text: AnalyzeArgument,
+                    stats: AnalyzeArgument) -> AnalyzeResult:
+            # schema derives from the constant argument at PLAN time
+            names = [s.strip() for s in str(stats.value).split(",")]
+            schema = StructType().add("doc_id", LongType())
+            for n in names:
+                schema = schema.add(n, LongType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id, text, stats):
+            ws = [w for w in (text or "").strip().split() if w]
+            vals = {
+                "n_words": len(ws),
+                "n_long": sum(1 for w in ws if len(w) >= 6),
+                "total_len": sum(len(w) for w in ws),
+            }
+            names = [s.strip() for s in stats.split(",")]
+            yield (doc_id, *[vals[n] for n in names])
+
+    spark.udtf.register("word_stats", WordStats)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("nfl26_docs_poly")
+    return spark.sql(
+        """
+        SELECT f.*
+        FROM nfl26_docs_poly d,
+             LATERAL word_stats(d.doc_id, d.text,
+                                'n_words,n_long,total_len') f
+        """
+    )
