@@ -64,6 +64,16 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "q_image_resize",
 })
 
+# ROUND-4 TODO (first thing): merge CORRECTNESS_r03.json's green
+# names into _DRIVER_GREEN, rebuild _PRIORITY from the still-
+# unverified pending set (front-load this round's NEW queries —
+# q_ann_recall, q_pq_quantize, q_pq_search, q_stl_lite,
+# q_zorder_cells, q_skipgram_pairs, q_percentiles_by_group,
+# q_try_cast, q_sql_pipe, q_lateral_topk, q_minhash_error,
+# q_udtf_polymorphic — they have driver-sim + bitwise-oracle evidence
+# but no driver row yet), and pre-flight with
+# `python tools/driver_sim.py --window 50`.
+#
 # Round-3 window (first 50 of queries()): the judge flagged that the
 # reference's CORE trajectory operators (as-of J7, pairwise J4,
 # self-join J3, GNN-lite) and the entire streaming family still have

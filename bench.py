@@ -307,6 +307,8 @@ HEADLINE = {
     "q_lateral_topk",
     "q_minhash_error",
     "q_udtf_polymorphic",
+    "q_target_encode",
+    "q_feature_hash",
 }
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.portable import portable_hash_sql_duckdb
 from ..sources.io import table
 
 QUERIES: dict = {}
@@ -861,4 +862,118 @@ def q_logit_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sparkSession.createDataFrame(
         [(n, r6(b0), r6(b1), r6(b2))],
         "n bigint, intercept double, w_hour double, w_dow double",
+    )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe out-of-fold target encoding — the categorical encoder
+# serious tabular pipelines use: category c's encoding for fold f is
+# the mean target over every OTHER fold ((Σ_c − Σ_{c,f}) /
+# (n_c − n_{c,f})), so a row never sees its own fold's labels.  The
+# distributed shape is two tiny hash aggregations (category×fold,
+# then category) and a dimension-sized join — the fact table is
+# scanned ONCE and nothing row-sized shuffles twice.  The output IS
+# the (category, fold) lookup table a pipeline broadcasts at apply
+# time.  Exact integer cents; fold = the portable Knuth fold.
+# --------------------------------------------------------------------------
+@q(
+    "q_target_encode",
+    """
+    WITH base AS (
+        SELECT l_returnflag AS cat,
+               (((CAST(l_orderkey AS BIGINT) * 2654435761) % 4294967296) % 5)
+                 AS fold,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+    ), per_fold AS (
+        SELECT cat, fold, SUM(cents) AS s, COUNT(*) AS n
+        FROM base GROUP BY cat, fold
+    ), tot AS (
+        SELECT cat, SUM(s) AS ts, SUM(n) AS tn FROM per_fold GROUP BY cat
+    )
+    SELECT p.cat AS l_returnflag, CAST(p.fold AS BIGINT) AS fold,
+           CAST(p.n AS BIGINT) AS n_in_fold,
+           CASE WHEN t.tn > p.n
+                THEN CAST(t.ts - p.s AS DOUBLE) / (t.tn - p.n) / 100.0
+           END AS oof_mean_price
+    FROM per_fold p JOIN tot t ON p.cat = t.cat
+    """,
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import knuth_fold_expr
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("cat"),
+        knuth_fold_expr(F.col("l_orderkey"), 5).alias("fold"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    per_fold = base.groupBy("cat", "fold").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    tot = per_fold.groupBy("cat").agg(
+        F.sum("s").alias("ts"), F.sum("n").alias("tn")
+    )
+    return per_fold.join(F.broadcast(tot), "cat").select(
+        F.col("cat").alias("l_returnflag"),
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("n").cast("bigint").alias("n_in_fold"),
+        F.when(
+            F.col("tn") > F.col("n"),
+            (F.col("ts") - F.col("s")).cast("double")
+            / (F.col("tn") - F.col("n"))
+            / 100.0,
+        ).alias("oof_mean_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the "hashing trick") — the fixed-width categorical
+# encoder for unbounded vocabularies at 100 TB: each (prefix:value)
+# feature string hashes into one of 64 buckets with a ± sign bit, so
+# the model dimension is constant regardless of cardinality and no
+# vocabulary dictionary is ever built or shipped.  The audit output
+# here is the bucket-collision report (distinct features per bucket,
+# hit counts, signed sum): the check run before trusting a hash
+# width.  One scan-side explode of 3 features/row + one 64-key agg.
+# --------------------------------------------------------------------------
+@q(
+    "q_feature_hash",
+    f"""
+    WITH feats AS (
+        SELECT unnest(['rf:' || l_returnflag, 'ls:' || l_linestatus,
+                       'sk:' || CAST(l_suppkey % 7 AS VARCHAR)]) AS feat
+        FROM lineitem
+    ), hashed AS (
+        SELECT feat, {portable_hash_sql_duckdb('feat')} AS h FROM feats
+    )
+    SELECT h % 64 AS bucket,
+           CAST(COUNT(DISTINCT feat) AS BIGINT) AS n_features,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN ((h // 64) % 2) = 1 THEN 1 ELSE -1 END)
+                AS BIGINT) AS signed_sum
+    FROM hashed GROUP BY h % 64
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import portable_hash_sql_spark
+
+    li = table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("rf:"), F.col("l_returnflag")),
+                F.concat(F.lit("ls:"), F.col("l_linestatus")),
+                F.concat(F.lit("sk:"), (F.col("l_suppkey") % 7).cast("string")),
+            )
+        ).alias("feat")
+    )
+    hashed = feats.select(
+        "feat", F.expr(portable_hash_sql_spark("feat")).alias("h")
+    )
+    sign = F.when((F.expr("h div 64") % 2) == 1, 1).otherwise(-1)
+    return hashed.groupBy((F.col("h") % 64).alias("bucket")).agg(
+        F.countDistinct("feat").cast("bigint").alias("n_features"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.sum(sign).cast("bigint").alias("signed_sum"),
     )
