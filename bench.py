@@ -309,6 +309,8 @@ HEADLINE = {
     "q_udtf_polymorphic",
     "q_target_encode",
     "q_feature_hash",
+    "q_ri_audit",
+    "q_table_checksum",
 }
 
 if __name__ == "__main__":

@@ -2898,3 +2898,114 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_quarantined"),
         (F.sum(salvaged).cast("bigint") / 100.0).alias("salvaged_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit — the constraint checker a warehouse
+# runs because the engine doesn't enforce FKs: orphan counts for each
+# edge of the star schema, as one UNION of anti-join counts.  Each
+# arm is an anti join on its own key (broadcast when the parent is a
+# dimension); output is fixed-size (one row per FK edge), so this is
+# the cheap nightly DQ gate at any scale.
+# --------------------------------------------------------------------------
+@q(
+    "q_ri_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS n_orphans,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           CAST((SELECT COUNT(*) FROM nation n
+                 WHERE NOT EXISTS (SELECT 1 FROM region r
+                                   WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT)
+    """,
+)
+def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+
+    def arm(name, child, parent, ck, pk, bcast):
+        p = parent.select(F.col(pk).alias(ck)).distinct()
+        if bcast:
+            p = F.broadcast(p)
+        orphans = child.join(p, ck, "left_anti")
+        return (
+            orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .crossJoin(
+                child.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_orphans", "n_rows")
+        )
+
+    return (
+        arm("lineitem.l_orderkey->orders", li, o, "l_orderkey", "o_orderkey", False)
+        .unionByName(arm("orders.o_custkey->customer", o, c, "o_custkey", "c_custkey", True))
+        .unionByName(arm("customer.c_nationkey->nation", c, n, "c_nationkey", "n_nationkey", True))
+        .unionByName(arm("nation.n_regionkey->region", n, r, "n_regionkey", "r_regionkey", True))
+    )
+
+
+# --------------------------------------------------------------------------
+# Order-insensitive table checksum — the cross-engine replication /
+# migration validator: every row folds to one portable int64 (the
+# polynomial hash of its canonical string), and the table fingerprint
+# is (COUNT, SUM) of those hashes — a commutative fold, so partition
+# order, file order, and engine are all irrelevant.  The sum rides
+# DECIMAL(38,0)/HUGEINT (n rows × up to 2^63 hash needs int128
+# headroom).  One scan, one scalar row out.
+# --------------------------------------------------------------------------
+from ..functions.portable import portable_hash_sql_duckdb as _ph_duck
+
+
+@q(
+    "q_table_checksum",
+    f"""
+    WITH canon AS (
+        SELECT CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|'
+                 || CAST(n_regionkey AS VARCHAR) AS s
+        FROM nation
+    ), hashed AS (
+        SELECT {_ph_duck("s")} AS h FROM canon
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(h AS HUGEINT)) AS VARCHAR) AS checksum
+    FROM hashed
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import portable_hash_sql_spark
+
+    n = table(spark, sf_dir, "nation")
+    canon = n.select(
+        F.concat_ws(
+            "|",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        ).alias("s")
+    )
+    hashed = canon.select(F.expr(portable_hash_sql_spark("s")).alias("h"))
+    return hashed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )
