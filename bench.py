@@ -311,6 +311,7 @@ HEADLINE = {
     "q_feature_hash",
     "q_ri_audit",
     "q_table_checksum",
+    "q_compaction_plan",
 }
 
 if __name__ == "__main__":

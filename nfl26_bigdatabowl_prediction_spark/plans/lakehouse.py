@@ -290,3 +290,58 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v2").alias("value_after"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Compaction (OPTIMIZE) planner — the small-file maintenance pass:
+# treat each (source, lang) stratum as a "file" with its byte count,
+# order files deterministically, and assign them to target-sized
+# output groups by prefix-sum bin packing (bin = cumulative bytes
+# BEFORE this file div target).  This is exactly how a lakehouse
+# OPTIMIZE job plans rewrite groups; the plan table is
+# dimension-sized, so the planner costs one tiny agg + one window
+# regardless of table size.  First-fit-by-order packing (not best-
+# fit) keeps the assignment a pure prefix sum — deterministic and
+# distributed-friendly.
+# --------------------------------------------------------------------------
+@q(
+    "q_compaction_plan",
+    """
+    WITH files AS (
+        SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS bytes,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source, lang
+    ), planned AS (
+        SELECT source, lang, bytes, n_docs,
+               COALESCE(SUM(bytes) OVER (ORDER BY source, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS bytes_before
+        FROM files
+    )
+    SELECT source, lang, bytes, n_docs,
+           bytes_before // 65536 AS target_group
+    FROM planned
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    files = d.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    w = Window.orderBy("source", "lang").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return files.select(
+        "source",
+        "lang",
+        "bytes",
+        "n_docs",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("bytes_before"),
+    ).select(
+        "source",
+        "lang",
+        "bytes",
+        "n_docs",
+        F.expr("bytes_before div 65536").alias("target_group"),
+    )
