@@ -319,7 +319,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM files
     )
     SELECT source, lang, bytes, n_docs,
-           bytes_before // 65536 AS target_group
+           CAST(bytes_before // 65536 AS BIGINT) AS target_group
     FROM planned
     """,
 )
