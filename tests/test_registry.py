@@ -1,0 +1,44 @@
+"""Registry invariants: the wiring contracts between the query
+registry, the driver entry, and the bench HEADLINE set."""
+
+from __future__ import annotations
+
+from nfl26_bigdatabowl_prediction_spark.plans.registry import ORACLES, QUERIES
+
+
+def test_every_oracle_has_a_query():
+    assert [n for n in ORACLES if n not in QUERIES] == []
+
+
+def test_rows_only_queries_are_the_declared_four():
+    # the driver contract allows omitting oracle_sql() only for
+    # genuinely non-SQL-expressible ops; keep the list deliberate.
+    rows_only = sorted(n for n in QUERIES if n not in ORACLES)
+    assert rows_only == [
+        "q_approx_distinct", "q_embed_kmeans", "q_image_resize",
+        "q_quantile_approx",
+    ], rows_only
+
+
+def test_bench_headline_names_exist():
+    import bench
+
+    assert [n for n in bench.HEADLINE if n not in QUERIES] == []
+
+
+def test_driver_entry_window_is_unverified_first():
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    assert set(names) == set(QUERIES)
+    # the first 50 (the driver's verification window) must contain no
+    # already-driver-green name — window slots are too scarce to waste
+    window = names[:50]
+    wasted = [n for n in window if n in e._DRIVER_GREEN]
+    assert wasted == [], wasted
+
+
+def test_priority_names_exist():
+    import __spark_entry__ as e
+
+    assert [n for n in e._PRIORITY if n not in QUERIES] == []
