@@ -312,6 +312,10 @@ HEADLINE = {
     "q_ri_audit",
     "q_table_checksum",
     "q_compaction_plan",
+    "q_except_all",
+    "q_intersect_all",
+    "q_sort_nulls",
+    "q_paginate",
 }
 
 if __name__ == "__main__":

@@ -3009,3 +3009,97 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multiset set operations — EXCEPT ALL / INTERSECT ALL keep
+# DUPLICATE COUNTS (bag semantics): a row appearing m times on the
+# left and n on the right survives max(0, m−n) times (except) or
+# min(m, n) times (intersect).  The distinct-flavored twins
+# (q_except/q_intersect) cannot express reconciliation of
+# multiplicity — these are the dedup-aware diff shapes.  Spark
+# compiles both to a counting hash aggregate + generate, one shuffle.
+# --------------------------------------------------------------------------
+@q(
+    "q_except_all",
+    """
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 20
+    EXCEPT ALL
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 20).select("l_orderkey", "l_partkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_orderkey", "l_partkey")
+    return a.exceptAll(b)
+
+
+@q(
+    "q_intersect_all",
+    """
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 20
+    INTERSECT ALL
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 20).select("l_orderkey", "l_partkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_orderkey", "l_partkey")
+    return a.intersectAll(b)
+
+
+# --------------------------------------------------------------------------
+# Explicit NULL placement in sort order — NULLS FIRST/LAST is a
+# surface engines disagree on by default (Spark: NULLS FIRST asc /
+# NULLS LAST desc; DuckDB: NULLS LAST asc by default), so queries
+# that migrate MUST spell it.  The derived key has genuine NULLs
+# (nullif) and the order is fully tiebroken.
+# --------------------------------------------------------------------------
+@q(
+    "q_sort_nulls",
+    """
+    SELECT o_orderkey, nullif(o_custkey % 4, 0) AS prio, o_totalprice
+    FROM orders
+    ORDER BY prio DESC NULLS LAST, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_custkey") % 4, F.lit(0)).alias("prio"),
+            "o_totalprice",
+        )
+        .orderBy(F.col("prio").desc_nulls_last(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Keyset-free pagination — ORDER BY + LIMIT/OFFSET (Spark 3.4+
+# offset()): page 3 of the price-ranked orders.  OFFSET on a sorted
+# stream still compiles to TakeOrderedAndProject with limit+offset
+# (per-partition heaps of limit+offset rows — fine for bounded pages;
+# keyset pagination is the documented pattern for deep pages).
+# --------------------------------------------------------------------------
+@q(
+    "q_paginate",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+)
+def q_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(40)
+        .limit(20)
+    )
