@@ -316,6 +316,7 @@ HEADLINE = {
     "q_intersect_all",
     "q_sort_nulls",
     "q_paginate",
+    "q_union_drift",
 }
 
 if __name__ == "__main__":

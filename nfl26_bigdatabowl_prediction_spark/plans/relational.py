@@ -3103,3 +3103,39 @@ def q_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Schema-drift union — unionByName(allowMissingColumns=True): the
+# DataFrame-level companion of q_schema_evolution's scan-level
+# mergeSchema.  Two producers emit different column subsets; the
+# union aligns BY NAME (never by position — positional union is the
+# classic silent-corruption bug when producers reorder columns) and
+# null-fills what a side lacks.  Pure narrow op: no shuffle.
+# --------------------------------------------------------------------------
+@q(
+    "q_union_drift",
+    """
+    SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey,
+           'v1' AS src
+    FROM nation WHERE n_nationkey % 2 = 0
+    UNION ALL
+    SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey, 'v2'
+    FROM nation WHERE n_nationkey % 2 = 1
+    """,
+)
+def q_union_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    v1 = (
+        n.filter(F.col("n_nationkey") % 2 == 0)
+        .select("n_nationkey", "n_name")
+        .withColumn("src", F.lit("v1"))
+    )
+    v2 = (
+        n.filter(F.col("n_nationkey") % 2 == 1)
+        .select("n_nationkey", "n_regionkey")
+        .withColumn("src", F.lit("v2"))
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "n_nationkey", "n_name", "n_regionkey", "src"
+    )
