@@ -2945,17 +2945,22 @@ def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
 
     def arm(name, child, parent, ck, pk, bcast):
-        p = parent.select(F.col(pk).alias(ck)).distinct()
+        # one pass: left join the (distinct, flagged) parent keys and
+        # count rows + misses in the same aggregate — no second child
+        # scan, no scalar cross join.
+        p = parent.select(F.col(pk).alias(ck)).distinct().withColumn(
+            "_hit", F.lit(1)
+        )
         if bcast:
             p = F.broadcast(p)
-        orphans = child.join(p, ck, "left_anti")
-        return (
-            orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
-            .crossJoin(
-                child.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-            )
-            .select(F.lit(name).alias("fk_edge"), "n_orphans", "n_rows")
-        )
+        j = child.select(ck).join(p, ck, "left")
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ).select("fk_edge", "n_orphans", "n_rows")
 
     return (
         arm("lineitem.l_orderkey->orders", li, o, "l_orderkey", "o_orderkey", False)
