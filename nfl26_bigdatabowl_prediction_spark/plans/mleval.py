@@ -968,12 +968,20 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("feat")
     )
-    hashed = feats.select(
-        "feat", F.expr(portable_hash_sql_spark("feat")).alias("h")
+    # Aggregate to the feature DICTIONARY first, hash second: the
+    # per-character polynomial fold runs |vocab| times (13 rows here),
+    # not |rows|×3 times — measured 2.54 s → scan-bound at sf0.1.
+    # This is the scale shape too: hashing cost must not grow with
+    # the fact table.
+    feat_counts = feats.groupBy("feat").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hashed = feat_counts.select(
+        "feat", "cnt", F.expr(portable_hash_sql_spark("feat")).alias("h")
     )
     sign = F.when((F.expr("h div 64") % 2) == 1, 1).otherwise(-1)
     return hashed.groupBy((F.col("h") % 64).alias("bucket")).agg(
         F.countDistinct("feat").cast("bigint").alias("n_features"),
-        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
-        F.sum(sign).cast("bigint").alias("signed_sum"),
+        F.sum("cnt").cast("bigint").alias("n_hits"),
+        F.sum(sign * F.col("cnt")).cast("bigint").alias("signed_sum"),
     )
