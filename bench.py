@@ -317,6 +317,7 @@ HEADLINE = {
     "q_sort_nulls",
     "q_paginate",
     "q_union_drift",
+    "q_embed_components",
 }
 
 if __name__ == "__main__":

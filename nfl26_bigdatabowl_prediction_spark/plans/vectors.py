@@ -1167,3 +1167,61 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("qid", "nb_id", "admicro", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic (vector-space) dedup clusters — the embedding twin of
+# q_dedup_components: near-dup pairs from the hyperplane-LSH +
+# cosine-confirm path (q_embed_neardup, ≥0.3) become edges, and
+# connected components (operators/components.py: driver union-find
+# under 2M edges, distributed hash-to-min pointer jumping above)
+# assign every vector its cluster and canonical representative
+# (= min vec_id).  Vectors sharing no confirmed edge stay singleton.
+# The oracle walks the same edges with a recursive CTE over
+# MATERIALIZED candidates (the DuckDB-1.0 CTE-inlining trap — see
+# q_dedup_components).
+# --------------------------------------------------------------------------
+@q(
+    "q_embed_components",
+    f"""
+    WITH RECURSIVE sigs AS MATERIALIZED (
+        SELECT vec_id, {_PLANE_DUCK} AS bucket FROM embeddings
+    ), cand AS MATERIALIZED (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), conf AS MATERIALIZED (
+        SELECT c.vec_a, c.vec_b
+        FROM cand c
+        JOIN embeddings ea ON c.vec_a = ea.vec_id
+        JOIN embeddings eb ON c.vec_b = eb.vec_id
+        WHERE {_dot_duck('ea.embedding', 'eb.embedding')}
+                / (sqrt({_dot_duck('ea.embedding', 'ea.embedding')})
+                   * sqrt({_dot_duck('eb.embedding', 'eb.embedding')})) >= 0.3
+    ), edges_sym AS MATERIALIZED (
+        SELECT vec_a AS a, vec_b AS b FROM conf
+        UNION SELECT vec_b, vec_a FROM conf
+    ), reach AS (
+        SELECT vec_id AS node, vec_id AS r FROM embeddings
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges_sym e ON reach.r = e.a
+    ), comp AS (
+        SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node
+    )
+    SELECT vec_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp
+    """,
+)
+def q_embed_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    e = table(spark, sf_dir, "embeddings")
+    edges = QUERIES["q_embed_neardup"](spark, sf_dir).select("vec_a", "vec_b")
+    comp = connected_components(
+        e.select("vec_id"), edges, node_col="vec_id", src="vec_a", dst="vec_b"
+    )
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("component"),
+        F.count(F.lit(1)).over(W.partitionBy("comp")).alias("cluster_size"),
+    )
