@@ -60,21 +60,22 @@ def main() -> None:
                 timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
-    # Compact headline line FIRST: the full per-query line below can
-    # exceed a log tail capture (BENCH_r02's parsed payload was lost
-    # to exactly that), and the compact line keeps the headline
-    # number parseable either way.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "n": len(timings),
-                "sf": sf,
-            }
-        )
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "n": len(timings),
+            "sf": sf,
+        }
     )
+    # Compact line BOTH before and after the ~10 KB per-query line:
+    # the driver keeps only the LAST ~2000 chars of stdout, so the
+    # compact line must come last to survive the tail capture (the
+    # r02/r03 "compact line first" ordering scrolled it out and left
+    # BENCH parsed=null); printing it first as well keeps it visible
+    # to head-style captures and humans.
+    print(compact)
     print(
         json.dumps(
             {
@@ -86,6 +87,7 @@ def main() -> None:
             }
         )
     )
+    print(compact)
     spark.stop()
 
 

@@ -359,8 +359,18 @@ def predict_gru(model: GruModel, df: DataFrame, oof: bool = True) -> DataFrame:
         if oof:
             fv = fold.to_numpy(np.int64)
             for m in np.unique(fv):
+                if int(m) not in params:
+                    # Falling back to the pooled model (params[-1])
+                    # would silently LEAK: the pooled model saw this
+                    # row's fold, so a fold-id mismatch (e.g. a model
+                    # trained with a different k) must fail loudly.
+                    raise ValueError(
+                        f"no fold model for fold={int(m)}; trained folds: "
+                        f"{sorted(f for f in params if f >= 0)} — "
+                        "OOF prediction requires matching fold ids"
+                    )
                 idx = np.where(fv == m)[0]
-                p = sh.unpack(params.get(int(m), params[-1]))
+                p = sh.unpack(params[int(m)])
                 out[idx], _ = _forward(p, X[idx], dt[idx], sh)
         else:
             folds = [m for m in params if m >= 0]

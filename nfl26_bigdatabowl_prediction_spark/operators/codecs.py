@@ -68,6 +68,13 @@ def decode_wav(b: bytes) -> tuple[int, int, list[int]]:
     pos, n_channels, sample_rate, bits, data = 12, None, None, None, None
     while pos + 8 <= len(b):
         cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if pos + 8 + size > len(b):
+            # A declared size past EOF means a truncated/corrupted
+            # stream — fail loudly rather than decode partial audio.
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"{len(b) - pos - 8} remain"
+            )
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt_tag, n_channels, sample_rate = struct.unpack("<HHI", body[:8])
@@ -131,6 +138,13 @@ def decode_bmp(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     bottom_up = height > 0
     height = abs(height)
     row_size = (3 * width + 3) & ~3
+    if pixel_off + height * row_size > len(b):
+        # Pixel array shorter than width×height declares — corrupted
+        # or truncated stream; decoding would read garbage pixels.
+        raise ValueError(
+            f"truncated BMP: need {pixel_off + height * row_size} bytes, "
+            f"have {len(b)}"
+        )
     rows: list[list[tuple[int, int, int]]] = []
     for yy in range(height):
         src_y = (height - 1 - yy) if bottom_up else yy
@@ -209,7 +223,18 @@ def decode_png(b: bytes) -> tuple[int, int, list[list[int]]]:
     while pos + 8 <= len(b):
         size = struct.unpack(">I", b[pos : pos + 4])[0]
         ctype = b[pos + 4 : pos + 8]
+        if pos + 12 + size > len(b):
+            raise ValueError(
+                f"truncated PNG: chunk {ctype!r} declares {size} bytes, "
+                f"{len(b) - pos - 12} remain"
+            )
         body = b[pos + 8 : pos + 8 + size]
+        # Every PNG chunk carries a CRC32 over type+body; verifying it
+        # is cheap and turns silent bit-rot into a loud failure
+        # instead of wrong pixel values.
+        crc = struct.unpack(">I", b[pos + 8 + size : pos + 12 + size])[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body

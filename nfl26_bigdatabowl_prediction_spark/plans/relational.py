@@ -2537,13 +2537,16 @@ def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+
+    from nfl26_bigdatabowl_prediction_spark.scratch import scratch_dir
 
     n = table(spark, sf_dir, "nation")
     # Per-invocation temp dir (the q_stream_cdc_upsert convention):
     # a fixed shared path races under concurrent test/bench sessions
     # — two overwriting writers can interleave v1/v2 contents.
-    path = tempfile.mkdtemp(prefix="nfl26_schema_evolution_")
+    # scratch_dir removes it at process exit (the returned DataFrame
+    # reads the files lazily, so it can't be deleted here).
+    path = scratch_dir("nfl26_schema_evolution_")
     (
         n.filter(F.col("n_nationkey") < 13)
         .select("n_nationkey", "n_name")

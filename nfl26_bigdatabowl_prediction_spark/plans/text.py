@@ -1807,7 +1807,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from nfl26_bigdatabowl_prediction_spark.scratch import scratch_dir
 
     d = table(spark, sf_dir, "documents")
     shingled = (
@@ -1827,8 +1827,12 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing corpus-sized in executor storage, so the shape survives
     # 100 TB (the write is parallel and the three readers get
     # column-pruned scans: the token explode reads only doc_id/els,
-    # the verify arms read the full row).
-    ckpt = tempfile.mkdtemp(prefix="setsim_shingles_")
+    # the verify arms read the full row).  scratch_dir ties the
+    # checkpoint's lifetime to the process (atexit rmtree): the
+    # returned DataFrame reads it lazily, so deletion inside this
+    # function would break the caller, but repeated bench/driver runs
+    # must not accumulate /tmp copies.
+    ckpt = scratch_dir("setsim_shingles_")
     shingled.write.mode("overwrite").parquet(ckpt)
     sized = spark.read.parquet(ckpt)
     tok = sized.select("doc_id", "sz", F.explode("els").alias("t"))
@@ -1855,9 +1859,21 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ni = F.size(F.array_intersect(F.col("ea"), F.col("eb"))).cast("bigint")
     nu = (F.col("sa") + F.col("sb")).cast("bigint") - ni
+    # Size-ratio pre-gate: Jaccard ≥ 3/5 forces |∩| ≥ (3/5)|∪| ≥
+    # (3/5)·max(sa,sb) and |∩| ≤ min(sa,sb), so any qualifying pair
+    # satisfies 3·max(sa,sb) ≤ 5·min(sa,sb).  The gate is implied by
+    # the final predicate (zero semantic change — oracle untouched)
+    # but runs on two ints BEFORE the O(sa+sb) array_intersect
+    # verify, so skewed-length candidate pairs never pay the
+    # intersection.  Catalyst pushes the filter below the projection
+    # that computes ni.
     return (
         cand.join(ea, "da")
         .join(eb, "db")
+        .filter(
+            3 * F.greatest(F.col("sa"), F.col("sb"))
+            <= 5 * F.least(F.col("sa"), F.col("sb"))
+        )
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),

@@ -890,14 +890,30 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composes the two registered search paths and grades one against
     the other — reusing the registry callables keeps truth and
     retrieved bitwise-identical to their standalone queries."""
+    # Both sides derive from the same registry scans, so without
+    # explicit aliases Spark sees ambiguous self-join lineage and
+    # warns about a "trivially true" qid == qid predicate (and a
+    # refactor could silently resolve the condition to the wrong
+    # side).  alias() pins each side's lineage; the plan stays a
+    # left-semi hash join.
     brute = (
         QUERIES["q_embed_cosine_topk"](spark, sf_dir)
         .filter(F.col("rnk") <= 5)
         .select("qid", "nb_id")
+        .alias("bt")
     )
-    ivf = QUERIES["q_embed_ivf_topk"](spark, sf_dir).select("qid", "nb_id")
+    ivf = (
+        QUERIES["q_embed_ivf_topk"](spark, sf_dir)
+        .select("qid", "nb_id")
+        .alias("it")
+    )
     hits = (
-        ivf.join(brute, ["qid", "nb_id"], "left_semi")
+        ivf.join(
+            brute,
+            (F.col("it.qid") == F.col("bt.qid"))
+            & (F.col("it.nb_id") == F.col("bt.nb_id")),
+            "left_semi",
+        )
         .groupBy("qid")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )

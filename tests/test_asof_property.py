@@ -42,9 +42,18 @@ def _pandas_asof(l, r, direction):
                 direction=direction,
             )
         else:
-            m = lg.assign(eid_asof=None, val_asof=None, ts_asof=None)
+            # float NaN (not object None): keeps the all-NA columns'
+            # dtype aligned with merge_asof's NaN output so pd.concat
+            # doesn't hit the all-NA-entries FutureWarning.
+            m = lg.assign(
+                eid_asof=float("nan"), val_asof=float("nan"), ts_asof=float("nan")
+            )
         out.append(m)
-    return pd.concat(out) if out else l.assign(eid_asof=None, val_asof=None, ts_asof=None)
+    if out:
+        return pd.concat(out)
+    return l.assign(
+        eid_asof=float("nan"), val_asof=float("nan"), ts_asof=float("nan")
+    )
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward"])

@@ -123,12 +123,45 @@ def test_png_crc_and_structure_are_real():
 
 def test_png_rejects_unsupported():
     b = bytearray(encode_png(2, 2, [[1, 2], [3, 4]]))
-    # flip color type byte (offset: 8 sig + 8 chunk hdr + 9th IHDR byte)
-    bad = bytes(b[:25]) + b"\x02" + bytes(b[26:])
+    # flip the IHDR color-type byte and rebuild the chunk with a
+    # recomputed CRC so the CRC gate doesn't fire before the
+    # unsupported-format check.
+    size = struct.unpack(">I", b[8:12])[0]
+    body = bytearray(b[16 : 16 + size])
+    body[9] = 2  # color type
+    chunk = (
+        struct.pack(">I", size)
+        + b"IHDR"
+        + bytes(body)
+        + struct.pack(">I", zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF)
+    )
+    bad = bytes(b[:8]) + chunk + bytes(b[16 + size + 4 :])
     with pytest.raises(NotImplementedError):
         decode_png(bad)
     with pytest.raises(ValueError):
         decode_png(b"notapng")
+
+
+def test_png_rejects_crc_mismatch():
+    # a silently flipped pixel-data bit must fail loudly, not decode
+    # to wrong values (the chunks carry CRC32 for exactly this)
+    b = bytearray(encode_png(4, 4, [[9, 8, 7, 6]] * 4))
+    idat_at = bytes(b).index(b"IDAT")
+    b[idat_at + 6] ^= 0x01  # corrupt one IDAT payload byte
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(b))
+
+
+def test_wav_rejects_truncated():
+    b = encode_wav([1, 2, 3, 4], 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(b[:-3])
+
+
+def test_bmp_rejects_truncated():
+    b = encode_bmp(3, 3, [[(1, 2, 3)] * 3] * 3)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(b[:-5])
 
 
 def test_png_multi_idat_decode():

@@ -129,3 +129,29 @@ def test_gru_save_load_roundtrip(tmp_path):
     for k in m.params:
         assert (m2.params[k] == m.params[k]).all()
     assert (m2.mu == m.mu).all() and (m2.sd == m.sd).all()
+
+
+def test_gru_oof_predict_rejects_unknown_fold(spark):
+    # A fold id with no trained model must fail loudly: the old
+    # silent fallback to the pooled model (which SAW that fold's
+    # rows) produced leaked "OOF" predictions.
+    import pandas as pd
+    import pytest
+    from nfl26_bigdatabowl_prediction_spark.ml.rnn import GruModel, predict_gru
+
+    sh = GruShapes(f=2, window=3, hidden=4, attn=3, max_horizon=5)
+    m = GruModel(["a", "b"], sh)
+    m.params = {-1: sh.init(1), 0: sh.init(2), 1: sh.init(3)}  # folds {0, 1}
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "fold": [0, 1, 7],  # 7 was never trained
+            "x_seq": [rng.normal(size=6).tolist() for _ in range(3)],
+            "delta_t": [0.1, 0.2, 0.3],
+            "baseline_x": [1.0, 2.0, 3.0],
+            "baseline_y": [1.0, 2.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="no fold model for fold=7"):
+        predict_gru(m, df, oof=True).collect()

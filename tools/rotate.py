@@ -65,7 +65,7 @@ def main() -> int:
     print(f"\nstill pending a driver row ({len(pending)}):")
     for n in pending:
         print(f"    {n}")
-    if "--check" in sys.argv and missing_from_decl:
+    if "--check" in sys.argv and (missing_from_decl or stale_in_decl):
         return 1
     return 0
 
