@@ -217,12 +217,19 @@ def _backward(
 
 
 def _loss_grad_pack(
-    params: dict[int, np.ndarray], pdf: pd.DataFrame, sh: GruShapes,
+    params: dict[int, np.ndarray], pdf: pd.DataFrame, sh,
     huber_delta: float, horizon_decay: float | None,
     mu: np.ndarray, sd: np.ndarray,
+    forward=None, backward=None,
 ) -> list[tuple[int, list[float]]]:
     """Per-model [grad..., loss_sum, weight_sum] pack for one Arrow
-    batch.  Model m trains on rows with fold != m; model −1 on all."""
+    batch.  Model m trains on rows with fold != m; model −1 on all.
+
+    ``sh`` is any shapes object exposing f/window/max_horizon/sizes/
+    unpack; ``forward``/``backward`` default to the GRU kernels so a
+    second encoder (ml/bilstm.py) can ride the same trainer."""
+    forward = forward or _forward
+    backward = backward or _backward
     X = np.array(pdf["x_seq"].tolist(), dtype=np.float64).reshape(
         len(pdf), sh.window, sh.f
     )
@@ -246,7 +253,7 @@ def _loss_grad_pack(
         if not sel.any():
             continue
         p = sh.unpack(flat)
-        pred, cache = _forward(p, X[sel], dt[sel], sh)
+        pred, cache = forward(p, X[sel], dt[sel], sh)
         e = pred - y[sel]
         ae = np.abs(e)
         # Huber: ½e² below delta, δ(|e| − ½δ) above (TemporalHuber core)
@@ -254,7 +261,7 @@ def _loss_grad_pack(
                      huber_delta * (ae - 0.5 * huber_delta))
         dl = np.where(ae <= huber_delta, e, huber_delta * np.sign(e))
         ws = w[sel][:, None]
-        g = _backward(p, cache, dl * ws, sh)
+        g = backward(p, cache, dl * ws, sh)
         flatg = np.concatenate([g[name].ravel() for name, _ in sh.sizes()])
         rows.append(
             (int(m), np.concatenate([flatg, [(l * ws).sum(), 2.0 * ws.sum()]]).tolist())
@@ -262,14 +269,15 @@ def _loss_grad_pack(
     return rows
 
 
-def train_gru(
-    train: DataFrame, feature_cols: list[str], k: int, cfg: GruConfig,
-) -> GruModel:
-    """Expects columns fold, x_seq (array<double>, len W·f), res_x,
-    res_y, delta_t.  Trains K leave-one-fold-out models + pooled (−1),
-    all in one scan per epoch."""
-    sh = GruShapes(len(feature_cols), cfg.window, cfg.hidden, cfg.attn,
-                   cfg.max_horizon)
+def _train_seq(
+    train: DataFrame, k: int, cfg, sh, forward=None, backward=None,
+) -> tuple[dict[int, np.ndarray], np.ndarray, np.ndarray]:
+    """Generic synchronous data-parallel Adam trainer over any
+    (shapes, forward, backward) encoder triple — the GRU and the
+    CNN+BiLSTM (ml/bilstm.py) both ride this loop.  Expects columns
+    fold, x_seq (array<double>, len W·f), res_x, res_y, delta_t.
+    Trains K leave-one-fold-out models + pooled (−1), all in one scan
+    per epoch.  Returns (params-by-model, mu, sd)."""
     P = sh.n_params
     f = sh.f
     # ONE tiny distributed agg for per-feature standardization (pad
@@ -305,7 +313,8 @@ def train_gru(
                 if len(pdf):
                     yield pd.DataFrame(
                         _loss_grad_pack(cur, pdf, sh, cfg.huber_delta,
-                                        cfg.horizon_decay, mu, sd),
+                                        cfg.horizon_decay, mu, sd,
+                                        forward, backward),
                         columns=["model", "g"],
                     )
 
@@ -331,18 +340,31 @@ def train_gru(
             models[m] = models[m] - cfg.lr * mhat / (np.sqrt(vhat) + eps)
 
     src.unpersist()
+    return models, mu, sd
+
+
+def train_gru(
+    train: DataFrame, feature_cols: list[str], k: int, cfg: GruConfig,
+) -> GruModel:
+    """GRU instantiation of the generic trainer."""
+    sh = GruShapes(len(feature_cols), cfg.window, cfg.hidden, cfg.attn,
+                   cfg.max_horizon)
+    models, mu, sd = _train_seq(train, k, cfg, sh)
     model = GruModel(feature_cols, sh)
     model.params = models
     model.mu, model.sd = mu, sd
     return model
 
 
-def predict_gru(model: GruModel, df: DataFrame, oof: bool = True) -> DataFrame:
-    """Adds rnn_pred_x / rnn_pred_y = clip(baseline + GRU residual).
-    ``oof=True`` routes each row to the model that never saw its fold;
-    ``oof=False`` averages the K fold models' PREDICTIONS (a nonlinear
-    net's fold ensemble is an output-space mean, unlike the linear
-    coefficient mean in seqreg.predict_seq)."""
+def _predict_seq(
+    model, df: DataFrame, oof: bool, out_prefix: str, forward=None,
+) -> DataFrame:
+    """Adds {prefix}_pred_x / {prefix}_pred_y = clip(baseline +
+    encoder residual).  ``oof=True`` routes each row to the model that
+    never saw its fold; ``oof=False`` averages the K fold models'
+    PREDICTIONS (a nonlinear net's fold ensemble is an output-space
+    mean, unlike the linear coefficient mean in seqreg.predict_seq)."""
+    forward = forward or _forward
     sh = model.shapes
     params = {m: v.copy() for m, v in model.params.items()}
     mu = model.mu if model.mu is not None else np.zeros(sh.f)
@@ -371,12 +393,12 @@ def predict_gru(model: GruModel, df: DataFrame, oof: bool = True) -> DataFrame:
                     )
                 idx = np.where(fv == m)[0]
                 p = sh.unpack(params[int(m)])
-                out[idx], _ = _forward(p, X[idx], dt[idx], sh)
+                out[idx], _ = forward(p, X[idx], dt[idx], sh)
         else:
             folds = [m for m in params if m >= 0]
             acc = np.zeros((len(X), 2))
             for m in folds:
-                pr, _ = _forward(sh.unpack(params[m]), X, dt, sh)
+                pr, _ = forward(sh.unpack(params[m]), X, dt, sh)
                 acc += pr
             out = acc / len(folds)
         return pd.Series([r.tolist() for r in out])
@@ -387,13 +409,20 @@ def predict_gru(model: GruModel, df: DataFrame, oof: bool = True) -> DataFrame:
     )
     return (
         p.withColumn(
-            "rnn_pred_x", clip(F.col("baseline_x") + F.col("_p")[0], 0.0, 120.0)
+            f"{out_prefix}_pred_x",
+            clip(F.col("baseline_x") + F.col("_p")[0], 0.0, 120.0),
         )
         .withColumn(
-            "rnn_pred_y", clip(F.col("baseline_y") + F.col("_p")[1], 0.0, 53.3)
+            f"{out_prefix}_pred_y",
+            clip(F.col("baseline_y") + F.col("_p")[1], 0.0, 53.3),
         )
         .drop("_p")
     )
+
+
+def predict_gru(model: GruModel, df: DataFrame, oof: bool = True) -> DataFrame:
+    """Adds rnn_pred_x / rnn_pred_y (GRU instantiation)."""
+    return _predict_seq(model, df, oof, "rnn")
 
 
 @dataclass
