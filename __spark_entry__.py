@@ -74,53 +74,69 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "q_quality_score", "q_token_count", "q_doc_fingerprint",
     "q_stratified_sample", "q_corpus_mix", "q_split_assign",
     "q_sample_exact_n", "q_percentiles_by_group",
+    # round 4 (CORRECTNESS_r04.json, 50/50 fully green)
+    "q_ann_recall", "q_attribution", "q_auc", "q_bfs_levels", "q_bm25",
+    "q_brier", "q_calibration", "q_cdc_apply", "q_cdc_asof",
+    "q_char_entropy", "q_compaction_plan", "q_confusion",
+    "q_decontaminate", "q_dedup_apply", "q_dedup_stats", "q_degree_dist",
+    "q_edit_distance", "q_feature_hash", "q_funnel", "q_gaps_islands",
+    "q_gopher_rules", "q_ks_stat", "q_lateral_topk", "q_lift",
+    "q_line_dedup", "q_link_predict", "q_logloss", "q_minhash_error",
+    "q_mrr", "q_ndcg", "q_pagerank", "q_pq_quantize", "q_pq_search",
+    "q_pr_auc", "q_psi", "q_retention", "q_rolling_dau", "q_scd2",
+    "q_skipgram_pairs", "q_snapshot_diff", "q_sql_pipe", "q_stl_lite",
+    "q_target_encode", "q_tfidf_topk", "q_triangle_count", "q_try_cast",
+    "q_udtf_polymorphic", "q_unigram_logprob", "q_vocab_topn",
+    "q_zorder_cells",
     # rows-only by declared contract (no value oracle): the driver row
     # cannot improve, so don't let them occupy front-window slots.
     "q_approx_distinct", "q_quantile_approx", "q_embed_kmeans",
     "q_image_resize",
 })
 
-# ROUND-5 TODO (first thing): merge CORRECTNESS_r04.json's green
-# names into _DRIVER_GREEN, rebuild _PRIORITY from the still-pending
-# set (tools/rotate.py prints both lists), pre-flight with
-# `python tools/driver_sim.py --window 50`.
+# ROUND-6 TODO (first thing): merge CORRECTNESS_r05.json's green
+# names into _DRIVER_GREEN, rebuild _PRIORITY from the remaining
+# ~48 pending names (tools/rotate.py prints both lists), pre-flight
+# with `python tools/driver_sim.py --window 50`.
 #
-# Round-4 window (first 50 of queries()): per the round-3 verdict,
-# front-load (a) the round-3 additions that have bitwise-oracle +
-# driver-sim evidence but no driver row yet (ann_recall, PQ pair,
-# stl_lite, zorder_cells, skipgram_pairs, minhash_error,
-# udtf_polymorphic, try_cast, sql_pipe, lateral_topk), and (b) the
-# highest-traffic never-verified analytics tail: the tfidf/line_dedup/
-# decontaminate text family, target_encode/feature_hash feature prep,
-# the graph family (pagerank, triangle_count, bfs, degree_dist,
-# link_predict), the events funnel/retention family, the full ML-eval
-# metric family (auc, pr_auc, calibration, confusion, logloss, brier,
-# ndcg, mrr, lift, psi, ks_stat), and the lakehouse SCD2/CDC family.
-# Every member pre-flighted green via
+# Round-5 window (first 50 of queries()): per the round-4 verdict,
+# front-load the never-driver-verified families with the most user
+# traffic — the advanced-SQL surface (correlated subquery, recursive
+# CTE, observe, parameterized SQL, SQL UDF, UDTF, null-safe join),
+# the gap-repair/outlier family (ffill, resample, interpolate,
+# winsorize, zscore/mad outliers, seasonal anomaly), the Python UDF
+# surface (pandas scalar, arrow map/grouped, weighted-median UDAF),
+# session windows, vector dedup components, the finance/product
+# analytics tail (vwap, drawdown, concurrency, crosstab, AB test,
+# cusum, assoc rules, geo, ridge/logit), the stats family, and the
+# remaining text-analysis tail.  Every member pre-flighted green via
 # `python tools/driver_sim.py --window 50`.
 _PRIORITY: tuple[str, ...] = (
-    # round-3 additions without a driver row yet
-    "q_ann_recall", "q_pq_quantize", "q_pq_search", "q_stl_lite",
-    "q_zorder_cells", "q_skipgram_pairs", "q_minhash_error",
-    "q_udtf_polymorphic", "q_try_cast", "q_sql_pipe", "q_lateral_topk",
-    # LLM text-pipeline long tail a corpus user hits daily
-    "q_tfidf_topk", "q_line_dedup", "q_decontaminate", "q_gopher_rules",
-    "q_bm25", "q_unigram_logprob", "q_char_entropy", "q_vocab_topn",
-    "q_edit_distance", "q_dedup_apply", "q_dedup_stats",
-    # ML feature prep
-    "q_target_encode", "q_feature_hash",
-    # graph family
-    "q_pagerank", "q_triangle_count", "q_degree_dist", "q_bfs_levels",
-    "q_link_predict",
-    # events / product analytics
-    "q_funnel", "q_retention", "q_rolling_dau", "q_gaps_islands",
-    "q_attribution",
-    # ML-eval metric family
-    "q_auc", "q_pr_auc", "q_calibration", "q_confusion", "q_logloss",
-    "q_brier", "q_ndcg", "q_mrr", "q_lift", "q_psi", "q_ks_stat",
-    # lakehouse change-data family
-    "q_scd2", "q_cdc_apply", "q_cdc_asof", "q_snapshot_diff",
-    "q_compaction_plan",
+    # advanced-SQL surface
+    "q_correlated_subquery", "q_recursive_cte", "q_observe",
+    "q_sql_param", "q_sql_udf", "q_udtf_sentences", "q_join_nullsafe",
+    # gap repair / outlier handling
+    "q_ffill", "q_resample", "q_interpolate", "q_winsorize",
+    "q_zscore_outliers", "q_mad_outliers", "q_seasonal_anomaly",
+    # Python UDF surface
+    "q_pandas_scalar", "q_arrow_map", "q_arrow_grouped",
+    "q_udaf_weighted_median",
+    # sessionization + vector clusters
+    "q_session_window", "q_embed_components",
+    # finance / product analytics tail
+    "q_vwap", "q_max_drawdown", "q_peak_concurrency", "q_crosstab",
+    "q_ab_test", "q_cusum", "q_assoc_rules", "q_geo_join", "q_geo_track",
+    "q_ridge_fit", "q_logit_irls",
+    # statistics family
+    "q_autocorr", "q_spearman", "q_welch_ttest", "q_moments",
+    "q_mutual_info", "q_group_entropy", "q_gini", "q_benford",
+    "q_histogram", "q_ols_by_group",
+    # text-analysis tail
+    "q_ttr", "q_bpe_pairs", "q_regex_tokens", "q_repetition_score",
+    "q_dataset_card",
+    # sequence / survival tail
+    "q_markov_transition", "q_survival", "q_forecast_revenue",
+    "q_expanding",
 )
 
 
