@@ -97,7 +97,11 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # ROUND-6 TODO (first thing): merge CORRECTNESS_r05.json's green
 # names into _DRIVER_GREEN, rebuild _PRIORITY from the remaining
 # ~48 pending names (tools/rotate.py prints both lists), pre-flight
-# with `python tools/driver_sim.py --window 50`.
+# with `python tools/driver_sim.py --window 50`.  rotate.py now also
+# prints a function-level "plan drift" section (green rows older than
+# their plan source); as of round 5 it flags q_except,
+# q_schema_evolution and q_setsim_join — put any still-drifted names
+# in the round-6 window ahead of never-verified ones.
 #
 # Round-5 window (first 50 of queries()): per the round-4 verdict,
 # front-load the never-driver-verified families with the most user

@@ -33,14 +33,83 @@ def fully_green(path: str) -> set[str]:
     }
 
 
+def _plan_drift(
+    first_green_round: dict[str, str], queries: dict,
+) -> list[tuple[str, str]]:
+    """Green names whose query FUNCTION BODY changed since the commit
+    that recorded their green row — their driver evidence predates the
+    current plan, so they should be re-front-loaded (round-4
+    ADVICE.md).  Function-body granularity: a registry function whose
+    own ``def`` text is unchanged does not drift when an unrelated
+    query in the same module is edited.  (Limitation: changes to
+    shared helpers a query calls are not attributed to it.)"""
+    import ast
+    import inspect
+    import subprocess
+    import textwrap
+
+    def added_commit(path: str) -> str | None:
+        out = subprocess.run(
+            ["git", "log", "--diff-filter=A", "--format=%H", "--", path],
+            capture_output=True, text=True,
+        ).stdout.split()
+        return out[-1] if out else None
+
+    def fn_bodies(source: str) -> dict[str, str]:
+        try:
+            tree = ast.parse(source)
+        except SyntaxError:
+            return {}
+        return {
+            node.name: ast.dump(node)
+            for node in ast.walk(tree)
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+        }
+
+    # file → name → dumped AST at the green commit (cache per pair)
+    old_cache: dict[tuple[str, str], dict[str, str]] = {}
+    drifted = []
+    for name, corr_path in sorted(first_green_round.items()):
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        commit = added_commit(corr_path)
+        if commit is None:
+            continue
+        src_path = os.path.relpath(fn.__code__.co_filename, os.getcwd())
+        key = (commit, src_path)
+        if key not in old_cache:
+            show = subprocess.run(
+                ["git", "show", f"{commit}:{src_path}"],
+                capture_output=True, text=True,
+            )
+            old_cache[key] = fn_bodies(show.stdout) if show.returncode == 0 else {}
+        old = old_cache[key].get(fn.__name__)
+        try:
+            cur_src = textwrap.dedent(inspect.getsource(fn))
+        except OSError:
+            continue
+        cur = fn_bodies(cur_src).get(fn.__name__)
+        if cur is not None and old is not None and cur != old:
+            drifted.append((name, src_path))
+        elif old is None:
+            # function did not exist at the green commit under this
+            # name (moved module or renamed) — flag conservatively
+            drifted.append((name, src_path + " (not found at green commit)"))
+    return drifted
+
+
 def main() -> int:
     import __spark_entry__ as e
     from nfl26_bigdatabowl_prediction_spark.plans.registry import ORACLES, QUERIES
 
     green: set[str] = set()
+    first_green_round: dict[str, str] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         g = fully_green(path)
         print(f"{path}: {len(g)} fully green")
+        for n in g:
+            first_green_round.setdefault(n, path)
         green |= g
     # q_except's round-1 green covered a since-respecified query;
     # membership in the current registry is the real filter.
@@ -65,6 +134,16 @@ def main() -> int:
     print(f"\nstill pending a driver row ({len(pending)}):")
     for n in pending:
         print(f"    {n}")
+    drifted = _plan_drift(
+        {n: p for n, p in first_green_round.items() if n in declared}, QUERIES
+    )
+    if drifted:
+        print(
+            f"\nplan drift — green rows older than their plan source "
+            f"({len(drifted)}); re-front-load these:"
+        )
+        for n, src in drifted:
+            print(f"    {n}  ({src})")
     if "--check" in sys.argv and (missing_from_decl or stale_in_decl):
         return 1
     return 0
