@@ -226,8 +226,9 @@ def _loss_grad_pack(
     batch.  Model m trains on rows with fold != m; model −1 on all.
 
     ``sh`` is any shapes object exposing f/window/max_horizon/sizes/
-    unpack; ``forward``/``backward`` default to the GRU kernels so a
-    second encoder (ml/bilstm.py) can ride the same trainer."""
+    unpack; ``forward``/``backward`` default to the GRU kernels so
+    other encoders (ml/bilstm.py, ml/transformer.py) can ride the
+    same trainer."""
     forward = forward or _forward
     backward = backward or _backward
     X = np.array(pdf["x_seq"].tolist(), dtype=np.float64).reshape(
@@ -273,8 +274,9 @@ def _train_seq(
     train: DataFrame, k: int, cfg, sh, forward=None, backward=None,
 ) -> tuple[dict[int, np.ndarray], np.ndarray, np.ndarray]:
     """Generic synchronous data-parallel Adam trainer over any
-    (shapes, forward, backward) encoder triple — the GRU and the
-    CNN+BiLSTM (ml/bilstm.py) both ride this loop.  Expects columns
+    (shapes, forward, backward) encoder triple — the GRU, the
+    CNN+BiLSTM (ml/bilstm.py) and the spatio-temporal transformer
+    (ml/transformer.py) all ride this loop.  Expects columns
     fold, x_seq (array<double>, len W·f), res_x, res_y, delta_t.
     Trains K leave-one-fold-out models + pooled (−1), all in one scan
     per epoch.  Returns (params-by-model, mu, sd)."""
