@@ -19,6 +19,11 @@ import time
 
 
 def main() -> None:
+    # 1-minute load average BEFORE Spark starts — external contention
+    # at launch, not the bench's own load.  A uniformly-inflated
+    # round (like r4's 1.31×) is machine noise, and this makes it
+    # self-documenting in the recorded BENCH json.
+    load1 = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else -1.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -67,6 +72,7 @@ def main() -> None:
             "unit": "sec",
             "n": len(timings),
             "sf": sf,
+            "load1": load1,
         }
     )
     # Compact line BOTH before and after the ~10 KB per-query line:
