@@ -317,6 +317,8 @@ HEADLINE = {
     "q_udtf_polymorphic",
     "q_target_encode",
     "q_feature_hash",
+    "q_dsir_weights",
+    "q_dp_count",
     "q_ri_audit",
     "q_table_checksum",
     "q_compaction_plan",

@@ -2367,3 +2367,166 @@ def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 'n_words,n_long,total_len') f
         """
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", arXiv:2302.03169) — the modern
+# pretraining-data selection operator: score every raw document by
+# how target-like its hashed-bigram profile is.  Features are bigram
+# counts hashed into B=256 buckets (the paper uses 10k at web scale —
+# still dimension-sized; 256 keeps buckets populated and cleanly
+# separates the lang slices at sf0.01); two add-one-smoothed
+# bag-of-hashed-ngrams unigram models are fit in-corpus (target = the
+# lang='en' slice, source = everything), and each document's
+# log-importance-weight is Σ_b c_b·(ln p_target(b) − ln p_source(b)).
+# The downstream resample step is Gumbel-top-k — at scale, the
+# deterministic hash-coin selection of q_sample_exact_n over
+# dsir_logw-tiered strata.
+#
+# Scale shape: each WORD is polynomial-hashed once (O(total chars),
+# scan-side) and a bigram's bucket combines the two word hashes
+# arithmetically — never re-hashing bigram strings.  The per-doc
+# (bucket, c) rollup is checkpointed to process-scoped parquet
+# (scratch_dir, the q_setsim_join pattern) because FOUR consumers
+# read it (source model, target model, totals, final scorer) and
+# Spark physical plans do not share subtrees — without the
+# checkpoint the explode runs four times.  Bucket models and the
+# delta table are dimension-sized broadcasts; the only fact-sized
+# exchange is the rollup's own (doc, bucket) aggregation plus the
+# final doc-keyed sum.  Determinism: each bucket's log-ratio is
+# scaled to an int64 micro-nat ONCE (the q_unigram_logprob idiom),
+# so the per-doc sum is integer and summation order cannot perturb
+# it.
+# --------------------------------------------------------------------------
+_DSIR_BUCKETS = 256
+_DSIR_POLY = 1000000007  # the functions.portable rolling-hash modulus
+
+
+@q(
+    "q_dsir_weights",
+    f"""
+    WITH w AS (
+        SELECT doc_id, lang, {_WORDS_DUCK} AS words FROM documents
+    ), hw AS (
+        SELECT doc_id, lang,
+               list_transform(words, wd ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(wd) + 1),
+                           i -> CAST(ascii(substring(wd, i, 1)) AS BIGINT))),
+                       (acc, ch) -> (acc * 31 + ch) % {_DSIR_POLY})) AS hws
+        FROM w WHERE len(words) >= 2
+    ), bk AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(hws)),
+                   i -> ((hws[i] * 31 + hws[i + 1]) % {_DSIR_POLY})
+                        % {_DSIR_BUCKETS})) AS bucket
+        FROM hw
+    ), cnt AS (
+        SELECT doc_id, lang, bucket, COUNT(*) AS c
+        FROM bk GROUP BY doc_id, lang, bucket
+    ), src AS (
+        SELECT bucket, SUM(c) AS s_cnt FROM cnt GROUP BY bucket
+    ), tgt AS (
+        SELECT bucket, SUM(c) AS t_cnt FROM cnt WHERE lang = 'en' GROUP BY bucket
+    ), tot AS (
+        SELECT SUM(c) AS s_tot,
+               SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS t_tot
+        FROM cnt
+    ), delta AS (
+        SELECT s.bucket,
+               CAST(round((ln(CAST(COALESCE(t.t_cnt, 0) + 1 AS DOUBLE)
+                              / (tot.t_tot + {_DSIR_BUCKETS}))
+                         - ln(CAST(s.s_cnt + 1 AS DOUBLE)
+                              / (tot.s_tot + {_DSIR_BUCKETS}))) * 1000000, 0)
+                    AS BIGINT) AS d_u
+        FROM src s LEFT JOIN tgt t USING (bucket) CROSS JOIN tot
+    )
+    SELECT cnt.doc_id,
+           CAST(SUM(cnt.c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(cnt.c * d.d_u) AS BIGINT) AS logw_sum_u,
+           round(CAST(SUM(cnt.c * d.d_u) AS DOUBLE) / 1000000.0, 6) AS dsir_logw
+    FROM cnt JOIN delta d USING (bucket)
+    GROUP BY cnt.doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    d = table(spark, sf_dir, "documents")
+    hash_wd = (
+        "aggregate(transform(sequence(1, length(wd)), "
+        "i -> cast(ascii(substr(wd, i, 1)) as bigint)), "
+        f"cast(0 as bigint), (acc, ch) -> (acc * 31 + ch) % {_DSIR_POLY})"
+    )
+    hw = (
+        d.select(
+            "doc_id", "lang", F.expr(_WORDS_SPARK).alias("words")
+        )
+        .filter(F.size("words") >= 2)
+        .select(
+            "doc_id", "lang",
+            F.expr(f"transform(words, wd -> {hash_wd})").alias("hws"),
+        )
+    )
+    bk = hw.select(
+        "doc_id", "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(hws) - 1), "
+                f"i -> ((element_at(hws, i) * 31 + element_at(hws, i + 1)) "
+                f"% {_DSIR_POLY}) % {_DSIR_BUCKETS})"
+            )
+        ).alias("bucket"),
+    )
+    rolled = bk.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ckpt = scratch_dir("dsir_cnt_")
+    rolled.write.mode("overwrite").parquet(ckpt)
+    cnt = spark.read.parquet(ckpt)
+    src = cnt.groupBy("bucket").agg(F.sum("c").alias("s_cnt"))
+    tgt = (
+        cnt.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("t_cnt"))
+    )
+    tot = cnt.agg(
+        F.sum("c").alias("s_tot"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0))
+        .alias("t_tot"),
+    )
+    delta = (
+        src.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))  # 1-row totals
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1).cast("double")
+                        / (F.col("t_tot") + _DSIR_BUCKETS)
+                    )
+                    - F.log(
+                        (F.col("s_cnt") + 1).cast("double")
+                        / (F.col("s_tot") + _DSIR_BUCKETS)
+                    )
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("d_u"),
+        )
+    )
+    return (
+        cnt.join(F.broadcast(delta), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("d_u")).cast("bigint").alias("logw_sum_u"),
+            F.round(
+                F.sum(F.col("c") * F.col("d_u")).cast("double") / 1000000.0, 6
+            ).alias("dsir_logw"),
+        )
+    )

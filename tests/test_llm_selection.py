@@ -1,0 +1,72 @@
+"""Semantic checks for the round-5 data-selection operators — the
+bitwise oracle (tests/test_oracle.py) proves both engines agree; these
+prove the MECHANISMS behave as their papers require.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nfl26_bigdatabowl_prediction_spark.plans.analytics import _DP_EPS, _DP_LUT
+from nfl26_bigdatabowl_prediction_spark.plans.registry import QUERIES
+
+
+def test_dsir_ranks_target_like_docs_higher(spark, sf_dir):
+    # DSIR's defining property (arXiv:2302.03169): documents drawn
+    # from the target distribution must receive higher importance
+    # weights than off-target documents.  Target here is the lang='en'
+    # slice, so en docs must average a higher dsir_logw than non-en —
+    # and in this synthetic corpus (languages use disjoint-ish token
+    # pools) the gap should be decisive, not marginal.
+    w = QUERIES["q_dsir_weights"](spark, sf_dir)
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+    )
+    rows = (
+        w.join(d, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("dsir_logw").alias("m"))
+        .collect()
+    )
+    means = {bool(r[0]): float(r["m"]) for r in rows}
+    assert means[True] > means[False] + 0.5, means
+
+
+def test_dsir_weight_is_per_bigram_bounded(spark, sf_dir):
+    # every bucket delta is a log-ratio of two smoothed probabilities
+    # over the same corpus: |delta| is bounded by the log of the
+    # largest count ratio, so per-doc logw / n_bigrams must stay
+    # within that bound (guards against a broken join duplicating
+    # delta rows)
+    w = QUERIES["q_dsir_weights"](spark, sf_dir).collect()
+    assert len(w) > 0
+    for r in w:
+        assert abs(r["logw_sum_u"] / 1e6 / r["n_bigrams"]) < 20.0, r
+
+
+def test_dp_lut_matches_laplace_inverse_cdf():
+    # the embedded literal table IS the mechanism: entry i must equal
+    # the Laplace(1/eps) inverse CDF at u=(i+0.5)/256-0.5, micro-scaled
+    assert len(_DP_LUT) == 256
+    for i in (0, 1, 64, 127, 128, 191, 254, 255):
+        u = (i + 0.5) / 256.0 - 0.5
+        x = -(1.0 / _DP_EPS) * math.copysign(1.0, u) * math.log(1.0 - 2.0 * abs(u))
+        assert _DP_LUT[i] == int(math.copysign(math.floor(abs(x) * 1e6 + 0.5), x))
+    # antisymmetric by construction (Laplace is symmetric about 0)
+    assert all(_DP_LUT[i] == -_DP_LUT[255 - i] for i in range(256))
+
+
+def test_dp_count_noise_is_applied_and_bounded(spark, sf_dir):
+    # n_dp = n_true + LUT[h]/1e6 for every group, and the noise spans
+    # both signs across groups (a constant-zero noise column would be
+    # a silently broken mechanism)
+    rows = QUERIES["q_dp_count"](spark, sf_dir).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r["noise_u"] in _DP_LUT
+        assert abs((r["n_true"] + r["noise_u"] / 1e6) - r["n_dp"]) < 1e-9
+    assert any(r["noise_u"] > 0 for r in rows), "no positive noise drawn"
+    assert any(r["noise_u"] < 0 for r in rows), "no negative noise drawn"

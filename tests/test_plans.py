@@ -186,7 +186,8 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
         if name in ("q_tfidf_topk", "q_bm25", "q_crosstab", "q_psi",
                     "q_ks_stat", "q_top_supplier", "q_top_value_parts",
                     "q_idle_customers", "q_kmeans_step", "q_traj_similarity",
-                    "q_survival", "q_equi_depth_hist", "q_bigram_logprob"):
+                    "q_survival", "q_equi_depth_hist", "q_bigram_logprob",
+                    "q_dsir_weights"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
