@@ -319,6 +319,7 @@ HEADLINE = {
     "q_feature_hash",
     "q_dsir_weights",
     "q_gumbel_topk_resample",
+    "q_bpe_train",
     "q_dp_count",
     "q_ri_audit",
     "q_table_checksum",

@@ -2599,3 +2599,158 @@ def q_gumbel_topk_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("logw_sum_u") + g_u).cast("bigint").alias("key_u"),
     )
     return keyed.orderBy(F.desc("key_u"), F.asc("doc_id")).limit(_DSIR_TOPK)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer TRAINING — the full iterative merge loop (Sennrich et
+# al. 2016's algorithm, the step q_bpe_pairs is one round of): N
+# rounds of (count adjacent symbol pairs over the vocabulary,
+# weighted by word frequency) → (merge the most frequent pair
+# everywhere), emitting the ordered merge list — the artifact a
+# trained tokenizer IS.
+#
+# Scale shape — the textbook split: the only corpus-sized work is the
+# initial word-frequency aggregation (one shuffle, map-side
+# combined); every merge round then operates on the DISTINCT-WORD
+# vocabulary (dimension-sized — tokenizer trainers all work off the
+# word-count table, never re-scanning the corpus), checkpointed once
+# to process-scoped parquet so the per-round plan re-executions stay
+# vocab-sized.  Each round's top pair is a 1-row broadcast
+# (count DESC, pair ASC totally orders the choice) and the merge
+# applies as a scan-side string fold.
+#
+# The merge fold is the exact greedy left-to-right application: out
+# starts as the first symbol and each next symbol s either fuses into
+# the trailing token (when trailing == x and s == y — a token just
+# produced by this round can never re-match, since xy ≠ x) or
+# appends.  The IDENTICAL fold runs in both engines (Spark
+# `aggregate` HOF / DuckDB `list_reduce`), so the differential is
+# bitwise.
+# --------------------------------------------------------------------------
+_BPE_ROUNDS = 4
+
+
+def _bpe_oracle() -> str:
+    sym0 = (
+        "array_to_string(list_transform(range(1, length(word) + 1), "
+        "i -> substring(word, i, 1)), ' ')"
+    )
+    ctes = [
+        f"""v0 AS MATERIALIZED (
+        SELECT {sym0} AS symstr, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({_WORDS_DUCK}) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    )"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes.append(f"""p{r} AS (
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+        FROM (
+            SELECT unnest(list_transform(range(1, len(syms)),
+                       i -> syms[i] || ' ' || syms[i + 1])) AS pair, cnt
+            FROM (SELECT string_split(symstr, ' ') AS syms, cnt FROM v{r - 1})
+            WHERE len(syms) >= 2
+        )
+        GROUP BY pair ORDER BY pair_count DESC, pair ASC LIMIT 1
+    )""")
+        if r < _BPE_ROUNDS:
+            ctes.append(f"""v{r} AS MATERIALIZED (
+        SELECT list_reduce(string_split(v.symstr, ' '),
+                 (acc, s) -> CASE
+                   WHEN (acc = split_part(p.pair, ' ', 1)
+                         OR ends_with(acc, ' ' || split_part(p.pair, ' ', 1)))
+                        AND s = split_part(p.pair, ' ', 2)
+                   THEN substr(acc, 1, length(acc)
+                               - length(split_part(p.pair, ' ', 1)))
+                        || replace(p.pair, ' ', '')
+                   ELSE acc || ' ' || s END) AS symstr,
+               v.cnt
+        FROM v{r - 1} v CROSS JOIN p{r} p
+    )""")
+    selects = [
+        f"""SELECT CAST({r} AS BIGINT) AS merge_rank,
+           split_part(pair, ' ', 1) AS left_sym,
+           split_part(pair, ' ', 2) AS right_sym,
+           replace(pair, ' ', '') AS merged_sym,
+           pair_count
+    FROM p{r}"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@q("q_bpe_train", _bpe_oracle())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    d = table(spark, sf_dir, "documents")
+    vocab0 = (
+        _with_words(d)
+        .select(F.explode("words").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, length(word)), "
+                "i -> substr(word, i, 1)))"
+            ).alias("symstr"),
+            "cnt",
+        )
+    )
+    ckpt = scratch_dir("bpe_vocab_")
+    vocab0.write.mode("overwrite").parquet(ckpt)
+    vocab = spark.read.parquet(ckpt)
+
+    merge_fold = (
+        "aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1), "
+        "(acc, s) -> CASE WHEN (acc = mx OR endswith(acc, concat(' ', mx))) "
+        "AND s = my "
+        "THEN concat(substr(acc, 1, length(acc) - length(mx)), mxy) "
+        "ELSE concat(acc, ' ', s) END)"
+    )
+    tops = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        syms = vocab.selectExpr("split(symstr, ' ') AS syms", "cnt").filter(
+            F.expr("size(syms) >= 2")
+        )
+        top = (
+            syms.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> concat(element_at(syms, i), ' ', "
+                        "element_at(syms, i + 1)))"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+        )
+        tops.append(
+            top.select(
+                F.lit(r).cast("bigint").alias("merge_rank"),
+                F.expr("element_at(split(pair, ' '), 1)").alias("left_sym"),
+                F.expr("element_at(split(pair, ' '), 2)").alias("right_sym"),
+                F.expr("replace(pair, ' ', '')").alias("merged_sym"),
+                "pair_count",
+            )
+        )
+        if r < _BPE_ROUNDS:
+            mt = top.select(
+                F.expr("element_at(split(pair, ' '), 1)").alias("mx"),
+                F.expr("element_at(split(pair, ' '), 2)").alias("my"),
+                F.expr("replace(pair, ' ', '')").alias("mxy"),
+            )
+            vocab = (
+                vocab.crossJoin(F.broadcast(mt))  # 1-row merge choice
+                .selectExpr("split(symstr, ' ') AS syms", "mx", "my", "mxy", "cnt")
+                .selectExpr(f"{merge_fold} AS symstr", "cnt")
+            )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out

@@ -85,3 +85,44 @@ def test_gumbel_topk_selects_high_weight_docs(spark, sf_dir):
     assert mean_sel > mean_all, (mean_sel, mean_all)
     rows2 = QUERIES["q_gumbel_topk_resample"](spark, sf_dir).collect()
     assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in rows2]
+
+
+def test_bpe_train_matches_reference_implementation(spark, sf_dir):
+    # the merge list must equal a from-first-principles Python BPE
+    # (Sennrich et al. 2016) run on the same word-frequency table —
+    # same greedy left-to-right merge, same (count DESC, pair ASC)
+    # tiebreak
+    import collections
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    vocab = collections.Counter()
+    for r in docs:
+        for w in r["text"].strip().split():
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    expected = []
+    for rank in range(1, 5):
+        pairs = collections.Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        (x, y), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, x, y, x + y, n))
+        for w in vocab:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    got = sorted(
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged_sym"],
+         r["pair_count"])
+        for r in QUERIES["q_bpe_train"](spark, sf_dir).collect()
+    )
+    assert got == expected, (got, expected)
