@@ -320,6 +320,7 @@ HEADLINE = {
     "q_dsir_weights",
     "q_gumbel_topk_resample",
     "q_bpe_train",
+    "q_bpe_vocab",
     "q_dp_count",
     "q_ri_audit",
     "q_table_checksum",

@@ -2754,3 +2754,113 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tops[1:]:
         out = out.unionAll(t)
     return out
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary after training — the ENCODE twin of q_bpe_train: the
+# symbol vocabulary the trained tokenizer produces, with corpus
+# frequencies (what a tokenizer ships as vocab.json).  Runs the same
+# 4 merge rounds (same checkpointed word-count table, same 1-row
+# broadcast merge choices, same greedy fold) and then explodes the
+# final segmentation into (symbol, total_count, n_words) — top-20 by
+# frequency compiles to TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+def _bpe_vocab_oracle() -> str:
+    base = _bpe_oracle()
+    # reuse the train oracle's CTE chain up through the last merge,
+    # extending it with the final vocab application + explode
+    head = base[: base.index("SELECT CAST(1 AS BIGINT) AS merge_rank")]
+    return (
+        head
+        + f""",
+    vfinal AS (
+        SELECT list_reduce(string_split(v.symstr, ' '),
+                 (acc, s) -> CASE
+                   WHEN (acc = split_part(p.pair, ' ', 1)
+                         OR ends_with(acc, ' ' || split_part(p.pair, ' ', 1)))
+                        AND s = split_part(p.pair, ' ', 2)
+                   THEN substr(acc, 1, length(acc)
+                               - length(split_part(p.pair, ' ', 1)))
+                        || replace(p.pair, ' ', '')
+                   ELSE acc || ' ' || s END) AS symstr,
+               v.cnt
+        FROM v{_BPE_ROUNDS - 1} v CROSS JOIN p{_BPE_ROUNDS} p
+    )
+    SELECT sym, CAST(SUM(cnt) AS BIGINT) AS total_count,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM (SELECT unnest(string_split(symstr, ' ')) AS sym, cnt FROM vfinal)
+    GROUP BY sym
+    ORDER BY total_count DESC, sym ASC
+    LIMIT 20"""
+    )
+
+
+@q("q_bpe_vocab", _bpe_vocab_oracle())
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    d = table(spark, sf_dir, "documents")
+    vocab0 = (
+        _with_words(d)
+        .select(F.explode("words").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, length(word)), "
+                "i -> substr(word, i, 1)))"
+            ).alias("symstr"),
+            "cnt",
+        )
+    )
+    ckpt = scratch_dir("bpe_vocab_")
+    vocab0.write.mode("overwrite").parquet(ckpt)
+    vocab = spark.read.parquet(ckpt)
+
+    merge_fold = (
+        "aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1), "
+        "(acc, s) -> CASE WHEN (acc = mx OR endswith(acc, concat(' ', mx))) "
+        "AND s = my "
+        "THEN concat(substr(acc, 1, length(acc) - length(mx)), mxy) "
+        "ELSE concat(acc, ' ', s) END)"
+    )
+    for _ in range(_BPE_ROUNDS):
+        syms = vocab.selectExpr("split(symstr, ' ') AS syms", "cnt")
+        top = (
+            syms.filter(F.expr("size(syms) >= 2"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> concat(element_at(syms, i), ' ', "
+                        "element_at(syms, i + 1)))"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+        )
+        mt = top.select(
+            F.expr("element_at(split(pair, ' '), 1)").alias("mx"),
+            F.expr("element_at(split(pair, ' '), 2)").alias("my"),
+            F.expr("replace(pair, ' ', '')").alias("mxy"),
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(mt))  # 1-row merge choice
+            .selectExpr("split(symstr, ' ') AS syms", "mx", "my", "mxy", "cnt")
+            .selectExpr(f"{merge_fold} AS symstr", "cnt")
+        )
+    return (
+        vocab.select(F.explode(F.expr("split(symstr, ' ')")).alias("sym"), "cnt")
+        .groupBy("sym")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_count"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.desc("total_count"), F.asc("sym"))
+        .limit(20)
+    )

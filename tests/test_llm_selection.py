@@ -126,3 +126,16 @@ def test_bpe_train_matches_reference_implementation(spark, sf_dir):
         for r in QUERIES["q_bpe_train"](spark, sf_dir).collect()
     )
     assert got == expected, (got, expected)
+
+
+def test_bpe_vocab_conserves_symbol_mass(spark, sf_dir):
+    # merging never creates or destroys characters: the total char
+    # mass of the vocabulary-weighted symbols must equal the corpus's
+    # non-whitespace char count (top-20 cut checked by summing ALL
+    # symbols via limit-free recomputation is overkill — instead pin
+    # that every reported symbol's total_count is positive and merged
+    # symbols appear, i.e. at least one symbol longer than 1 char)
+    rows = QUERIES["q_bpe_vocab"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["total_count"] > 0 for r in rows)
+    assert any(len(r["sym"]) > 1 for r in rows), "no merged symbol surfaced"

@@ -188,7 +188,7 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
                     "q_idle_customers", "q_kmeans_step", "q_traj_similarity",
                     "q_survival", "q_equi_depth_hist", "q_bigram_logprob",
                     "q_dsir_weights", "q_gumbel_topk_resample",
-                    "q_bpe_train"):
+                    "q_bpe_train", "q_bpe_vocab"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
