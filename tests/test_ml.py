@@ -191,3 +191,46 @@ def test_seq_regressor_beats_physics_baseline(spark):
     assert pred.filter(
         (F.col("seq_pred_x") < 0) | (F.col("seq_pred_x") > 120)
     ).count() == 0
+
+
+def test_encoder_ensemble_beats_best_single(spark):
+    # M7 × M9: the inverse-RMSE blend of the GRU and CNN+BiLSTM OOF
+    # predictions must beat the best single encoder (measured 1.926
+    # vs GRU 1.945 / BiLSTM 2.142 at the default configs — errors
+    # decorrelate across encoder families, the reference's ensemble
+    # rationale).  Trains both encoders, so this is the suite's
+    # heaviest ML test.
+    from pyspark.sql import functions as F
+
+    from nfl26_bigdatabowl_prediction_spark.ml.bilstm import (
+        BiLstmConfig, train_and_predict_bilstm,
+    )
+    from nfl26_bigdatabowl_prediction_spark.ml.ensemble import blend_predictions
+    from nfl26_bigdatabowl_prediction_spark.ml.rnn import (
+        GruConfig, train_and_predict_gru,
+    )
+    from nfl26_bigdatabowl_prediction_spark.ml.scoring import score
+    from nfl26_bigdatabowl_prediction_spark.testing import make_tracking_tables
+
+    inp, outp = make_tracking_tables(spark)
+    rg = train_and_predict_gru(inp, outp, k=5, cfg=GruConfig(horizon_decay=0.9))
+    rb = train_and_predict_bilstm(
+        inp, outp, k=5, cfg=BiLstmConfig(horizon_decay=0.9)
+    )
+    g = rg.predictions.select(
+        "id", F.col("target_x").alias("tx"), F.col("target_y").alias("ty"),
+        "rnn_pred_x", "rnn_pred_y",
+    )
+    b = rb.predictions.select("id", "bilstm_pred_x", "bilstm_pred_y")
+    j = blend_predictions(
+        g.join(b, "id"),
+        [("rnn", rg.rmse_rnn), ("bilstm", rb.rmse_bilstm)],
+    )
+    sol = j.select("id", F.col("tx").alias("x"), F.col("ty").alias("y"))
+    ens = j.select(
+        "id", F.col("ens_pred_x").alias("x"), F.col("ens_pred_y").alias("y")
+    )
+    rmse_ens = score(sol, ens)
+    assert rmse_ens < min(rg.rmse_rnn, rb.rmse_bilstm), (
+        rmse_ens, rg.rmse_rnn, rb.rmse_bilstm,
+    )
