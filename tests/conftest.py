@@ -40,3 +40,24 @@ def duck():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def trained_encoders(spark):
+    """Train the GRU and CNN+BiLSTM once (default fixture configs) and
+    share across the beats-baseline and ensemble tests — each training
+    is ~40-60 s, so re-training per test dominated the suite wall."""
+    from nfl26_bigdatabowl_prediction_spark.ml.bilstm import (
+        BiLstmConfig, train_and_predict_bilstm,
+    )
+    from nfl26_bigdatabowl_prediction_spark.ml.rnn import (
+        GruConfig, train_and_predict_gru,
+    )
+    from nfl26_bigdatabowl_prediction_spark.testing import make_tracking_tables
+
+    inp, outp = make_tracking_tables(spark)
+    gru = train_and_predict_gru(inp, outp, k=5, cfg=GruConfig(horizon_decay=0.9))
+    bilstm = train_and_predict_bilstm(
+        inp, outp, k=5, cfg=BiLstmConfig(horizon_decay=0.9)
+    )
+    return {"gru": gru, "bilstm": bilstm}

@@ -14,7 +14,6 @@ from nfl26_bigdatabowl_prediction_spark.ml.bilstm import (
     BiLstmShapes,
     _backward,
     _forward,
-    train_and_predict_bilstm,
 )
 
 
@@ -89,18 +88,13 @@ def test_bilstm_training_is_deterministic(spark):
         assert (m1.params[key] == m2.params[key]).all()
 
 
-def test_bilstm_beats_physics_baseline(spark):
+def test_bilstm_beats_physics_baseline(spark, trained_encoders):
     # M9 second encoder (SURVEY §2.10): the distributed-Adam
     # CNN+BiLSTM must beat the constant-velocity baseline out-of-fold
     # on the tracking fixture.  Measured at the default config:
     # 2.142 vs 2.887 (between the ridge 2.261 and the GRU 1.945 —
     # consistent with the reference keeping all three encoders).
-    from nfl26_bigdatabowl_prediction_spark.testing import make_tracking_tables
-
-    inp, outp = make_tracking_tables(spark)
-    r = train_and_predict_bilstm(
-        inp, outp, k=5, cfg=BiLstmConfig(horizon_decay=0.9)
-    )
+    r = trained_encoders["bilstm"]
     assert r.rmse_bilstm * 1.25 < r.rmse_baseline, (
         r.rmse_bilstm, r.rmse_baseline,
     )

@@ -193,7 +193,7 @@ def test_seq_regressor_beats_physics_baseline(spark):
     ).count() == 0
 
 
-def test_encoder_ensemble_beats_best_single(spark):
+def test_encoder_ensemble_beats_best_single(spark, trained_encoders):
     # M7 × M9: the inverse-RMSE blend of the GRU and CNN+BiLSTM OOF
     # predictions must beat the best single encoder (measured 1.926
     # vs GRU 1.945 / BiLSTM 2.142 at the default configs — errors
@@ -202,21 +202,11 @@ def test_encoder_ensemble_beats_best_single(spark):
     # heaviest ML test.
     from pyspark.sql import functions as F
 
-    from nfl26_bigdatabowl_prediction_spark.ml.bilstm import (
-        BiLstmConfig, train_and_predict_bilstm,
-    )
     from nfl26_bigdatabowl_prediction_spark.ml.ensemble import blend_predictions
-    from nfl26_bigdatabowl_prediction_spark.ml.rnn import (
-        GruConfig, train_and_predict_gru,
-    )
     from nfl26_bigdatabowl_prediction_spark.ml.scoring import score
-    from nfl26_bigdatabowl_prediction_spark.testing import make_tracking_tables
 
-    inp, outp = make_tracking_tables(spark)
-    rg = train_and_predict_gru(inp, outp, k=5, cfg=GruConfig(horizon_decay=0.9))
-    rb = train_and_predict_bilstm(
-        inp, outp, k=5, cfg=BiLstmConfig(horizon_decay=0.9)
-    )
+    rg = trained_encoders["gru"]
+    rb = trained_encoders["bilstm"]
     g = rg.predictions.select(
         "id", F.col("target_x").alias("tx"), F.col("target_y").alias("ty"),
         "rnn_pred_x", "rnn_pred_y",

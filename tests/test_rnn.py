@@ -13,7 +13,6 @@ from nfl26_bigdatabowl_prediction_spark.ml.rnn import (
     GruShapes,
     _backward,
     _forward,
-    train_and_predict_gru,
 )
 
 
@@ -89,19 +88,14 @@ def test_gru_training_is_deterministic(spark):
         assert (m1.params[key] == m2.params[key]).all()
 
 
-def test_gru_beats_physics_baseline(spark):
+def test_gru_beats_physics_baseline(spark, trained_encoders):
     # M9 (SURVEY §2.10), now with the TRUE recurrent learner: the
     # distributed-Adam GRU must beat the constant-velocity baseline
     # out-of-fold on the tracking fixture.  Measured at the default
     # config: 1.945 vs 2.887 (also better than seqreg's ridge 2.26 —
     # matching the reference's finding that the recurrent encoder
     # outperforms linear feature models, nn-mps.py headline).
-    from nfl26_bigdatabowl_prediction_spark.testing import make_tracking_tables
-
-    inp, outp = make_tracking_tables(spark)
-    r = train_and_predict_gru(
-        inp, outp, k=5, cfg=GruConfig(horizon_decay=0.9)
-    )
+    r = trained_encoders["gru"]
     assert r.rmse_rnn * 1.3 < r.rmse_baseline, (r.rmse_rnn, r.rmse_baseline)
     from pyspark.sql import functions as F
 
