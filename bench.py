@@ -81,19 +81,31 @@ def main() -> None:
     # r02/r03 "compact line first" ordering scrolled it out and left
     # BENCH parsed=null); printing it first as well keeps it visible
     # to head-style captures and humans.
-    print(compact)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    full = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "load1": load1,
+            "ts": round(time.time(), 1),
+        }
     )
     print(compact)
+    print(full)
+    print(compact)
+    # Per-query history survives only here: the driver's BENCH capture
+    # keeps the last ~2000 chars (compact line only), so r01 is the
+    # only round with recorded per-query timings — which made the r4
+    # noise diagnosis needlessly hard.  Append-only; one line per run.
+    try:
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_HISTORY.jsonl")
+        with open(hist, "a") as fh:
+            fh.write(full + "\n")
+    except OSError:
+        pass  # a read-only checkout must not sink the bench
     spark.stop()
 
 
