@@ -139,3 +139,61 @@ def test_bpe_vocab_conserves_symbol_mass(spark, sf_dir):
     assert len(rows) == 20
     assert all(r["total_count"] > 0 for r in rows)
     assert any(len(r["sym"]) > 1 for r in rows), "no merged symbol surfaced"
+
+
+def test_bpe_merge_fold_matches_reference_on_adversarial_inputs(spark):
+    # the greedy left-to-right merge fold (the heart of
+    # q_bpe_train/q_bpe_vocab) against a Python reference on
+    # adversarial symbol sequences: consecutive-run chains (where
+    # string replace-to-fixpoint provably DIVERGES from greedy),
+    # merged-token lookalikes ("ab a b"), pairs with x == y, and
+    # seeded random sequences — all in one Spark job
+    import itertools
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def greedy(symstr, x, y):
+        s, out, i = symstr.split(" "), [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return " ".join(out)
+
+    rng = random.Random(7)
+    cases = [
+        "a a a a a a", "a a a", "a a a a", "b a b a b", "a b a b",
+        "ab a b", "a ab b", "b ab a b ab", "x x y y x y", "a", "q w",
+    ] + [
+        " ".join(rng.choice(["a", "b", "ab", "ba", "c"])
+                 for _ in range(rng.randint(1, 12)))
+        for _ in range(60)
+    ]
+    pairs = [("a", "a"), ("a", "b"), ("b", "a"), ("ab", "a"), ("a", "ab")]
+    rows = [(c, x, y) for c, (x, y) in itertools.product(cases, pairs)]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["symstr", "mx", "my"])
+    ).withColumn("mxy", F.concat("mx", "my"))
+    got = (
+        sdf.selectExpr("symstr", "mx", "my", "split(symstr, ' ') AS syms",
+                       "mxy")
+        .selectExpr(
+            "symstr", "mx", "my",
+            "aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1), "
+            "(acc, s) -> CASE WHEN (acc = mx OR endswith(acc, concat(' ', mx)))"
+            " AND s = my "
+            "THEN concat(substr(acc, 1, length(acc) - length(mx)), mxy) "
+            "ELSE concat(acc, ' ', s) END) AS out",
+        )
+        .collect()
+    )
+    assert len(got) == len(rows)
+    for r in got:
+        assert r["out"] == greedy(r["symstr"], r["mx"], r["my"]), (
+            r["symstr"], r["mx"], r["my"], r["out"],
+        )
