@@ -333,6 +333,8 @@ HEADLINE = {
     "q_gumbel_topk_resample",
     "q_bpe_train",
     "q_bpe_vocab",
+    "q_scan_text",
+    "q_scan_binary",
     "q_dp_count",
     "q_ri_audit",
     "q_table_checksum",

@@ -3147,3 +3147,86 @@ def q_union_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2, allowMissingColumns=True).select(
         "n_nationkey", "n_name", "n_regionkey", "src"
     )
+
+
+# --------------------------------------------------------------------------
+# §2.1 S-family completion: raw text-line source round-trip.  The
+# line-oriented `text` source is how a corpus pipeline ingests raw
+# crawl shards before any parsing; this query writes `documents.text`
+# through the text sink and reads it back with spark.read.text,
+# checking the round trip with an ORDER-INSENSITIVE integer checksum
+# (sum of per-line portable polynomial hashes — line order is not a
+# contract of a distributed text scan).  Scan-side hash, one 1-row
+# aggregate; the write is the usual executor-parallel sink.
+# --------------------------------------------------------------------------
+@q(
+    "q_scan_text",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM({_ph_duck('text')}) AS BIGINT) AS hash_sum
+    FROM documents
+    """,
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable import portable_hash_sql_spark
+    from ..scratch import scratch_dir
+
+    path = scratch_dir("text_roundtrip_")
+    table(spark, sf_dir, "documents").select("text").write.mode(
+        "overwrite"
+    ).format("text").save(path)
+    lines = spark.read.text(path)  # one column: value
+    return lines.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.sum(F.expr(portable_hash_sql_spark("value")))
+        .cast("bigint")
+        .alias("hash_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.1 S-family completion: binaryFile source — THE ingestion path for
+# multimodal corpora (images/audio/docs land as raw objects; Spark's
+# built-in `binaryFile` source surfaces path/length/content and feeds
+# the mapInPandas decode kernels in plans/multimodal_q.py).  Round
+# trip: every 10th document's text is materialized as a standalone
+# .txt object (executor-side foreachPartition write — at cluster
+# scale the same code writes to shared object storage), read back via
+# binaryFile, and verified per-object by byte length + md5.
+# --------------------------------------------------------------------------
+@q(
+    "q_scan_binary",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..scratch import scratch_dir
+
+    path = scratch_dir("binary_ingest_")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+
+    def write_objects(rows) -> None:
+        for r in rows:
+            with open(os.path.join(path, f"{r['doc_id']}.txt"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+
+    docs.foreachPartition(write_objects)
+    bf = spark.read.format("binaryFile").load(path)
+    return bf.select(
+        F.expr(r"cast(regexp_extract(path, '([0-9]+)\\.txt$', 1) as bigint)")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
