@@ -2679,8 +2679,12 @@ def _bpe_oracle() -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
-@q("q_bpe_train", _bpe_oracle())
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_merge_rounds(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer plumbing: checkpoint the word-frequency
+    table (the only corpus-sized step), run _BPE_ROUNDS greedy merge
+    rounds, and return (final vocab DataFrame, per-round top-pair
+    DataFrames).  q_bpe_train emits the merge list; q_bpe_vocab the
+    final segmentation's symbol frequencies."""
     from ..scratch import scratch_dir
 
     d = table(spark, sf_dir, "documents")
@@ -2710,12 +2714,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE concat(acc, ' ', s) END)"
     )
     tops = []
-    for r in range(1, _BPE_ROUNDS + 1):
-        syms = vocab.selectExpr("split(symstr, ' ') AS syms", "cnt").filter(
-            F.expr("size(syms) >= 2")
-        )
+    for _ in range(_BPE_ROUNDS):
+        syms = vocab.selectExpr("split(symstr, ' ') AS syms", "cnt")
         top = (
-            syms.select(
+            syms.filter(F.expr("size(syms) >= 2"))
+            .select(
                 F.explode(
                     F.expr(
                         "transform(sequence(1, size(syms) - 1), "
@@ -2730,29 +2733,34 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("pair_count"), F.asc("pair"))
             .limit(1)
         )
-        tops.append(
-            top.select(
-                F.lit(r).cast("bigint").alias("merge_rank"),
-                F.expr("element_at(split(pair, ' '), 1)").alias("left_sym"),
-                F.expr("element_at(split(pair, ' '), 2)").alias("right_sym"),
-                F.expr("replace(pair, ' ', '')").alias("merged_sym"),
-                "pair_count",
-            )
+        tops.append(top)
+        mt = top.select(
+            F.expr("element_at(split(pair, ' '), 1)").alias("mx"),
+            F.expr("element_at(split(pair, ' '), 2)").alias("my"),
+            F.expr("replace(pair, ' ', '')").alias("mxy"),
         )
-        if r < _BPE_ROUNDS:
-            mt = top.select(
-                F.expr("element_at(split(pair, ' '), 1)").alias("mx"),
-                F.expr("element_at(split(pair, ' '), 2)").alias("my"),
-                F.expr("replace(pair, ' ', '')").alias("mxy"),
-            )
-            vocab = (
-                vocab.crossJoin(F.broadcast(mt))  # 1-row merge choice
-                .selectExpr("split(symstr, ' ') AS syms", "mx", "my", "mxy", "cnt")
-                .selectExpr(f"{merge_fold} AS symstr", "cnt")
-            )
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.unionAll(t)
+        vocab = (
+            vocab.crossJoin(F.broadcast(mt))  # 1-row merge choice
+            .selectExpr("split(symstr, ' ') AS syms", "mx", "my", "mxy", "cnt")
+            .selectExpr(f"{merge_fold} AS symstr", "cnt")
+        )
+    return vocab, tops
+
+
+
+@q("q_bpe_train", _bpe_oracle())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, tops = _bpe_merge_rounds(spark, sf_dir)
+    out = None
+    for r, top in enumerate(tops, start=1):
+        t = top.select(
+            F.lit(r).cast("bigint").alias("merge_rank"),
+            F.expr("element_at(split(pair, ' '), 1)").alias("left_sym"),
+            F.expr("element_at(split(pair, ' '), 2)").alias("right_sym"),
+            F.expr("replace(pair, ' ', '')").alias("merged_sym"),
+            "pair_count",
+        )
+        out = t if out is None else out.unionAll(t)
     return out
 
 
@@ -2797,63 +2805,7 @@ def _bpe_vocab_oracle() -> str:
 
 @q("q_bpe_vocab", _bpe_vocab_oracle())
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..scratch import scratch_dir
-
-    d = table(spark, sf_dir, "documents")
-    vocab0 = (
-        _with_words(d)
-        .select(F.explode("words").alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.expr(
-                "concat_ws(' ', transform(sequence(1, length(word)), "
-                "i -> substr(word, i, 1)))"
-            ).alias("symstr"),
-            "cnt",
-        )
-    )
-    ckpt = scratch_dir("bpe_vocab_")
-    vocab0.write.mode("overwrite").parquet(ckpt)
-    vocab = spark.read.parquet(ckpt)
-
-    merge_fold = (
-        "aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1), "
-        "(acc, s) -> CASE WHEN (acc = mx OR endswith(acc, concat(' ', mx))) "
-        "AND s = my "
-        "THEN concat(substr(acc, 1, length(acc) - length(mx)), mxy) "
-        "ELSE concat(acc, ' ', s) END)"
-    )
-    for _ in range(_BPE_ROUNDS):
-        syms = vocab.selectExpr("split(symstr, ' ') AS syms", "cnt")
-        top = (
-            syms.filter(F.expr("size(syms) >= 2"))
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1), "
-                        "i -> concat(element_at(syms, i), ' ', "
-                        "element_at(syms, i + 1)))"
-                    )
-                ).alias("pair"),
-                "cnt",
-            )
-            .groupBy("pair")
-            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
-            .orderBy(F.desc("pair_count"), F.asc("pair"))
-            .limit(1)
-        )
-        mt = top.select(
-            F.expr("element_at(split(pair, ' '), 1)").alias("mx"),
-            F.expr("element_at(split(pair, ' '), 2)").alias("my"),
-            F.expr("replace(pair, ' ', '')").alias("mxy"),
-        )
-        vocab = (
-            vocab.crossJoin(F.broadcast(mt))  # 1-row merge choice
-            .selectExpr("split(symstr, ' ') AS syms", "mx", "my", "mxy", "cnt")
-            .selectExpr(f"{merge_fold} AS symstr", "cnt")
-        )
+    vocab, _ = _bpe_merge_rounds(spark, sf_dir)
     return (
         vocab.select(F.explode(F.expr("split(symstr, ' ')")).alias("sym"), "cnt")
         .groupBy("sym")
@@ -2864,3 +2816,4 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_count"), F.asc("sym"))
         .limit(20)
     )
+
