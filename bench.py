@@ -334,6 +334,7 @@ HEADLINE = {
     "q_bpe_train",
     "q_bpe_vocab",
     "q_scan_text",
+    "q_gif_decode",
     "q_scan_binary",
     "q_dp_count",
     "q_ri_audit",

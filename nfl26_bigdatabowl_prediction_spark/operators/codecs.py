@@ -280,3 +280,162 @@ def decode_png(b: bytes) -> tuple[int, int, list[list[int]]]:
         rows.append(row)
         prev = row
     return width, height, rows
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a / 8-bit grayscale palette / LZW)
+# ---------------------------------------------------------------------------
+
+
+def encode_gif(width: int, height: int, gray_rows: list[list[int]]) -> bytes:
+    """GIF87a bytes for an 8-bit grayscale raster: 256-entry grayscale
+    global color table, single non-interlaced image, real GIF-LZW
+    compression (variable 9→12-bit codes, LSB-first packing, dict
+    reset at 4096)."""
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0x00, 0x00])  # GCT present, 8-bit, 256 entries
+    for i in range(256):  # grayscale palette
+        out += bytes((i, i, i))
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += bytes([8])  # LZW minimum code size
+
+    pixels = [p for row in gray_rows for p in row]
+    clear, end = 256, 257
+    codes: list[int] = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    codes.append(clear)
+    buf = b""
+    for p in pixels:
+        cand = buf + bytes([p])
+        if cand in table:
+            buf = cand
+        else:
+            codes.append(table[buf])
+            table[cand] = next_code
+            next_code += 1
+            if next_code > 4096:
+                codes.append(clear)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+            buf = bytes([p])
+    if buf:
+        codes.append(table[buf])
+    codes.append(end)
+
+    # pack codes LSB-first with the same width schedule the decoder
+    # uses: width grows when the NEXT assignable code would not fit
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+    width_bits = 9
+    assigned = 258
+    for c in codes:
+        acc |= c << nbits
+        nbits += width_bits
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            width_bits = 9
+            assigned = 258
+        elif c != end:
+            assigned += 1
+            if assigned > (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+    if nbits:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def decode_gif(b: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode a GIF87a/89a with a global color table and one
+    non-interlaced image; returns (width, height, gray rows) where
+    gray = the palette red channel (grayscale palettes are what
+    encode_gif writes).  Real GIF-LZW: variable code widths,
+    LSB-first, clear/end codes, the KwKwK case."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", b, 6)
+    packed = b[10]
+    pos = 13
+    palette: list[int] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = [b[pos + 3 * i] for i in range(n)]
+        pos += 3 * n
+    # skip 89a extension blocks until the image descriptor
+    while b[pos] == 0x21:
+        pos += 2
+        while b[pos]:
+            pos += 1 + b[pos]
+        pos += 1
+    if b[pos] != 0x2C:
+        raise NotImplementedError("expected a single image descriptor")
+    _, _, width, height = struct.unpack_from("<HHHH", b, pos + 1)
+    ipacked = b[pos + 9]
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    if ipacked & 0x80:
+        raise NotImplementedError("local color table not supported")
+    pos += 10
+    mcs = b[pos]
+    pos += 1
+    data = bytearray()
+    while b[pos]:
+        ln = b[pos]
+        data += b[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    width_bits = mcs + 1
+    acc = 0
+    nbits = 0
+    di = 0
+    prev: bytes | None = None
+    pixels: list[int] = []
+    while True:
+        while nbits < width_bits:
+            if di >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[di] << nbits
+            di += 1
+            nbits += 8
+        code = acc & ((1 << width_bits) - 1)
+        acc >>= width_bits
+        nbits -= width_bits
+        if code == clear:
+            table = table[: (1 << mcs) + 2]
+            width_bits = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW code")
+        pixels.extend(entry)
+        prev = entry
+        if len(table) >= (1 << width_bits) and width_bits < 12:
+            width_bits += 1
+    if len(pixels) < width * height:
+        raise ValueError("pixel underrun")
+    lut = palette or list(range(256))
+    rows = [
+        [lut[pixels[y * width + x]] for x in range(width)] for y in range(height)
+    ]
+    return width, height, rows

@@ -290,3 +290,48 @@ def png_features(df_payload: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df_payload.mapInPandas(gen, PNG_FEATURES_SCHEMA)
+
+
+def synth_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc_id → real GIF87a bytes (grayscale palette, true GIF-LZW):
+    w = 12 + id%13, h = 4 + id%9, gray(x, y) = (7x + 11y + id) % 256."""
+    from .codecs import encode_gif
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for doc_id in b[id_col]:
+                d = int(doc_id)
+                w, h = 12 + d % 13, 4 + d % 9
+                rows = [
+                    [(7 * x + 11 * y + d) % 256 for x in range(w)]
+                    for y in range(h)
+                ]
+                payloads.append(encode_gif(w, h, rows))
+            yield pd.DataFrame({id_col: b[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} bigint, payload binary")
+
+
+GIF_FEATURES_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, px_sum bigint, px_min bigint"
+)
+
+
+def gif_features(df_payload: DataFrame) -> DataFrame:
+    """LZW-decode GIF payloads and emit integer raster features."""
+    from .codecs import decode_gif
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "px_sum", "px_min")}
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                w, h, rows = decode_gif(bytes(p))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(sum(v for row in rows for v in row))
+                out["px_min"].append(min(v for row in rows for v in row))
+            yield pd.DataFrame(out)
+
+    return df_payload.mapInPandas(gen, GIF_FEATURES_SCHEMA)

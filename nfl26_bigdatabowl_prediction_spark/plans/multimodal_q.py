@@ -214,3 +214,36 @@ ORACLES["q_png_decode"] = """
     FROM px
     GROUP BY doc_id
 """
+
+
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real GIF87a payloads (grayscale palette, genuine
+    variable-width GIF-LZW with dict resets) → header parse + LZW
+    decode → integer raster features.  Same scan-side zero-shuffle
+    kernel pair as the PNG/BMP/WAV codecs; the decoder is verified
+    against tool-written files (tests/test_codecs.py's CPython-icon
+    conformance vector)."""
+    from ..operators.multimodal import gif_features, synth_gif_payloads
+
+    d = table(spark, sf_dir, "documents")
+    return gif_features(synth_gif_payloads(d))
+
+
+QUERIES["q_gif_decode"] = q_gif_decode
+ORACLES["q_gif_decode"] = """
+    WITH dims AS (
+        SELECT doc_id, 12 + doc_id % 13 AS w, 4 + doc_id % 9 AS h
+        FROM documents
+    ), xs AS (
+        SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), px AS (
+        SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM((7 * x + 11 * y + doc_id) % 256) AS BIGINT) AS px_sum,
+           CAST(MIN((7 * x + 11 * y + doc_id) % 256) AS BIGINT) AS px_min
+    FROM px
+    GROUP BY doc_id
+"""

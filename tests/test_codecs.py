@@ -223,3 +223,74 @@ def test_bmp_round_trip_property(w, h, rnd):
 def test_png_round_trip_property(w, h, rnd):
     rows = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
     assert decode_png(encode_png(w, h, rows)) == (w, h, rows)
+
+
+def test_gif_round_trip_exercises_lzw_width_growth_and_reset():
+    # 120×90 random raster forces 9→10→11→12-bit code growth AND a
+    # dictionary reset at 4096; constant raster forces KwKwK chains
+    import random
+
+    from nfl26_bigdatabowl_prediction_spark.operators.codecs import (
+        decode_gif, encode_gif,
+    )
+
+    rng = random.Random(3)
+    for w, h, rows in [
+        (1, 1, [[7]]),
+        (120, 90, [[rng.randrange(256) for _ in range(120)] for _ in range(90)]),
+        (50, 40, [[9] * 50 for _ in range(40)]),
+        (64, 64, [[(x * y) % 256 for x in range(64)] for y in range(64)]),
+    ]:
+        b = encode_gif(w, h, rows)
+        assert b[:6] == b"GIF87a" and b[-1] == 0x3B
+        assert decode_gif(b) == (w, h, rows)
+
+
+def test_gif_decoder_reads_a_real_tool_written_file():
+    # External conformance vector: plusnode.gif from CPython's
+    # idlelib (PSF-licensed stdlib asset), written by a standard GIF
+    # encoder — 89a header, extension block, real LZW stream.  Proves
+    # the variable-width schedule matches tool-written files, not just
+    # our own encoder.
+    import base64
+
+    from nfl26_bigdatabowl_prediction_spark.operators.codecs import decode_gif
+
+    vec = base64.b64decode(
+        "R0lGODlhCwALAPEDAP///39/fwAAAMDAwCH5BAUAAAMALAAAAAALAAsAAAIfnI8W"
+        "y6wAIwgPikhHiBfmLYThVAEdqXFYKX1Nk8RDAQA7"
+    )
+    w, h, rows = decode_gif(vec)
+    assert (w, h) == (11, 11)
+    assert sum(v for r in rows for v in r) == 21944
+
+
+def test_gif_rejects_unsupported():
+    import pytest
+
+    from nfl26_bigdatabowl_prediction_spark.operators.codecs import (
+        decode_gif, encode_gif,
+    )
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    b = bytearray(encode_gif(3, 3, [[0, 1, 2]] * 3))
+    # image descriptor sits at 6 (header) + 7 (LSD) + 768 (palette);
+    # flip its interlace bit (searching for 0x2C would false-match
+    # the gray-44 palette entry)
+    idx = 6 + 7 + 768
+    assert b[idx] == 0x2C
+    b[idx + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(b))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.randoms(use_true_random=False))
+def test_gif_round_trip_property(w, h, rnd):
+    from nfl26_bigdatabowl_prediction_spark.operators.codecs import (
+        decode_gif, encode_gif,
+    )
+
+    rows = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+    assert decode_gif(encode_gif(w, h, rows)) == (w, h, rows)
