@@ -335,3 +335,39 @@ def gif_features(df_payload: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df_payload.mapInPandas(gen, GIF_FEATURES_SCHEMA)
+
+
+WAV_WALSH_SCHEMA = "doc_id bigint, k bigint, corr bigint, corr_abs bigint"
+
+
+def wav_walsh_bins(df_payload: DataFrame, ks: tuple[int, ...] = (1, 2, 4, 8)) -> DataFrame:
+    """Square-wave (Walsh/Rademacher) spectral bins over decoded PCM:
+    for k cycles across the clip, s_k(i) = +1 where ((2·k·i) // n) is
+    even, −1 otherwise, and the bin statistic is Σ vᵢ·s_k(i) — the
+    integer-exact sequency-domain analog of a DFT bin (used by cheap
+    audio fingerprinters precisely because it needs no trig).  Stays
+    int64 end-to-end, so the SQL oracle reproduces it bitwise —
+    a true-DFT bin would hit the cross-engine libm cos/sin ulp gap.
+    One mapInPandas pass over the payloads: scan-side, zero shuffle."""
+    import numpy as np
+
+    from .codecs import decode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "k": [], "corr": [], "corr_abs": []}
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                _, _, samples = decode_wav(bytes(p))
+                a = np.asarray(samples, dtype=np.int64)
+                n = len(a)
+                i = np.arange(n, dtype=np.int64)
+                for k in ks:
+                    s = 1 - 2 * (((2 * k * i) // n) % 2)
+                    c = int((a * s).sum()) if n else 0
+                    out["doc_id"].append(int(doc_id))
+                    out["k"].append(int(k))
+                    out["corr"].append(c)
+                    out["corr_abs"].append(abs(c))
+            yield pd.DataFrame(out)
+
+    return df_payload.mapInPandas(gen, WAV_WALSH_SCHEMA)

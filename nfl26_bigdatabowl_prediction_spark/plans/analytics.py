@@ -1988,3 +1988,120 @@ def q_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise_u.alias("noise_u"),
         F.round(F.col("n_true") + noise_u / 1000000.0, 6).alias("n_dp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric companion
+# of q_welch_ttest for the same user_id-parity experiment split:
+# compares the two variants' full value DISTRIBUTIONS, robust to the
+# heavy-tailed revenue shapes where the t-test's mean is meaningless.
+# Tie-aware: ranks collapse to the distinct-cents domain first (one
+# fact-scale shuffle with map-side combine), average ranks come from
+# a prefix-sum window over that bounded domain (kept ×2 so every
+# rank is an exact integer: avg_rank·2 = 2·cum_before + cnt + 1),
+# and the z-statistic applies the standard tie correction
+# Σ(t³−t)/(n(n−1)).  Everything driver-visible is an integer or one
+# deterministic double expression rounded once — bitwise across
+# engines.  Scale: the only fact-sized step is the GROUP BY v; the
+# window runs on the value domain (cents-bounded), not the facts.
+# --------------------------------------------------------------------------
+@q(
+    "q_mannwhitney",
+    """
+    WITH x AS (
+        SELECT user_id % 2 AS variant,
+               CAST(round(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ), g AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cnt1
+        FROM x GROUP BY v
+    ), r AS (
+        SELECT v, cnt, cnt1,
+               CAST(COALESCE(SUM(cnt) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM g
+    ), s AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(cnt1) AS BIGINT) AS n1,
+               CAST(SUM(cnt1 * (2 * cum_before + cnt + 1)) AS BIGINT) AS r1x2,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        FROM r
+    ), u AS (
+        SELECT n - n1 AS n0, n1, ties,
+               r1x2 - n1 * (n1 + 1) AS u1x2, n
+        FROM s
+    )
+    SELECT n0, n1,
+           CAST(u1x2 AS BIGINT) AS u1_x2,
+           CAST(2 * n0 * n1 - u1x2 AS BIGINT) AS u2_x2,
+           round((u1x2 / 2.0 - 1.0 * n0 * n1 / 2)
+                 / sqrt(1.0 * n0 * n1 / 12
+                        * ((n + 1) - 1.0 * ties / (n * (n - 1)))), 6) AS z_stat
+    FROM u
+    """,
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    g = ev.select(
+        (F.col("user_id") % 2).alias("variant"), vc.alias("v")
+    ).groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt1"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    r = g.select(
+        "cnt",
+        "cnt1",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint").alias(
+            "cum_before"
+        ),
+    )
+    s = r.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("cnt1").cast("bigint").alias("n1"),
+        F.sum(
+            F.col("cnt1") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    u = s.select(
+        (F.col("n") - F.col("n1")).alias("n0"),
+        "n1",
+        "ties",
+        (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1x2"),
+        "n",
+    )
+    n0, n1, n, ties, u1x2 = (
+        F.col("n0"),
+        F.col("n1"),
+        F.col("n"),
+        F.col("ties"),
+        F.col("u1x2"),
+    )
+    return u.select(
+        n0,
+        n1,
+        u1x2.cast("bigint").alias("u1_x2"),
+        (2 * n0 * n1 - u1x2).cast("bigint").alias("u2_x2"),
+        F.round(
+            (u1x2 / F.lit(2.0) - F.lit(1.0) * n0 * n1 / 2)
+            / F.sqrt(
+                F.lit(1.0) * n0 * n1 / 12
+                * ((n + 1) - F.lit(1.0) * ties / (n * (n - 1)))
+            ),
+            6,
+        ).alias("z_stat"),
+    )

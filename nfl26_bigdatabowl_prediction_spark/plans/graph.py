@@ -499,3 +499,154 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("antecedent").asc(), F.col("consequent").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation (community detection) — 3 synchronized rounds of
+# the classic LPA update (Raghavan et al. 2007): every node adopts
+# the most frequent label among its neighbors, ties broken by the
+# smallest label (the deterministic variant — vanilla LPA's random
+# tie-break can't be oracle-checked).  Distinct from the components
+# pointer-jumping in operators/components.py: min-convergence finds
+# connectivity, frequency-convergence finds dense communities.
+# Scale: each round is one join of the cached pre-partitioned
+# adjacency against the node-sized label table (broadcast) + one
+# (part, label) aggregation + one per-node arg-max window — all keyed
+# by part, so the repartition("part") adjacency satisfies every
+# round's distribution with zero further fact exchanges, the same
+# zero-exchange loop as q_pagerank.  localCheckpoint truncates the
+# per-round lineage.
+# --------------------------------------------------------------------------
+def _lp_oracle() -> str:
+    head = f"""
+    WITH e AS ({_EDGE_SQL}),
+    adj AS (SELECT src AS part, dst AS nbr FROM e
+            UNION ALL SELECT dst, src FROM e),
+    lab0 AS (SELECT DISTINCT part, part AS label FROM adj)
+    """
+    body = ""
+    for i in range(1, 4):
+        body += f""",
+    cnt{i} AS (
+        SELECT adj.part, l.label, COUNT(*) AS cnt
+        FROM adj JOIN lab{i - 1} l ON l.part = adj.nbr
+        GROUP BY adj.part, l.label
+    ),
+    lab{i} AS (
+        SELECT part, label FROM (
+            SELECT part, label,
+                   ROW_NUMBER() OVER (PARTITION BY part
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM cnt{i}
+        ) WHERE rn = 1
+    )"""
+    tail = """
+    SELECT l.label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(l.part) AS min_part, MAX(l.part) AS max_part
+    FROM lab3 l
+    GROUP BY l.label
+    """
+    return head + body + tail
+
+
+@q("q_label_propagation", _lp_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = _edges(spark, sf_dir)
+    adj = e.select(F.col("src").alias("part"), F.col("dst").alias("nbr")).unionAll(
+        e.select(F.col("dst").alias("part"), F.col("src").alias("nbr"))
+    )
+    adj = adj.repartition("part").cache()
+    lab = adj.select("part").distinct().select("part", F.col("part").alias("label"))
+    rn = F.row_number().over(
+        W.partitionBy("part").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    )
+    for _ in range(3):
+        nbr_lab = lab.select(F.col("part").alias("nbr"), "label")
+        lab = (
+            adj.join(F.broadcast(nbr_lab), "nbr")
+            .groupBy("part", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("part", "label")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        lab.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("part").alias("min_part"),
+            F.max("part").alias("max_part"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling — 3 unrolled rounds of the standard core
+# decomposition step (drop every node with degree < K, recompute
+# degrees on the induced subgraph, repeat; Batagelj-Zaversnik's bulk
+# variant).  The densest-region extractor that precedes community
+# mining and fraud-ring hunts; on most graphs a handful of bulk
+# rounds reaches the fixpoint.  Scale: each round is one edge-table
+# semi-join against the surviving node set (node-sized, broadcast)
+# plus one degree re-aggregation — the edge table never re-scans the
+# facts after the first materialization, and localCheckpoint caps the
+# lineage exactly like q_pagerank's loop.
+# --------------------------------------------------------------------------
+_KCORE_K = 3
+
+
+def _kcore_oracle() -> str:
+    head = f"""
+    WITH e0 AS ({_EDGE_SQL}),
+    adj0 AS (SELECT src AS part, dst AS nbr FROM e0
+             UNION ALL SELECT dst, src FROM e0)
+    """
+    body = ""
+    for i in range(1, 4):
+        body += f""",
+    keep{i} AS (
+        SELECT part FROM adj{i - 1}
+        GROUP BY part HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    adj{i} AS (
+        SELECT a.part, a.nbr FROM adj{i - 1} a
+        JOIN keep{i} s ON s.part = a.part
+        JOIN keep{i} t ON t.part = a.nbr
+    )"""
+    tail = f"""
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM adj3 GROUP BY part
+    """
+    return head + body + tail
+
+
+@q("q_kcore", _kcore_oracle())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    adj = e.select(F.col("src").alias("part"), F.col("dst").alias("nbr")).unionAll(
+        e.select(F.col("dst").alias("part"), F.col("src").alias("nbr"))
+    )
+    # one partitioning serves every round's degree groupBy and the
+    # part-side semi-join
+    adj = adj.repartition("part").localCheckpoint(eager=False)
+    for _ in range(3):
+        keep = (
+            adj.groupBy("part")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("part")
+        )
+        adj = (
+            adj.join(F.broadcast(keep), "part")
+            .join(
+                F.broadcast(keep.select(F.col("part").alias("nbr"))), "nbr"
+            )
+            .select("part", "nbr")
+            .localCheckpoint(eager=False)
+        )
+    return adj.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

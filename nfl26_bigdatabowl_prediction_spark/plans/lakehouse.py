@@ -345,3 +345,106 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.expr("bytes_before div 65536").alias("target_group"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view refresh — the lakehouse pattern that
+# makes 100 TB aggregates maintainable: the stored MV (partial
+# aggregate per key) absorbs a delta batch WITHOUT rescanning the
+# base facts.  Here the MV is monthly revenue by order priority; the
+# base partition (o_orderdate < 2001-01-01) is aggregated once and
+# PERSISTED to scratch parquet — standing in for the stored MV — and
+# the refresh plan reads {MV parquet} ∪ {delta scan with the date
+# filter pushed to the parquet footer}, combines the two partial
+# aggregates with a key-coalesced full-outer join, and flags which MV
+# rows the delta touched.  Fact-side cost of a refresh is O(delta),
+# never O(base) — the sum/count partials compose associatively
+# (AVG-style MVs must store (sum, n), exactly as done here).
+# --------------------------------------------------------------------------
+_MV_CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+_MV_KEY_DUCK = "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')"
+
+
+@q(
+    "q_mv_incremental",
+    f"""
+    WITH base AS (
+        SELECT {_MV_KEY_DUCK} AS month_start, o_orderpriority,
+               CAST(SUM({_MV_CENTS}) AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders WHERE o_orderdate < DATE '2001-01-01'
+        GROUP BY 1, 2
+    ), delta AS (
+        SELECT {_MV_KEY_DUCK} AS month_start, o_orderpriority,
+               CAST(SUM({_MV_CENTS}) AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders WHERE o_orderdate >= DATE '2001-01-01'
+        GROUP BY 1, 2
+    )
+    SELECT COALESCE(b.month_start, d.month_start) AS month_start,
+           COALESCE(b.o_orderpriority, d.o_orderpriority) AS o_orderpriority,
+           COALESCE(b.total_cents, 0) + COALESCE(d.total_cents, 0)
+               AS total_cents,
+           COALESCE(b.n_orders, 0) + COALESCE(d.n_orders, 0) AS n_orders,
+           CAST(CASE WHEN d.n_orders IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS was_updated
+    FROM base b
+    FULL JOIN delta d
+      ON b.month_start = d.month_start
+     AND b.o_orderpriority = d.o_orderpriority
+    """,
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    cutoff = "2001-01-01"
+    key = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+    def agg(df):
+        return (
+            df.select(
+                key.alias("month_start"), "o_orderpriority", cents.alias("cents")
+            )
+            .groupBy("month_start", "o_orderpriority")
+            .agg(
+                F.sum("cents").cast("bigint").alias("total_cents"),
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            )
+        )
+
+    o = table(spark, sf_dir, "orders")
+    # "stored" MV: aggregate the base partition once, persist, read back
+    # — the refresh below never touches base facts again.
+    mv_path = scratch_dir("mv_base_")
+    agg(o.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))).write.mode(
+        "overwrite"
+    ).parquet(mv_path)
+    mv = spark.read.parquet(mv_path).alias("b")
+    delta = agg(
+        o.filter(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp"))
+    ).alias("d")
+    cond = (F.col("b.month_start") == F.col("d.month_start")) & (
+        F.col("b.o_orderpriority") == F.col("d.o_orderpriority")
+    )
+    return mv.join(delta, cond, "full_outer").select(
+        F.coalesce("b.month_start", "d.month_start").alias("month_start"),
+        F.coalesce("b.o_orderpriority", "d.o_orderpriority").alias(
+            "o_orderpriority"
+        ),
+        (
+            F.coalesce("b.total_cents", F.lit(0))
+            + F.coalesce("d.total_cents", F.lit(0))
+        )
+        .cast("bigint")
+        .alias("total_cents"),
+        (
+            F.coalesce("b.n_orders", F.lit(0)) + F.coalesce("d.n_orders", F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_orders"),
+        F.when(F.col("d.n_orders").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("was_updated"),
+    )

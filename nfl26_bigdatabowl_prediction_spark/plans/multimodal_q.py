@@ -247,3 +247,38 @@ ORACLES["q_gif_decode"] = """
     FROM px
     GROUP BY doc_id
 """
+
+
+def q_spectral_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real WAV payloads → Walsh/square-wave spectral bins
+    (k = 1, 2, 4, 8 cycles per clip).  The integer-exact stand-in for
+    per-bin DFT energy — see operators/multimodal.wav_walsh_bins for
+    why square waves instead of cos/sin (cross-engine libm ulp).
+    Chained mapInPandas kernels, scan-side, zero shuffles — the same
+    embarrassingly-parallel shape as q_audio_features."""
+    from ..operators.multimodal import synth_wav_payloads, wav_walsh_bins
+
+    d = table(spark, sf_dir, "documents")
+    return wav_walsh_bins(synth_wav_payloads(d))
+
+
+QUERIES["q_spectral_bins"] = q_spectral_bins
+ORACLES["q_spectral_bins"] = """
+    WITH samp AS (
+        SELECT doc_id, 200 + doc_id % 100 AS n,
+               unnest(range(0, 200 + doc_id % 100)) AS i
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n, i,
+               ((doc_id * 7349 + i * 40503) % 65536) - 32768 AS v
+        FROM samp
+    ), bins AS (
+        SELECT unnest([1, 2, 4, 8]) AS k
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS k,
+           CAST(SUM(v * (1 - 2 * (((2 * k * i) // n) % 2))) AS BIGINT) AS corr,
+           CAST(abs(SUM(v * (1 - 2 * (((2 * k * i) // n) % 2)))) AS BIGINT)
+               AS corr_abs
+    FROM s CROSS JOIN bins
+    GROUP BY doc_id, k
+"""

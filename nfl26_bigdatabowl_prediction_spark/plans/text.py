@@ -2630,14 +2630,35 @@ def q_gumbel_topk_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 4
 
 
-def _bpe_oracle() -> str:
+# The greedy merge fold, shared by every consumer of the trained
+# merges (train / vocab / encode oracles).  acc = first symbol; merge
+# fires when the accumulator's trailing token equals the pair's left
+# symbol and the incoming symbol equals its right.
+_BPE_FOLD_DUCK = """list_reduce(string_split(v.symstr, ' '),
+                 (acc, s) -> CASE
+                   WHEN (acc = split_part(p.pair, ' ', 1)
+                         OR ends_with(acc, ' ' || split_part(p.pair, ' ', 1)))
+                        AND s = split_part(p.pair, ' ', 2)
+                   THEN substr(acc, 1, length(acc)
+                               - length(split_part(p.pair, ' ', 1)))
+                        || replace(p.pair, ' ', '')
+                   ELSE acc || ' ' || s END)"""
+
+
+def _bpe_cte_chain(carry_word: bool = False) -> list[str]:
+    """The shared merge-round CTE chain (v0, p1, v1, … p{R}).  With
+    ``carry_word`` each v{r} keeps the surface word as a key column —
+    byte-identical to the original chain otherwise, so the train and
+    vocab oracle strings are unchanged."""
     sym0 = (
         "array_to_string(list_transform(range(1, length(word) + 1), "
         "i -> substring(word, i, 1)), ' ')"
     )
+    w0 = "word, " if carry_word else ""
+    wv = "v.word, " if carry_word else ""
     ctes = [
         f"""v0 AS MATERIALIZED (
-        SELECT {sym0} AS symstr, CAST(COUNT(*) AS BIGINT) AS cnt
+        SELECT {w0}{sym0} AS symstr, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM (SELECT unnest({_WORDS_DUCK}) AS word FROM documents)
         WHERE word <> '' GROUP BY word
     )"""
@@ -2655,18 +2676,15 @@ def _bpe_oracle() -> str:
     )""")
         if r < _BPE_ROUNDS:
             ctes.append(f"""v{r} AS MATERIALIZED (
-        SELECT list_reduce(string_split(v.symstr, ' '),
-                 (acc, s) -> CASE
-                   WHEN (acc = split_part(p.pair, ' ', 1)
-                         OR ends_with(acc, ' ' || split_part(p.pair, ' ', 1)))
-                        AND s = split_part(p.pair, ' ', 2)
-                   THEN substr(acc, 1, length(acc)
-                               - length(split_part(p.pair, ' ', 1)))
-                        || replace(p.pair, ' ', '')
-                   ELSE acc || ' ' || s END) AS symstr,
+        SELECT {wv}{_BPE_FOLD_DUCK} AS symstr,
                v.cnt
         FROM v{r - 1} v CROSS JOIN p{r} p
     )""")
+    return ctes
+
+
+def _bpe_oracle() -> str:
+    ctes = _bpe_cte_chain()
     selects = [
         f"""SELECT CAST({r} AS BIGINT) AS merge_rank,
            split_part(pair, ' ', 1) AS left_sym,
@@ -2679,15 +2697,18 @@ def _bpe_oracle() -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
-def _bpe_merge_rounds(spark: SparkSession, sf_dir: str):
+def _bpe_merge_rounds(spark: SparkSession, sf_dir: str, carry_word: bool = False):
     """Shared BPE trainer plumbing: checkpoint the word-frequency
     table (the only corpus-sized step), run _BPE_ROUNDS greedy merge
     rounds, and return (final vocab DataFrame, per-round top-pair
     DataFrames).  q_bpe_train emits the merge list; q_bpe_vocab the
-    final segmentation's symbol frequencies."""
+    final segmentation's symbol frequencies; q_bpe_encode passes
+    ``carry_word=True`` so the final segmentation stays keyed by the
+    surface word (the tokenizer's word→pieces cache)."""
     from ..scratch import scratch_dir
 
     d = table(spark, sf_dir, "documents")
+    keep = ("word",) if carry_word else ()
     vocab0 = (
         _with_words(d)
         .select(F.explode("words").alias("word"))
@@ -2695,6 +2716,7 @@ def _bpe_merge_rounds(spark: SparkSession, sf_dir: str):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
+            *keep,
             F.expr(
                 "concat_ws(' ', transform(sequence(1, length(word)), "
                 "i -> substr(word, i, 1)))"
@@ -2741,8 +2763,10 @@ def _bpe_merge_rounds(spark: SparkSession, sf_dir: str):
         )
         vocab = (
             vocab.crossJoin(F.broadcast(mt))  # 1-row merge choice
-            .selectExpr("split(symstr, ' ') AS syms", "mx", "my", "mxy", "cnt")
-            .selectExpr(f"{merge_fold} AS symstr", "cnt")
+            .selectExpr(
+                *keep, "split(symstr, ' ') AS syms", "mx", "my", "mxy", "cnt"
+            )
+            .selectExpr(*keep, f"{merge_fold} AS symstr", "cnt")
         )
     return vocab, tops
 
@@ -2817,3 +2841,345 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
 
+
+
+# --------------------------------------------------------------------------
+# BPE ENCODE — apply the trained tokenizer to the corpus (the third
+# leg of the tokenizer lifecycle: q_bpe_train learns the merges,
+# q_bpe_vocab ships the vocabulary, q_bpe_encode tokenizes).  The
+# trainer's final segmentation IS the word→pieces cache every real
+# tokenizer builds (HuggingFace's `cache`), so encoding a document is
+# one join from its exploded words to that dimension table — the
+# merge fold never runs per-document.  Output: per-doc token counts
+# and the fertility ratio (tokens per word, integer micro-units).
+# Scale: the word cache is Zipf-bounded; at 100 TB keep the top-K
+# words broadcast and route the long tail through the same fold
+# scan-side (same plan, two arms).  Reference parity: tokenization
+# feeds the reference's sequence models (nn/nn-mps.py feature prep);
+# this is the corpus-side equivalent.
+# --------------------------------------------------------------------------
+def _bpe_encode_oracle() -> str:
+    ctes = _bpe_cte_chain(carry_word=True)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    vfinal AS (
+        SELECT v.word, {_BPE_FOLD_DUCK} AS symstr
+        FROM v{_BPE_ROUNDS - 1} v CROSS JOIN p{_BPE_ROUNDS} p
+    ),
+    seg AS (
+        SELECT word,
+               CAST(len(string_split(symstr, ' ')) AS BIGINT) AS n_toks
+        FROM vfinal
+    ),
+    dw AS (
+        SELECT doc_id, unnest({_WORDS_DUCK}) AS word FROM documents
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(s.n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(s.n_toks) * 1000000 // COUNT(*) AS BIGINT)
+               AS tokens_per_word_micro
+    FROM dw JOIN seg s ON s.word = dw.word
+    WHERE dw.word <> ''
+    GROUP BY dw.doc_id"""
+    )
+
+
+@q("q_bpe_encode", _bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab, _ = _bpe_merge_rounds(spark, sf_dir, carry_word=True)
+    seg = vocab.select(
+        "word",
+        F.expr("cast(size(split(symstr, ' ')) as bigint)").alias("n_toks"),
+    )
+    d = table(spark, sf_dir, "documents")
+    dw = (
+        _with_words(d, "doc_id")
+        .select("doc_id", F.explode("words").alias("word"))
+        .filter(F.col("word") != "")
+    )
+    # word cache is dimension-sized (distinct words after Zipf cut) —
+    # broadcast here; above the threshold this becomes the shuffled
+    # arm described in the header comment.
+    return (
+        dw.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div n_words")
+            .cast("bigint")
+            .alias("tokens_per_word_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI co-occurrence — the association statistic over the skip-gram
+# pair space (Church & Hanks 1990; the SGNS objective's implicit
+# factorization target, Levy & Goldberg 2014).  Marginals and the
+# grand total all derive from the ONE aggregated pair table, so the
+# corpus is scanned once and shuffled once on (center, context); the
+# marginal re-aggregations move pair-vocabulary rows, not corpus
+# rows.  PMI is reported as the integer ratio N·c(x,y)·1e6 /
+# (c(x)·c(y)) — a monotone transform of exp(PMI) that stays
+# bitwise-exact across engines (ln differs in the last ulp between
+# Spark's Math.log and DuckDB's libm; see q_dp_count's LUT note).
+# Scale: pair table is Zipf-bounded; min-count 5 prunes the hapax
+# tail before the joins, and both marginal tables broadcast.
+# --------------------------------------------------------------------------
+@q(
+    "q_pmi_cooccur",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_WORDS_DUCK} AS words FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(words) AS w,
+               generate_subscripts(words, 1) AS i
+        FROM toks
+    ), pairs AS (
+        SELECT a.w AS center, b.w AS context,
+               CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.i - a.i IN (-2, -1, 1, 2)
+        GROUP BY a.w, b.w
+    ), cx AS (
+        SELECT center, CAST(SUM(c_xy) AS BIGINT) AS c_x
+        FROM pairs GROUP BY center
+    ), cy AS (
+        SELECT context, CAST(SUM(c_xy) AS BIGINT) AS c_y
+        FROM pairs GROUP BY context
+    ), nn AS (
+        SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM pairs
+    )
+    SELECT p.center, p.context, p.c_xy,
+           cx.c_x, cy.c_y,
+           CAST(nn.n * p.c_xy * 1000000 // (cx.c_x * cy.c_y) AS BIGINT)
+               AS pmi_ratio_micro
+    FROM pairs p
+    JOIN cx ON cx.center = p.center
+    JOIN cy ON cy.context = p.context
+    CROSS JOIN nn
+    WHERE p.c_xy >= 5
+    ORDER BY pmi_ratio_micro DESC, p.center ASC, p.context ASC
+    LIMIT 50
+    """,
+)
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = (
+        _with_words(d, "doc_id")
+        .select(F.explode(F.expr(_SKIPGRAM_SPARK)).alias("p"))
+        .select(F.col("p.w").alias("center"), F.col("p.c").alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    )
+    # pair table feeds three aggregates + the final join: materialize
+    # it once (pair-vocabulary-sized, Zipf-bounded — NOT corpus-sized)
+    pairs = pairs.cache()
+    cx = pairs.groupBy("center").agg(F.sum("c_xy").cast("bigint").alias("c_x"))
+    cy = pairs.groupBy("context").agg(F.sum("c_xy").cast("bigint").alias("c_y"))
+    nn = pairs.agg(F.sum("c_xy").cast("bigint").alias("n"))
+    return (
+        pairs.filter(F.col("c_xy") >= 5)
+        .join(F.broadcast(cx), "center")
+        .join(F.broadcast(cy), "context")
+        .crossJoin(F.broadcast(nn))  # 1-row grand total
+        .select(
+            "center",
+            "context",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("n * c_xy * 1000000 div (c_x * c_y)")
+            .cast("bigint")
+            .alias("pmi_ratio_micro"),
+        )
+        .orderBy(
+            F.col("pmi_ratio_micro").desc(),
+            F.col("center").asc(),
+            F.col("context").asc(),
+        )
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# RAKE-lite keyword extraction (Rose et al. 2010) — candidate phrases
+# are maximal stopword-free word runs; a word scores degree/frequency
+# over the phrase corpus (degree = co-occurring words incl. itself,
+# weighted by phrase occurrences); a phrase scores the sum of its
+# words' scores.  The classic unsupervised keyworder for corpus
+# cards / topic audits.  Segmentation trick shared bitwise by both
+# engines: double every space so each token owns its delimiters,
+# replace stopword tokens with '|', split — no lookahead needed
+# (DuckDB's RE2 has none).  Scores stay integer (micro-units via
+# integer division).  Scale: one fact shuffle keyed by phrase; word
+# stats and the score join live on the Zipf-bounded phrase/word
+# vocabularies, with the word-stats side broadcast.
+# --------------------------------------------------------------------------
+_RAKE_STOP_RE = " (the|a|of|and|to|in) "
+
+
+@q(
+    "q_keyword_extract",
+    f"""
+    WITH ph AS (
+        SELECT trim(regexp_replace(piece, ' +', ' ', 'g')) AS phrase
+        FROM (
+            SELECT unnest(string_split(
+                regexp_replace(replace(' ' || text || ' ', ' ', '  '),
+                               '{_RAKE_STOP_RE}', ' | ', 'g'),
+                '|')) AS piece
+            FROM documents
+        )
+        WHERE trim(regexp_replace(piece, ' +', ' ', 'g')) <> ''
+    ), pc AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+        FROM ph GROUP BY phrase
+    ), pw AS (
+        SELECT phrase, cnt, plen, unnest(string_split(phrase, ' ')) AS w
+        FROM pc
+    ), ws AS (
+        SELECT w, CAST(SUM(cnt) AS BIGINT) AS freq,
+               CAST(SUM(cnt * plen) AS BIGINT) AS deg
+        FROM pw GROUP BY w
+    )
+    SELECT p.phrase,
+           MAX(p.plen) AS n_words,
+           MAX(p.cnt) AS n_occ,
+           CAST(SUM(1000000 * ws.deg // ws.freq) AS BIGINT) AS score_micro
+    FROM pw p JOIN ws ON ws.w = p.w
+    GROUP BY p.phrase
+    ORDER BY score_micro DESC, p.phrase ASC
+    LIMIT 20
+    """,
+)
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    piece = F.explode(
+        F.split(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " ", "  "
+                ),
+                _RAKE_STOP_RE,
+                " | ",
+            ),
+            "\\|",
+        )
+    ).alias("piece")
+    phrase = F.trim(F.regexp_replace(F.col("piece"), " +", " "))
+    pc = (
+        d.select(piece)
+        .select(phrase.alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "phrase",
+            "cnt",
+            F.expr("cast(size(split(phrase, ' ')) as bigint)").alias("plen"),
+        )
+    )
+    # phrase vocabulary feeds word stats AND the score join — cache the
+    # vocab-sized (not corpus-sized) table once.
+    pc = pc.cache()
+    pw = pc.select(
+        "phrase", "cnt", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    ws = pw.groupBy("w").agg(
+        F.sum("cnt").cast("bigint").alias("freq"),
+        F.sum(F.col("cnt") * F.col("plen")).cast("bigint").alias("deg"),
+    )
+    return (
+        pw.join(F.broadcast(ws), "w")
+        .groupBy("phrase")
+        .agg(
+            F.max("plen").alias("n_words"),
+            F.max("cnt").alias("n_occ"),
+            F.sum(F.expr("1000000 * deg div freq")).cast("bigint").alias(
+                "score_micro"
+            ),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty — for every TEST-split document (the q_split_assign
+# hash coin), the fraction of its distinct word-3-gram shingles never
+# seen in the TRAIN split.  The memorization audit run before
+# reporting eval numbers: a low-novelty test doc is answerable by
+# recall, not generalization (complements q_decontaminate, which
+# probes an external benchmark; this one audits the split itself).
+# Scale: one shingle-keyed equi join, both sides shuffled once on the
+# shingle; the train side pre-dedups scan-side (array_distinct) +
+# one distinct.  At 100 TB swap shingle strings for xxhash64 digests
+# (8-byte keys) and let the runtime bloom filter prune the probe —
+# identical plan shape.
+# --------------------------------------------------------------------------
+@q(
+    "q_ngram_novelty",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text, {knuth_fold_sql('doc_id', 100)} AS h
+        FROM documents
+    ), test AS (
+        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh
+        FROM base WHERE h >= 90 AND len({_WORDS_DUCK}) >= 3
+    ), train AS (
+        SELECT DISTINCT unnest({_SHINGLES_DUCK}) AS sh
+        FROM base WHERE h < 80 AND len({_WORDS_DUCK}) >= 3
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN tr.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(1000000 * SUM(CASE WHEN tr.sh IS NULL THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS novelty_micro
+    FROM test t LEFT JOIN train tr ON tr.sh = t.sh
+    GROUP BY t.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    h = knuth_fold_expr(F.col("doc_id"), 100)
+    test = (
+        _with_words(d.filter(h >= 90), "doc_id")
+        .filter(F.size("words") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES_FROM_WORDS)).alias("sh"))
+    )
+    train = (
+        _with_words(d.filter(h < 80))
+        .filter(F.size("words") >= 3)
+        .select(F.explode(F.expr(_SHINGLES_FROM_WORDS)).alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    novel = F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).cast("bigint")
+    return (
+        test.join(train, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("1000000 * n_novel div n_shingles")
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+    )
