@@ -101,7 +101,12 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # prints a function-level "plan drift" section (green rows older than
 # their plan source); as of round 5 it flags q_except,
 # q_schema_evolution and q_setsim_join — put any still-drifted names
-# in the round-6 window ahead of never-verified ones.
+# in the round-6 window ahead of never-verified ones.  The round-5
+# late batch also generalized operators/components.py's union-find
+# (int → any ordered node id, for q_entity_resolution), a dependency
+# of the D3-green q_dedup_components — include q_dedup_components in
+# the round-6 drift slots too (it re-verified green in the local
+# differential + driver_sim after the change).
 #
 # Round-5 window (first 50 of queries()): per the round-4 verdict,
 # front-load the never-driver-verified families with the most user

@@ -333,6 +333,23 @@ HEADLINE = {
     "q_gumbel_topk_resample",
     "q_bpe_train",
     "q_bpe_vocab",
+    "q_bpe_encode",
+    "q_pmi_cooccur",
+    "q_keyword_extract",
+    "q_ngram_novelty",
+    "q_label_propagation",
+    "q_kcore",
+    "q_mannwhitney",
+    "q_mv_incremental",
+    "q_spectral_bins",
+    "q_cms_topk",
+    "q_hll_audit",
+    "q_bloom_audit",
+    "q_knn_classify",
+    "q_neardup_threshold_sweep",
+    "q_twap",
+    "q_label_horizon",
+    "q_entity_resolution",
     "q_scan_text",
     "q_gif_decode",
     "q_scan_binary",

@@ -30,13 +30,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _driver_union_find(edges_pdf) -> "dict[int, int]":
+def _driver_union_find(edges_pdf) -> dict:
     """Exact union-find (path-halving + union by min root) over an
     edge list that fits on the driver; returns node → min-id-in-
-    component for every edge-incident node."""
-    parent: dict[int, int] = {}
+    component for every edge-incident node.  Node ids are any
+    totally-ordered hashable type (int doc ids, entity-name strings —
+    numpy scalars are unwrapped so keys stay plain Python)."""
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         root = x
         while parent[root] != root:
             root = parent[root]
@@ -45,7 +47,8 @@ def _driver_union_find(edges_pdf) -> "dict[int, int]":
         return root
 
     for a, b in zip(edges_pdf["a"].to_numpy(), edges_pdf["b"].to_numpy()):
-        a, b = int(a), int(b)
+        a = a.item() if hasattr(a, "item") else a
+        b = b.item() if hasattr(b, "item") else b
         if a not in parent:
             parent[a] = a
         if b not in parent:

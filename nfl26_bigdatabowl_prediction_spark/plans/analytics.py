@@ -2105,3 +2105,71 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# TWAP — TIME-weighted average value per (user, day): each
+# observation holds until the next one (step interpolation), so its
+# weight is the gap to the next event (lead), with the day boundary
+# closing the last interval.  The irregular-sampling companion of
+# q_vwap: when ticks arrive unevenly, the plain mean over-weights
+# bursts; the time weighting undoes that.  One user-day-keyed window
+# exchange carries both the lead and the aggregation; weights are
+# integer micros × cents, the ratio computed once at the end.
+# --------------------------------------------------------------------------
+@q(
+    "q_twap",
+    """
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               epoch_us(ts) AS t_us,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc,
+               event_id
+        FROM events
+    ), gapped AS (
+        SELECT user_id, day, vc,
+               COALESCE(LEAD(t_us) OVER (PARTITION BY user_id, day
+                                         ORDER BY t_us, event_id),
+                        (day + 1) * 86400000000) - t_us AS w_us
+        FROM t
+    )
+    SELECT user_id, CAST(day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(w_us) AS BIGINT) AS covered_us,
+           CAST(SUM(vc * w_us) AS DOUBLE) / CAST(SUM(w_us) AS BIGINT) / 100.0
+               AS twap
+    FROM gapped
+    GROUP BY user_id, day
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        F.expr("ts div 86400000000").alias("day"),
+        F.col("ts").alias("t_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("t_us", "event_id")
+    gapped = t.select(
+        "user_id",
+        "day",
+        "vc",
+        (
+            F.coalesce(
+                F.lead("t_us").over(w),
+                (F.col("day") + 1) * F.lit(86400000000),
+            )
+            - F.col("t_us")
+        ).alias("w_us"),
+    )
+    return gapped.groupBy("user_id", F.col("day").cast("bigint").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("w_us").cast("bigint").alias("covered_us"),
+        (
+            F.sum(F.col("vc") * F.col("w_us")).cast("double")
+            / F.sum("w_us").cast("bigint")
+            / 100.0
+        ).alias("twap"),
+    )

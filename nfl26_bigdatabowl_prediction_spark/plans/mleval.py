@@ -985,3 +985,82 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("n_hits"),
         F.sum(sign * F.col("cnt")).cast("bigint").alias("signed_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal label preparation (churn) — the leakage-safe shape every
+# supervised pipeline on event data needs: features from the history
+# PREFIX (ts ≤ cutoff), the label from a disjoint FUTURE horizon
+# (cutoff, cutoff + 4 d] — never the same rows.  The history scan
+# goes through sources.io.events_asof, so the cutoff reaches the
+# parquet footers and a 100 TB log reads only its prefix; the future
+# slice reduces to a distinct-user flag (user-dimension-sized →
+# broadcast).  churned = no activity inside the horizon.
+# --------------------------------------------------------------------------
+_LABEL_CUT_US = 1_705_881_600_000_000  # 2024-01-22T00:00Z
+_LABEL_HORIZON_US = 345_600_000_000  # 4 days
+
+
+@q(
+    "q_label_horizon",
+    f"""
+    WITH hist AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS spend_cents,
+               CAST({_LABEL_CUT_US} - MAX(epoch_us(ts)) AS BIGINT)
+                   AS recency_us
+        FROM events WHERE epoch_us(ts) <= {_LABEL_CUT_US}
+        GROUP BY user_id
+    ), fut AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE epoch_us(ts) > {_LABEL_CUT_US}
+          AND epoch_us(ts) <= {_LABEL_CUT_US + _LABEL_HORIZON_US}
+    )
+    SELECT h.user_id, h.n_events, h.n_purchases, h.spend_cents, h.recency_us,
+           CAST(CASE WHEN f.user_id IS NULL THEN 1 ELSE 0 END AS INT)
+               AS churned
+    FROM hist h LEFT JOIN fut f ON f.user_id = h.user_id
+    """,
+)
+def q_label_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import events_asof
+
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    hist = (
+        events_asof(spark, sf_dir, _LABEL_CUT_US)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.sum(vc).cast("bigint").alias("spend_cents"),
+            (F.lit(_LABEL_CUT_US) - F.max("ts")).cast("bigint").alias(
+                "recency_us"
+            ),
+        )
+    )
+    fut = (
+        table(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") > _LABEL_CUT_US)
+            & (F.col("ts") <= _LABEL_CUT_US + _LABEL_HORIZON_US)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return hist.join(F.broadcast(fut), "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "spend_cents",
+        "recency_us",
+        F.when(F.col("seen").isNull(), 1).otherwise(0).cast("int").alias(
+            "churned"
+        ),
+    )

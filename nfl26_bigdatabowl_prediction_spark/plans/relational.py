@@ -3230,3 +3230,81 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution — the full record-linkage pipeline as ONE lazy
+# plan: blocking (head-noun block + length pre-gate, the q_fuzzy_join
+# candidate generator) → pairwise match (levenshtein ≤ 2) → connected
+# components over the match graph (operators/components.py: driver
+# union-find under the edge threshold, distributed hash-to-min above
+# it) → golden record per entity (canonical name = min, fact rows and
+# exact-cents totals aggregated across all variant spellings).  The
+# classic MDM dedup shape: every quadratic step is block-bounded, the
+# component loop runs on |match-graph endpoints| (a vanishing
+# fraction of the corpus), and the final rollup is one fact-side
+# hash aggregation after a name→entity broadcast join.
+# --------------------------------------------------------------------------
+@q(
+    "q_entity_resolution",
+    """
+    WITH RECURSIVE dict AS (
+        SELECT p_name, split_part(p_name, ' ', 2) AS blk
+        FROM part GROUP BY 1, 2
+    ), cand AS MATERIALIZED (
+        SELECT a.p_name AS na, b.p_name AS nb
+        FROM dict a JOIN dict b ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+          AND levenshtein(a.p_name, b.p_name) <= 2
+    ), edges_sym AS MATERIALIZED (
+        SELECT na AS a, nb AS b FROM cand
+        UNION SELECT nb, na FROM cand
+    ), names AS (
+        SELECT DISTINCT p_name FROM part
+    ), reach AS (
+        SELECT p_name AS node, p_name AS r FROM names
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges_sym e ON reach.r = e.a
+    ), comp AS (
+        SELECT node AS p_name, MIN(r) AS entity FROM reach GROUP BY node
+    )
+    SELECT c.entity,
+           CAST(COUNT(DISTINCT p.p_name) AS BIGINT) AS n_variants,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(p.p_retailprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS retail_cents_total
+    FROM part p JOIN comp c ON c.p_name = p.p_name
+    GROUP BY c.entity
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    p = table(spark, sf_dir, "part").select("p_name", "p_retailprice")
+    names = p.select("p_name").distinct()
+    dict_ = names.select(
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("blk"),
+    )
+    a = dict_.select(F.col("p_name").alias("na"), F.col("blk").alias("blk_a"))
+    b = dict_.select(F.col("p_name").alias("nb"), F.col("blk").alias("blk_b"))
+    cand = (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("na") < F.col("nb")))
+        .filter(
+            (F.abs(F.length("na") - F.length("nb")) <= 2)
+            & (F.levenshtein("na", "nb") <= 2)
+        )
+        .select("na", "nb")
+    )
+    comp = connected_components(names, cand, node_col="p_name", src="na", dst="nb")
+    ent = comp.select(F.col("node").alias("p_name"), F.col("comp").alias("entity"))
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+    return (
+        p.join(F.broadcast(ent), "p_name")  # name dictionary is dimension-sized
+        .groupBy("entity")
+        .agg(
+            F.countDistinct("p_name").cast("bigint").alias("n_variants"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("retail_cents_total"),
+        )
+    )

@@ -3183,3 +3183,246 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch family — Count-Min, HyperLogLog, Bloom — implemented with
+# the ORACLE-path portable hash (functions/portable.py) so every
+# counter, register and bit index is bitwise-reproducible in DuckDB.
+# These are the audit twins of production sketches (approx_count_
+# distinct, runtime bloom pruning): the judged queries measure sketch
+# error against exact truth on the same corpus, which is exactly what
+# you run before trusting a sketch configuration at 100 TB.  Domain =
+# word-3-gram shingles (the dedup suite's unit), whose distinct count
+# is large enough to exercise collisions at the chosen widths.
+# Production swap-in: xxhash64 for every hash below.
+# --------------------------------------------------------------------------
+_CMS_D, _CMS_W = 4, 64
+_SK_MOD32 = 4294967296
+
+
+def _shingle_counts_duck() -> str:
+    return f"""
+        SELECT sh, CAST(COUNT(*) AS BIGINT) AS cnt,
+               {knuth_fold_sql(portable_hash_sql_duckdb('sh'), _SK_MOD32)} AS h
+        FROM (
+            SELECT unnest({_SHINGLES_DUCK}) AS sh
+            FROM documents WHERE len({_WORDS_DUCK}) >= 3
+        )
+        GROUP BY sh
+    """
+
+
+def _shingle_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        _with_words(d)
+        .filter(F.size("words") >= 3)
+        .select(F.explode(F.expr(_SHINGLES_FROM_WORDS)).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "sh",
+            "cnt",
+            F.expr(
+                knuth_fold_sql(portable_hash_sql_spark("sh"), _SK_MOD32)
+            ).alias("h"),
+        )
+    )
+
+
+# Count-Min sketch (Cormode-Muthukrishnan 2005), depth 4 × width 64:
+# counters from one (row, bucket) aggregation over the WEIGHTED
+# distinct-shingle table (the sketch ingests the corpus, the plan
+# ingests the vocabulary); per-item estimate = min over rows; the
+# query reports estimate vs exact truth for the top-20 heavy hitters
+# — CMS overestimates by construction, never under.
+@q(
+    "q_cms_topk",
+    f"""
+    WITH wc AS MATERIALIZED ({_shingle_counts_duck()}),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cells AS (
+        SELECT j, ((h + j * 40503) * 40503) % {_SK_MOD32} % {_CMS_W}
+                   AS bucket,
+               CAST(SUM(cnt) AS BIGINT) AS counter
+        FROM wc CROSS JOIN rows_
+        GROUP BY 1, 2
+    ), top AS (
+        SELECT sh, cnt, h FROM wc
+        ORDER BY cnt DESC, sh ASC LIMIT 20
+    )
+    SELECT t.sh, t.cnt AS true_cnt,
+           CAST(MIN(c.counter) AS BIGINT) AS est_cnt,
+           CAST(MIN(c.counter) - t.cnt AS BIGINT) AS overcount
+    FROM top t
+    CROSS JOIN rows_ r
+    JOIN cells c
+      ON c.j = r.j
+     AND c.bucket = ((t.h + r.j * 40503) * 40503) % {_SK_MOD32} % {_CMS_W}
+    GROUP BY t.sh, t.cnt
+    """,
+)
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = _shingle_counts_spark(spark, sf_dir).cache()
+    js = F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
+    bucket = F.expr(
+        f"((h + j * 40503) * 40503) % {_SK_MOD32} % {_CMS_W}"
+    )
+    cells = (
+        wc.select("h", "cnt", js)
+        .select("cnt", "j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("counter"))
+    )
+    top = wc.orderBy(F.col("cnt").desc(), F.col("sh").asc()).limit(20)
+    probe = top.select("sh", "cnt", "h", js).select(
+        "sh", "cnt", "j", bucket.alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("sh", F.col("cnt").alias("true_cnt"))
+        .agg(F.min("counter").cast("bigint").alias("est_cnt"))
+        .select(
+            "sh",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
+
+
+# HyperLogLog (Flajolet 2007), m = 64 registers, built on the SAME
+# 32-bit portable hash: bucket = h % 64, register = max over items of
+# (leading-zero rank of the remaining 26 bits).  Every register value
+# is integer-exact in both engines (bit length via bin(); no log2 on
+# the data path), and the raw harmonic estimate stays bitwise because
+# each 2^-M term is an exact power of two (1 / (1 << M)) and their
+# 64-term sum spans < 53 bits of exponent — exact, order-free double
+# arithmetic.  The query reports estimate vs exact distinct truth;
+# the small-range linear-counting branch is documented as the
+# production correction (engages below 2.5m — the fixture sits above
+# it).  This is the audit twin of approx_count_distinct's HLL++.
+@q(
+    "q_hll_audit",
+    f"""
+    WITH wc AS MATERIALIZED ({_shingle_counts_duck()}),
+    regs AS (
+        SELECT h % 64 AS bucket,
+               MAX(CASE WHEN h // 64 = 0 THEN 27
+                        ELSE 27 - length(bin(h // 64)) END) AS m_reg
+        FROM wc GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(0, 64)) AS bucket),
+    full_ AS (
+        SELECT s.bucket, COALESCE(r.m_reg, 0) AS m_reg
+        FROM spine s LEFT JOIN regs r ON r.bucket = s.bucket
+    ),
+    z AS (
+        SELECT SUM(1.0 / CAST(1 << m_reg AS DOUBLE)) AS zsum,
+               CAST(SUM(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_regs
+        FROM full_
+    ),
+    truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM wc)
+    SELECT CAST(64 AS BIGINT) AS m, t.n_true, z.zero_regs,
+           round(((CAST(0.7213 AS DOUBLE)
+                   / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 64))
+                  * 4096) / z.zsum, 6) AS hll_estimate,
+           round((((CAST(0.7213 AS DOUBLE)
+                    / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 64))
+                   * 4096) / z.zsum - t.n_true) / t.n_true, 6) AS rel_err
+    FROM z CROSS JOIN truth t
+    """,
+)
+def q_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = _shingle_counts_spark(spark, sf_dir).cache()
+    rho = F.expr(
+        "CASE WHEN h div 64 = 0 THEN 27 "
+        "ELSE 27 - length(bin(h div 64)) END"
+    )
+    regs = (
+        wc.select((F.col("h") % 64).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    spine = spark.range(64).select(F.col("id").alias("bucket"))
+    full = spine.join(F.broadcast(regs), "bucket", "left").select(
+        F.coalesce("m_reg", F.lit(0)).alias("m_reg")
+    )
+    z = full.agg(
+        F.sum(F.expr("cast(1 as double) / cast(shiftleft(1, m_reg) as double)"))
+        .alias("zsum"),
+        F.sum(F.when(F.col("m_reg") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zero_regs"),
+    )
+    truth = wc.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    alpha_m2 = (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / 64)) * 4096
+    est = alpha_m2 / F.col("zsum")
+    return (
+        z.crossJoin(F.broadcast(truth))  # two 1-row scalar aggregates
+        .select(
+            F.lit(64).cast("bigint").alias("m"),
+            "n_true",
+            "zero_regs",
+            F.round(est, 6).alias("hll_estimate"),
+            F.round((est - F.col("n_true")) / F.col("n_true"), 6).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+# Bloom-filter occupancy audit, m = 4096 bits × k = 3 hashes: insert
+# every distinct shingle, count occupied bits (one distinct-agg over
+# the k-salted bucket ids), and report the occupancy-based false-
+# positive estimate (occupied/m)^k as an exact integer micro ratio —
+# the number you check before trusting bloom pruning on a join key.
+_BLOOM_M, _BLOOM_K = 4096, 3
+@q(
+    "q_bloom_audit",
+    f"""
+    WITH wc AS ({_shingle_counts_duck()}),
+    bits AS (
+        SELECT DISTINCT ((h + j * 40503) * 40503) % {_SK_MOD32} % {_BLOOM_M}
+                   AS bit
+        FROM wc CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    occ AS (SELECT CAST(COUNT(*) AS BIGINT) AS occupied FROM bits),
+    truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM wc)
+    SELECT t.n_items, CAST({_BLOOM_M} AS BIGINT) AS m,
+           CAST({_BLOOM_K} AS BIGINT) AS k, o.occupied,
+           CAST(1000000 * o.occupied // {_BLOOM_M} AS BIGINT) AS fill_micro,
+           CAST(1000000 * o.occupied * o.occupied * o.occupied
+                // {_BLOOM_M ** 3} AS BIGINT) AS fpr_micro
+    FROM occ o CROSS JOIN truth t
+    """,
+)
+def q_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = _shingle_counts_spark(spark, sf_dir).cache()
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+    bit = F.expr(f"((h + j * 40503) * 40503) % {_SK_MOD32} % {_BLOOM_M}")
+    bits = wc.select("h", js).select(bit.alias("bit")).distinct()
+    occ = bits.agg(F.count(F.lit(1)).cast("bigint").alias("occupied"))
+    truth = wc.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    return (
+        occ.crossJoin(F.broadcast(truth))  # two 1-row scalar aggregates
+        .select(
+            "n_items",
+            F.lit(_BLOOM_M).cast("bigint").alias("m"),
+            F.lit(_BLOOM_K).cast("bigint").alias("k"),
+            "occupied",
+            F.expr(f"1000000 * occupied div {_BLOOM_M}")
+            .cast("bigint")
+            .alias("fill_micro"),
+            F.expr(
+                f"(1000000 * occupied * occupied * occupied) "
+                f"div {_BLOOM_M ** 3}"
+            )
+            .cast("bigint")
+            .alias("fpr_micro"),
+        )
+    )

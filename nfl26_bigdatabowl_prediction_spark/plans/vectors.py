@@ -1241,3 +1241,125 @@ def q_embed_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("component"),
         F.count(F.lit(1)).over(W.partitionBy("comp")).alias("cluster_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# kNN classification — the serving-side readout of similarity search:
+# majority label vote over each query's top-5 cosine neighbors
+# (deterministic tie-break: smallest label), scored against the
+# query's own label.  Rides q_embed_cosine_topk's guarded brute-force
+# kernel (the audit path); at corpus-proportional query sets the same
+# vote runs on q_embed_ivf_topk's ANN candidates — identical plan
+# from the neighbor table onward.  The neighbor table is query-set-
+# sized, so it BROADCASTS into the label join; the corpus-side label
+# projection is one pruned column scan.
+# --------------------------------------------------------------------------
+@q(
+    "q_knn_classify",
+    f"""
+    WITH topk AS ({{COSINE_TOPK}}),
+    votes AS (
+        SELECT t.qid, e.label, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM topk t JOIN embeddings e ON e.vec_id = t.nb_id
+        WHERE t.rnk <= 5
+        GROUP BY t.qid, e.label
+    ), pred AS (
+        SELECT qid, label AS predicted FROM (
+            SELECT qid, label,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM votes) WHERE rn = 1
+    )
+    SELECT p.qid, p.predicted, e.label AS true_label,
+           CAST(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END AS INT)
+               AS correct
+    FROM pred p JOIN embeddings e ON e.vec_id = p.qid
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    knn = QUERIES["q_embed_cosine_topk"](spark, sf_dir).filter(F.col("rnk") <= 5)
+    votes = (
+        labels.join(
+            F.broadcast(knn.select("qid", "nb_id")),
+            labels.vec_id == F.col("nb_id"),
+        )
+        .groupBy("qid", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    )
+    pred = (
+        votes.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("predicted"))
+    )
+    return (
+        labels.join(F.broadcast(pred), labels.vec_id == F.col("qid"))
+        .select(
+            "qid",
+            "predicted",
+            F.col("label").alias("true_label"),
+            F.when(F.col("predicted") == F.col("label"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+ORACLES["q_knn_classify"] = ORACLES["q_knn_classify"].replace(
+    "{COSINE_TOPK}", ORACLES["q_embed_cosine_topk"]
+)
+
+
+# --------------------------------------------------------------------------
+# Near-dup threshold sweep — the calibration run before picking a
+# semantic-dedup cosine cutoff: pair counts at each candidate
+# threshold, all from ONE pass over the LSH-bucketed candidate pairs
+# (q_embed_neardup's single-exchange plan).  The threshold fan-out is
+# a scan-side Generate (explode of a 6-element literal array), never
+# a join.  Thresholds are integer micros; the compare divides by the
+# same double constant in both engines.
+# --------------------------------------------------------------------------
+_SWEEP_MICROS = (300000, 500000, 700000, 800000, 900000, 950000)
+
+
+@q(
+    "q_neardup_threshold_sweep",
+    f"""
+    WITH nd AS ({{NEARDUP}}),
+    fan AS (
+        SELECT unnest([{", ".join(str(t) for t in _SWEEP_MICROS)}]) AS t_micro,
+               cosine
+        FROM nd
+    )
+    SELECT CAST(t_micro AS BIGINT) AS t_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM fan
+    WHERE cosine >= t_micro / CAST(1000000 AS DOUBLE)
+    GROUP BY t_micro
+    """,
+)
+def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nd = QUERIES["q_embed_neardup"](spark, sf_dir)
+    fan = nd.select(
+        "cosine",
+        F.explode(
+            F.array(*[F.lit(t).cast("bigint") for t in _SWEEP_MICROS])
+        ).alias("t_micro"),
+    )
+    return (
+        fan.filter(
+            F.col("cosine") >= F.col("t_micro") / F.lit(1000000).cast("double")
+        )
+        .groupBy("t_micro")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+ORACLES["q_neardup_threshold_sweep"] = ORACLES["q_neardup_threshold_sweep"].replace(
+    "{NEARDUP}", ORACLES["q_embed_neardup"]
+)

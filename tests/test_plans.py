@@ -188,7 +188,8 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
                     "q_idle_customers", "q_kmeans_step", "q_traj_similarity",
                     "q_survival", "q_equi_depth_hist", "q_bigram_logprob",
                     "q_dsir_weights", "q_gumbel_topk_resample",
-                    "q_bpe_train", "q_bpe_vocab"):
+                    "q_bpe_train", "q_bpe_vocab", "q_bpe_encode",
+                    "q_pmi_cooccur", "q_hll_audit", "q_bloom_audit"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
@@ -201,7 +202,11 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
             # canonical assignment plan.  q_traj_similarity adds the
             # query user's 1-row profile constant; q_survival the
             # 1-row censoring horizon; q_equi_depth_hist the 1-row
-            # quartile cutpoints.
+            # quartile cutpoints.  q_bpe_encode inherits the trainer's
+            # 1-row merge-choice broadcasts; q_pmi_cooccur broadcasts
+            # the 1-row grand pair total; q_hll_audit / q_bloom_audit
+            # cross their two 1-row scalar aggregates (Z / occupancy ×
+            # exact truth).
         plan = _plan(spark, name)
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in plan, f"{name} compiles to {bad}"
@@ -564,3 +569,82 @@ def test_pq_kernel_matches_hof_expression_twin(spark):
         .toPandas()
     )
     assert hof.equals(kern)
+
+
+def test_bpe_encode_word_cache_broadcasts(spark):
+    """q_bpe_encode joins exploded doc words to the trained word→pieces
+    cache: the cache side must broadcast (dimension-sized by
+    construction), and no SortMergeJoin may appear anywhere."""
+    plan = _plan(spark, "q_bpe_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_label_propagation_and_kcore_loop_shape(spark):
+    """The per-round joins carry node-sized state only (broadcast, no
+    SortMergeJoin).  localCheckpoint truncates the final explain to
+    the last segment, so pin the LOOP BODY's plan directly: one round
+    of each loop built from the same adjacency derivation."""
+    from pyspark.sql import functions as F
+
+    from nfl26_bigdatabowl_prediction_spark.plans.graph import _edges
+
+    e = _edges(spark, SF_DIR)
+    adj = e.select(F.col("src").alias("part"), F.col("dst").alias("nbr")).unionAll(
+        e.select(F.col("dst").alias("part"), F.col("src").alias("nbr"))
+    ).repartition("part")
+    # materialize the edge derivation (its lineitem self-join is a
+    # legitimate fact SMJ) so the explained plan is the round body only
+    adj = adj.localCheckpoint()
+    # LPA round: adjacency ⋈ broadcast(label table) + (part,label) agg
+    lab = adj.select("part").distinct().select("part", F.col("part").alias("label"))
+    rnd = (
+        adj.join(F.broadcast(lab.select(F.col("part").alias("nbr"), "label")), "nbr")
+        .groupBy("part", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rnd.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # k-core round: two broadcast keep-set semi-joins
+    keep = adj.groupBy("part").agg(F.count(F.lit(1)).alias("deg")).filter(
+        F.col("deg") >= 3
+    ).select("part")
+    peeled = adj.join(F.broadcast(keep), "part").join(
+        F.broadcast(keep.select(F.col("part").alias("nbr"))), "nbr"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        peeled.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_mannwhitney_aggregates_before_window(spark):
+    """The global rank window must run over the distinct-cents domain,
+    i.e. above the first HashAggregate, never over raw fact rows."""
+    plan = _plan(spark, "q_mannwhitney")
+    ops = _ops(plan)
+    first_agg = ops.index("HashAggregate")
+    first_window = ops.index("Window")
+    assert first_agg < first_window, ops
+
+
+def test_sketches_are_aggregation_shaped(spark):
+    """CMS/HLL/Bloom audits: sketch state is aggregation output —
+    no sort-merge join and no non-broadcast fact join anywhere."""
+    for name in ("q_cms_topk", "q_hll_audit", "q_bloom_audit"):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_mv_incremental_reads_stored_mv_not_base(spark):
+    """The refresh plan must scan the persisted MV parquet plus the
+    delta slice — the base-partition orders scan appears only through
+    the one-off MV build, and the delta scan's cutoff filter is
+    pushed down."""
+    plan = _plan(spark, "q_mv_incremental")
+    pushed = [l for l in plan.splitlines() if l.startswith("PushedFilters")]
+    assert any("o_orderdate" in l and "GreaterThanOrEqual" in l for l in pushed), plan
