@@ -350,6 +350,10 @@ HEADLINE = {
     "q_twap",
     "q_label_horizon",
     "q_entity_resolution",
+    "q_minhash_containment",
+    "q_histogram_2d",
+    "q_shard_assign",
+    "q_xcorr_lags",
     "q_scan_text",
     "q_gif_decode",
     "q_scan_binary",

@@ -2173,3 +2173,153 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("twap"),
     )
+
+
+# --------------------------------------------------------------------------
+# 2-D histogram — hour-of-day × equi-depth value quartile heat grid
+# over the event stream (the ops-dashboard "when do the big ones
+# land" view).  Quartile cutpoints come from ONE scalar aggregate
+# (broadcast, the q_equi_depth_hist pattern) so the grid itself is a
+# single fact-scale hash aggregation with map-side combine: ≤ 24×4
+# output cells at any corpus size.
+# --------------------------------------------------------------------------
+@q(
+    "q_histogram_2d",
+    """
+    WITH b AS (
+        SELECT round(quantile_cont(value, 0.25), 4) AS q1,
+               round(quantile_cont(value, 0.50), 4) AS q2,
+               round(quantile_cont(value, 0.75), 4) AS q3
+        FROM events
+    )
+    SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+           CASE WHEN value <= b.q1 THEN 0
+                WHEN value <= b.q2 THEN 1
+                WHEN value <= b.q3 THEN 2
+                ELSE 3 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cell_cents
+    FROM events, b
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("q2"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("value") <= F.col("q1"), 0)
+        .when(F.col("value") <= F.col("q2"), 1)
+        .when(F.col("value") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    hour = F.expr("(ts div 3600000000) % 24").cast("bigint")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (
+        ev.crossJoin(F.broadcast(b))  # 1-row quartile cutpoints
+        .groupBy(hour.alias("hour"), bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(vc).cast("bigint").alias("cell_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-correlation at lags 0–3 — does click volume LEAD purchase
+# volume, and by how many hours?  The alignment statistic behind
+# leading-indicator discovery and transfer-function forecasting.
+# The fact stream first collapses to the hourly (clicks, purchases)
+# grid (one map-side-combined agg, ≤ |hours| rows), then one global
+# window produces all four lagged click columns in a single pass
+# (bounded domain — same documented single-partition window as
+# q_mannwhitney), an unpivot stacks them to (lag, x, y), and Pearson
+# comes from integer power sums per lag.
+# --------------------------------------------------------------------------
+@q(
+    "q_xcorr_lags",
+    """
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS hr,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM events GROUP BY 1
+    ), lagged AS (
+        SELECT hr, c2,
+               LAG(c1, 0) OVER (ORDER BY hr) AS l0,
+               LAG(c1, 1) OVER (ORDER BY hr) AS l1,
+               LAG(c1, 2) OVER (ORDER BY hr) AS l2,
+               LAG(c1, 3) OVER (ORDER BY hr) AS l3
+        FROM hourly
+    ), stacked AS (
+        SELECT 0 AS lag_h, l0 AS x, c2 AS y FROM lagged WHERE l0 IS NOT NULL
+        UNION ALL
+        SELECT 1, l1, c2 FROM lagged WHERE l1 IS NOT NULL
+        UNION ALL
+        SELECT 2, l2, c2 FROM lagged WHERE l2 IS NOT NULL
+        UNION ALL
+        SELECT 3, l3, c2 FROM lagged WHERE l3 IS NOT NULL
+    ), m AS (
+        SELECT lag_h, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM stacked GROUP BY lag_h
+    )
+    SELECT CAST(lag_h AS BIGINT) AS lag_h, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS xcorr
+    FROM m
+    """,
+)
+def q_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.expr("ts div 3600000000").alias("hr")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w = Window.orderBy("hr")
+    lagged = hourly.select(
+        "c2", *[F.lag("c1", i).over(w).alias(f"l{i}") for i in range(4)]
+    )
+    stacked = None
+    for i in range(4):
+        part = lagged.filter(F.col(f"l{i}").isNotNull()).select(
+            F.lit(i).alias("lag_h"),
+            F.col(f"l{i}").alias("x"),
+            F.col("c2").alias("y"),
+        )
+        stacked = part if stacked is None else stacked.unionAll(part)
+    m = stacked.groupBy("lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        F.col("lag_h").cast("bigint").alias("lag_h"),
+        n.cast("bigint").alias("n"),
+        F.round(
+            (n.cast("double") * sxy - sx.cast("double") * sy)
+            / (
+                F.sqrt(n.cast("double") * sxx - sx.cast("double") * sx)
+                * F.sqrt(n.cast("double") * syy - sy.cast("double") * sy)
+            ),
+            6,
+        ).alias("xcorr"),
+    )

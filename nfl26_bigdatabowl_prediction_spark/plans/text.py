@@ -3426,3 +3426,113 @@ def q_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fpr_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Containment scores — the ASYMMETRIC near-dup signal Jaccard hides:
+# |A∩B|/|A| vs |A∩B|/|B| per LSH candidate pair.  A small doc pasted
+# inside a big one has tiny Jaccard but containment ≈ 1 on the small
+# side — the sub-document/boilerplate-inclusion detector (the shape
+# behind quote/chunk dedup in web-corpus pipelines).  Same bucket-
+# bounded candidate set and shingle-set verify join as
+# q_minhash_error; scores stay integer micros.
+# --------------------------------------------------------------------------
+@q(
+    "q_minhash_containment",
+    f"""
+    WITH shingled AS MATERIALIZED (
+        SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM documents
+        WHERE len({_WORDS_DUCK}) >= 3
+    ), hashed AS (
+        SELECT doc_id, list_transform(sh, s -> md5(s)) AS mds FROM shingled
+    ), sigs AS (
+        SELECT doc_id, band,
+               list_min(list_transform(mds, m -> substring(m, band * 8 + 1, 8))) AS sig
+        FROM hashed, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+           CAST(len(sa.sh) AS BIGINT) AS n_a,
+           CAST(len(sb.sh) AS BIGINT) AS n_b,
+           CAST(1000000 * len(list_intersect(sa.sh, sb.sh)) // len(sa.sh)
+                AS BIGINT) AS contain_a_micro,
+           CAST(1000000 * len(list_intersect(sa.sh, sb.sh)) // len(sb.sh)
+                AS BIGINT) AS contain_b_micro
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    """,
+)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cand = QUERIES["q_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    shingled = (
+        _with_words(d, "doc_id")
+        .filter(F.size("words") >= 3)
+        .select("doc_id", F.expr(_SHINGLES_FROM_WORDS).alias("sh"))
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            F.size("sha").cast("bigint").alias("n_a"),
+            F.size("shb").cast("bigint").alias("n_b"),
+            F.expr("1000000 * size(array_intersect(sha, shb)) div size(sha)")
+            .cast("bigint")
+            .alias("contain_a_micro"),
+            F.expr("1000000 * size(array_intersect(sha, shb)) div size(shb)")
+            .cast("bigint")
+            .alias("contain_b_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-shard assignment — the reproducible-export shape: every
+# doc gets a deterministic shard (hash coin, like q_split_assign) AND
+# a deterministic position inside its shard (row_number over the
+# hash-scrambled order, doc_id tiebreak) so a re-run of the export
+# writes byte-identical shards and a trainer can seek to any
+# (shard, pos).  One shard-keyed exchange; at 100 TB this is the
+# repartition(shard) + sortWithinPartitions write, with pos as the
+# in-file record index.
+# --------------------------------------------------------------------------
+_N_SHARDS = 16
+
+
+@q(
+    "q_shard_assign",
+    f"""
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY scramble, doc_id) AS BIGINT) AS pos
+    FROM (
+        SELECT doc_id,
+               CAST({knuth_fold_sql('doc_id', _N_SHARDS)} AS BIGINT) AS shard,
+               {knuth_fold_sql('doc_id * 31 + 7', 1000003)} AS scramble
+        FROM documents
+    )
+    """,
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        knuth_fold_expr(F.col("doc_id"), _N_SHARDS).cast("bigint").alias("shard"),
+        knuth_fold_expr(F.col("doc_id") * 31 + 7, 1000003).alias("scramble"),
+    )
+    w = W.partitionBy("shard").orderBy("scramble", "doc_id")
+    return base.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )

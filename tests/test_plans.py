@@ -189,7 +189,8 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
                     "q_survival", "q_equi_depth_hist", "q_bigram_logprob",
                     "q_dsir_weights", "q_gumbel_topk_resample",
                     "q_bpe_train", "q_bpe_vocab", "q_bpe_encode",
-                    "q_pmi_cooccur", "q_hll_audit", "q_bloom_audit"):
+                    "q_pmi_cooccur", "q_hll_audit", "q_bloom_audit",
+                    "q_histogram_2d"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
@@ -206,7 +207,8 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
             # 1-row merge-choice broadcasts; q_pmi_cooccur broadcasts
             # the 1-row grand pair total; q_hll_audit / q_bloom_audit
             # cross their two 1-row scalar aggregates (Z / occupancy ×
-            # exact truth).
+            # exact truth).  q_histogram_2d broadcasts its 1-row
+            # quartile cutpoints (the q_equi_depth_hist shape).
         plan = _plan(spark, name)
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in plan, f"{name} compiles to {bad}"
