@@ -354,6 +354,9 @@ HEADLINE = {
     "q_histogram_2d",
     "q_shard_assign",
     "q_xcorr_lags",
+    "q_emd_drift",
+    "q_audience_overlap",
+    "q_item_similarity",
     "q_scan_text",
     "q_gif_decode",
     "q_scan_binary",

@@ -2323,3 +2323,152 @@ def q_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wasserstein-1 drift (earth mover's distance) — completes the drift
+# triad: PSI (binned likelihood), KS (max CDF gap), and now W1
+# (INTEGRATED CDF gap — the only one that scores HOW FAR mass moved,
+# in value units).  1-D EMD = Σ |F0 − F1| · Δv over the distinct
+# value grid: one fact agg to per-(value, variant) counts, prefix
+# sums on the bounded cents domain (same documented single-partition
+# window as q_mannwhitney), and the integrand kept EXACT as
+# |cum0·n1 − cum1·n0|·gap in decimal(38,0)/HUGEINT (the q_gini
+# head-room rule: cum·n·gap breaches int64 near 10⁵ rows), divided
+# once at the end.
+# --------------------------------------------------------------------------
+@q(
+    "q_emd_drift",
+    """
+    WITH g AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT v,
+               CAST(SUM(c0) OVER (ORDER BY v) AS BIGINT) AS cum0,
+               CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+               LEAD(v) OVER (ORDER BY v) AS v_next
+        FROM g
+    ), tot AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+        FROM g
+    )
+    SELECT t.n0, t.n1,
+           round(CAST(SUM(CAST(abs(c.cum0 * t.n1 - c.cum1 * t.n0)
+                              * (c.v_next - c.v) AS DECIMAL(38, 0)))
+                      AS DOUBLE)
+                 / t.n0 / t.n1 / 100.0, 6) AS w1_distance
+    FROM cum c CROSS JOIN tot t
+    WHERE c.v_next IS NOT NULL
+    GROUP BY t.n0, t.n1
+    """,
+)
+def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("v")
+    cum = g.select(
+        "v",
+        F.sum("c0").over(w).cast("bigint").alias("cum0"),
+        F.sum("c1").over(w).cast("bigint").alias("cum1"),
+        F.lead("v").over(wl).alias("v_next"),
+    )
+    tot = g.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+    )
+    term = (
+        F.abs(F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0"))
+        * (F.col("v_next") - F.col("v"))
+    ).cast("decimal(38,0)")
+    return (
+        cum.crossJoin(F.broadcast(tot))  # 1-row totals
+        .filter(F.col("v_next").isNotNull())
+        .groupBy("n0", "n1")
+        .agg(
+            F.round(
+                F.sum(term).cast("double")
+                / F.col("n0")
+                / F.col("n1")
+                / 100.0,
+                6,
+            ).alias("w1_distance")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Audience overlap — pairwise Jaccard between event-type audiences
+# (the marketing "segment overlap" matrix): one distinct (type, user)
+# rollup, a user-keyed self-join bounded by |types|² output, and
+# per-type audience sizes broadcast back.  Overlap stays integer
+# micros.  At 100 TB the same question answers approximately from
+# per-type HLL/bitmap sketches (q_bitmap_distinct / q_hll_audit);
+# this exact form is the calibration twin.
+# --------------------------------------------------------------------------
+@q(
+    "q_audience_overlap",
+    """
+    WITH ut AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS aud FROM ut GROUP BY 1
+    ), inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_common, sa.aud AS aud_a, sb.aud AS aud_b,
+           CAST(1000000 * i.n_common
+                // (sa.aud + sb.aud - i.n_common) AS BIGINT) AS jaccard_micro
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("aud")
+    )
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("aud").alias("aud_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("aud").alias("aud_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "aud_a",
+            "aud_b",
+            F.expr("1000000 * n_common div (aud_a + aud_b - n_common)")
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+    )

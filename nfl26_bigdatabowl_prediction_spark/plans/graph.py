@@ -650,3 +650,108 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adj.groupBy("part").agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item similarity — the recommender companion of q_assoc_rules
+# on the same support-pruned basket pairs: cosine normalization
+# cnt_ab / √(cnt_a·cnt_b) instead of confidence/lift, and top-5
+# neighbors per item via rank-then-filter (WindowGroupLimit — no full
+# sort of the pair table).  This is the classic item2item
+# collaborative-filtering precompute (Linden et al. 2003): the output
+# IS the serving lookup table, item-vocabulary-sized, broadcastable.
+# --------------------------------------------------------------------------
+@q(
+    "q_item_similarity",
+    f"""
+    WITH basket AS (
+        SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS cnt
+        FROM lineitem WHERE l_quantity >= 45
+        GROUP BY l_partkey
+    ), both_ AS (
+        SELECT p.src, p.dst,
+               CAST(COUNT(*) AS BIGINT) AS cnt_ab
+        FROM (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+                   a.l_orderkey AS ok
+            FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+              AND a.l_quantity >= 45 AND b.l_quantity >= 45
+        ) p
+        GROUP BY p.src, p.dst
+    ), sym AS (
+        SELECT src AS item, dst AS other, cnt_ab FROM both_
+        UNION ALL
+        SELECT dst, src, cnt_ab FROM both_
+    ), scored AS (
+        SELECT s.item, s.other,
+               round(CAST(s.cnt_ab AS DOUBLE)
+                     / sqrt(CAST(ba.cnt AS DOUBLE) * bb.cnt), 6) AS cosine,
+               s.cnt_ab
+        FROM sym s
+        JOIN basket ba ON ba.l_partkey = s.item
+        JOIN basket bb ON bb.l_partkey = s.other
+    )
+    SELECT item, other, cnt_ab, cosine, rnk FROM (
+        SELECT item, other, cnt_ab, cosine,
+               ROW_NUMBER() OVER (PARTITION BY item
+                                  ORDER BY cosine DESC, other ASC) AS rnk
+        FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+    )
+    basket = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("cnt")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    both = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+            F.col("l_orderkey").alias("ok"),
+        )
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_ab"))
+    )
+    sym = both.select(
+        F.col("src").alias("item"), F.col("dst").alias("other"), "cnt_ab"
+    ).unionAll(
+        both.select(
+            F.col("dst").alias("item"), F.col("src").alias("other"), "cnt_ab"
+        )
+    )
+    ba = basket.select(F.col("l_partkey").alias("item"), F.col("cnt").alias("ca"))
+    bb = basket.select(F.col("l_partkey").alias("other"), F.col("cnt").alias("cb"))
+    scored = (
+        sym.join(F.broadcast(ba), "item")
+        .join(F.broadcast(bb), "other")
+        .select(
+            "item",
+            "other",
+            "cnt_ab",
+            F.round(
+                F.col("cnt_ab").cast("double")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("item").orderBy(F.col("cosine").desc(), F.col("other").asc())
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 5)
+        .select("item", "other", "cnt_ab", "cosine", "rnk")
+    )

@@ -190,7 +190,7 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
                     "q_dsir_weights", "q_gumbel_topk_resample",
                     "q_bpe_train", "q_bpe_vocab", "q_bpe_encode",
                     "q_pmi_cooccur", "q_hll_audit", "q_bloom_audit",
-                    "q_histogram_2d"):
+                    "q_histogram_2d", "q_emd_drift"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
@@ -208,7 +208,8 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
             # the 1-row grand pair total; q_hll_audit / q_bloom_audit
             # cross their two 1-row scalar aggregates (Z / occupancy ×
             # exact truth).  q_histogram_2d broadcasts its 1-row
-            # quartile cutpoints (the q_equi_depth_hist shape).
+            # quartile cutpoints (the q_equi_depth_hist shape);
+            # q_emd_drift its 1-row (n0, n1) totals.
         plan = _plan(spark, name)
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in plan, f"{name} compiles to {bad}"
