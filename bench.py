@@ -357,6 +357,16 @@ HEADLINE = {
     "q_emd_drift",
     "q_audience_overlap",
     "q_item_similarity",
+    "q_perplexity_bucket",
+    "q_heaps_law",
+    "q_zipf_fit",
+    "q_chi_square",
+    "q_changepoint",
+    "q_rsi",
+    "q_macro_f1",
+    "q_cohens_kappa",
+    "q_modularity",
+    "q_pgm_decode",
     "q_scan_text",
     "q_gif_decode",
     "q_scan_binary",

@@ -439,3 +439,78 @@ def decode_gif(b: bytes) -> tuple[int, int, list[list[int]]]:
         [lut[pixels[y * width + x]] for x in range(width)] for y in range(height)
     ]
     return width, height, rows
+
+
+# ---------------------------------------------------------------------------
+# PGM (Netpbm grayscale: P2 plain-text and P5 raw)
+# ---------------------------------------------------------------------------
+
+
+def encode_pgm(
+    width: int, height: int, gray_rows: list[list[int]], plain: bool = False
+) -> bytes:
+    """Netpbm PGM bytes for an 8-bit grayscale raster — P2 (plain
+    ASCII) when ``plain`` else P5 (raw).  Both are real formats any
+    Netpbm-aware tool opens; P2 exists to exercise the tokenizing
+    parser path (arbitrary whitespace, comments)."""
+    if height != len(gray_rows) or any(len(r) != width for r in gray_rows):
+        raise ValueError("raster does not match dimensions")
+    if plain:
+        # A comment line after the magic — conforming files may carry
+        # them anywhere in the header; emitting one keeps the decoder
+        # honest.
+        lines = [f"# netpbm plain\n{width} {height}\n255"]
+        for row in gray_rows:
+            lines.append(" ".join(str(v) for v in row))
+        return b"P2\n" + ("\n".join(lines) + "\n").encode("ascii")
+    header = f"P5\n{width} {height}\n255\n".encode("ascii")
+    return header + b"".join(bytes(row) for row in gray_rows)
+
+
+def decode_pgm(b: bytes) -> tuple[int, int, list[list[int]]]:
+    """Parse P2/P5 PGM: header token scan (whitespace- and
+    #-comment-tolerant, per the Netpbm spec), then ASCII sample
+    tokens (P2) or one raw byte per sample (P5).  maxval > 255
+    (2-byte raw samples) stays behind NotImplementedError — the same
+    declared-subtype contract as the other codecs."""
+    if b[:2] not in (b"P2", b"P5"):
+        raise NotImplementedError("only P2/P5 PGM supported")
+    raw = b[:2] == b"P5"
+    pos = 2
+    tokens: list[int] = []
+
+    def next_token(pos: int) -> tuple[int, int]:
+        while True:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(b) and b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            break
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PGM header")
+        return int(b[start:pos]), pos
+
+    width, pos = next_token(pos)
+    height, pos = next_token(pos)
+    maxval, pos = next_token(pos)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PGM (maxval > 255) not supported")
+    if raw:
+        pos += 1  # exactly ONE whitespace byte after maxval (spec)
+        data = b[pos : pos + width * height]
+        if len(data) < width * height:
+            raise ValueError("truncated PGM raster")
+        return width, height, [
+            list(data[y * width : (y + 1) * width]) for y in range(height)
+        ]
+    for _ in range(width * height):
+        v, pos = next_token(pos)
+        tokens.append(v)
+    return width, height, [
+        tokens[y * width : (y + 1) * width] for y in range(height)
+    ]

@@ -371,3 +371,48 @@ def wav_walsh_bins(df_payload: DataFrame, ks: tuple[int, ...] = (1, 2, 4, 8)) ->
             yield pd.DataFrame(out)
 
     return df_payload.mapInPandas(gen, WAV_WALSH_SCHEMA)
+
+
+def synth_pgm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc_id → real Netpbm PGM bytes, alternating P5 raw (even id)
+    and P2 plain ASCII (odd id) so both parser paths run on every
+    batch: w = 10 + id%19, h = 3 + id%7, gray(x, y) = (5x + 7y + id) % 256."""
+    from .codecs import encode_pgm
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for doc_id in b[id_col]:
+                d = int(doc_id)
+                w, h = 10 + d % 19, 3 + d % 7
+                rows = [
+                    [(5 * x + 7 * y + d) % 256 for x in range(w)] for y in range(h)
+                ]
+                payloads.append(encode_pgm(w, h, rows, plain=bool(d % 2)))
+            yield pd.DataFrame({id_col: b[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} bigint, payload binary")
+
+
+PGM_FEATURES_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, px_sum bigint, px_max bigint"
+)
+
+
+def pgm_features(df_payload: DataFrame) -> DataFrame:
+    """Parse P2/P5 PGM payloads and emit integer raster features."""
+    from .codecs import decode_pgm
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "px_sum", "px_max")}
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                w, h, rows = decode_pgm(bytes(p))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(sum(v for row in rows for v in row))
+                out["px_max"].append(max(v for row in rows for v in row))
+            yield pd.DataFrame(out)
+
+    return df_payload.mapInPandas(gen, PGM_FEATURES_SCHEMA)

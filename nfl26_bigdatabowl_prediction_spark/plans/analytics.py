@@ -2472,3 +2472,252 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence test — event_type × (user_id parity)
+# contingency table: is behaviour independent of the hash variant?
+# The categorical companion of q_welch_ttest (continuous) and
+# q_ab_test (proportion).  Exactness: each cell's (o·n − r·c)² rides
+# DECIMAL(38,0) (o·n is ~1e8 at sf0.01 and squares past int64 at
+# scale — the q_gini head-room rule), the per-cell contribution is
+# scaled to int64 micros ONCE, and the final χ² is an integer sum —
+# partial-agg order cannot perturb it.  Scale: one fact agg to the
+# |types|×2 cell grid, row/col totals re-aggregate the cells
+# (broadcast), 1-row output.
+# --------------------------------------------------------------------------
+@q(
+    "q_chi_square",
+    """
+    WITH cells AS (
+        SELECT event_type, user_id % 2 AS variant,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), rows_ AS (
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1
+    ), cols AS (
+        SELECT variant, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+    ), contrib AS (
+        SELECT CAST(round(CAST((c1.o * t.n - r.r * c.c)
+                               * CAST(c1.o * t.n - r.r * c.c
+                                      AS DECIMAL(38, 0)) AS DOUBLE)
+                          / t.n / r.r / c.c * 1000000, 0) AS BIGINT) AS u
+        FROM cells c1
+        JOIN rows_ r ON r.event_type = c1.event_type
+        JOIN cols c ON c.variant = c1.variant
+        CROSS JOIN tot t
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM rows_)
+             * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM cols) AS df,
+           round(CAST(SUM(u) AS DOUBLE) / 1000000.0, 6) AS chi2
+    FROM contrib
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("variant")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
+    cols = cells.groupBy("variant").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    nr = rows_.agg((F.count(F.lit(1)) - 1).cast("bigint").alias("dfr"))
+    nc = cols.agg((F.count(F.lit(1)) - 1).cast("bigint").alias("dfc"))
+    dev = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    u = F.round(
+        (dev * dev.cast("decimal(38,0)")).cast("double")
+        / F.col("n")
+        / F.col("r")
+        / F.col("c")
+        * 1000000,
+        0,
+    ).cast("bigint")
+    return (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols), "variant")
+        .crossJoin(F.broadcast(tot))  # 1-row grand total
+        .select(u.alias("u"), "n")
+        .groupBy("n")
+        .agg(F.round(F.sum("u").cast("double") / 1000000.0, 6).alias("chi2"))
+        .crossJoin(F.broadcast(nr))  # 1-row df factors
+        .crossJoin(F.broadcast(nc))
+        .select("n", (F.col("dfr") * F.col("dfc")).alias("df"), "chi2")
+    )
+
+
+# --------------------------------------------------------------------------
+# Single change-point detection — the binary-segmentation first step
+# (Scott-Knott / CUSUM's offline sibling): over the hourly value
+# series, find the split that maximizes the between-segment sum-of-
+# squares reduction  gain(h) = (S_l·n_r − S_r·n_l)² / (n_l·n_r·N).
+# q_cusum flags that drift exists; this locates WHERE.  Exactness:
+# prefix sums are int64 cents on the bounded hour grid (documented
+# single-partition window — the q_mannwhitney rule), the gain
+# numerator (cum_s·N − S·cum_n)² rides DECIMAL(38,0) (it breaches
+# int64 near 1e5 rows — the q_gini head-room rule), one division at
+# the end; argmax by (gain_num·den-free compare is not portable, so
+# the rounded gain itself orders, tie-broken by hour).
+# --------------------------------------------------------------------------
+@q(
+    "q_changepoint",
+    """
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS hr,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), pre AS (
+        SELECT hr,
+               CAST(SUM(s) OVER (ORDER BY hr) AS BIGINT) AS cum_s,
+               CAST(SUM(cnt) OVER (ORDER BY hr) AS BIGINT) AS cum_n
+        FROM hourly
+    ), tot AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS ts_, CAST(SUM(cnt) AS BIGINT) AS tn
+        FROM hourly
+    ), gains AS (
+        SELECT p.hr, p.cum_n, t.tn - p.cum_n AS n_r,
+               round(CAST(p.cum_s AS DOUBLE) / p.cum_n / 100.0, 6) AS mean_left,
+               round(CAST(t.ts_ - p.cum_s AS DOUBLE) / (t.tn - p.cum_n) / 100.0, 6)
+                 AS mean_right,
+               round(CAST((p.cum_s * t.tn - t.ts_ * p.cum_n)
+                          * CAST(p.cum_s * t.tn - t.ts_ * p.cum_n
+                                 AS DECIMAL(38, 0)) AS DOUBLE)
+                     / p.cum_n / (t.tn - p.cum_n) / t.tn / 10000.0, 6) AS gain
+        FROM pre p CROSS JOIN tot t
+        WHERE p.cum_n < t.tn
+    )
+    SELECT hr AS split_hour, cum_n AS n_left, n_r AS n_right,
+           mean_left, mean_right, gain
+    FROM gains
+    ORDER BY gain DESC, hr ASC LIMIT 1
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    hourly = ev.groupBy(
+        F.expr("ts div 3600000000").alias("hr")
+    ).agg(
+        F.sum(cents).cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    pre = hourly.select(
+        "hr",
+        F.sum("s").over(w).cast("bigint").alias("cum_s"),
+        F.sum("cnt").over(w).cast("bigint").alias("cum_n"),
+    )
+    tot = hourly.agg(
+        F.sum("s").cast("bigint").alias("ts_"),
+        F.sum("cnt").cast("bigint").alias("tn"),
+    )
+    dev = F.col("cum_s") * F.col("tn") - F.col("ts_") * F.col("cum_n")
+    n_r = F.col("tn") - F.col("cum_n")
+    gains = (
+        pre.crossJoin(F.broadcast(tot))  # 1-row totals
+        .filter(F.col("cum_n") < F.col("tn"))
+        .select(
+            F.col("hr").alias("split_hour"),
+            F.col("cum_n").alias("n_left"),
+            n_r.alias("n_right"),
+            F.round(F.col("cum_s").cast("double") / F.col("cum_n") / 100.0, 6)
+            .alias("mean_left"),
+            F.round((F.col("ts_") - F.col("cum_s")).cast("double") / n_r / 100.0, 6)
+            .alias("mean_right"),
+            F.round(
+                (dev * dev.cast("decimal(38,0)")).cast("double")
+                / F.col("cum_n")
+                / n_r
+                / F.col("tn")
+                / 10000.0,
+                6,
+            ).alias("gain"),
+        )
+    )
+    return gains.orderBy(F.col("gain").desc(), F.col("split_hour").asc()).limit(1)
+
+
+# --------------------------------------------------------------------------
+# RSI — the relative-strength index over the daily revenue series per
+# event type (Cutler's SMA-14 variant: the rolling-window form of
+# Wilder's recursive smoothing, chosen because a ROWS frame expresses
+# it exactly — the recursion needs q_holt's fold instead).  Gains and
+# losses are int64 cent diffs; the 14-day sums stay integer, so
+# RS = ΣG/(ΣG+ΣL) is one exact-int ratio per row.  Scale: one fact
+# agg to the (type, day) grid, one bounded per-type window.
+# --------------------------------------------------------------------------
+_RSI_N = 14
+
+
+@q(
+    "q_rsi",
+    f"""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS close_c
+        FROM events GROUP BY 1, 2
+    ), diffs AS (
+        SELECT event_type, day, close_c,
+               close_c - LAG(close_c) OVER w AS d,
+               ROW_NUMBER() OVER w AS rn
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), gl AS (
+        SELECT event_type, day, close_c, rn,
+               CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END)
+                    OVER w14 AS BIGINT) AS sum_gain,
+               CAST(SUM(CASE WHEN d < 0 THEN -d ELSE 0 END)
+                    OVER w14 AS BIGINT) AS sum_loss
+        FROM diffs
+        WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, round(close_c / 100.0, 6) AS close,
+           round(CAST(100 * sum_gain AS DOUBLE) / (sum_gain + sum_loss), 6) AS rsi
+    FROM gl
+    WHERE rn > {_RSI_N} AND sum_gain + sum_loss > 0
+    """,
+)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts div 86400000000").alias("day")
+    ).agg(F.sum(cents).cast("bigint").alias("close_c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    diffs = daily.select(
+        "event_type",
+        "day",
+        "close_c",
+        (F.col("close_c") - F.lag("close_c").over(w)).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    w14 = w.rowsBetween(-(_RSI_N - 1), 0)
+    gl = diffs.select(
+        "event_type",
+        "day",
+        "close_c",
+        "rn",
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0))
+        .over(w14)
+        .cast("bigint")
+        .alias("sum_gain"),
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0))
+        .over(w14)
+        .cast("bigint")
+        .alias("sum_loss"),
+    )
+    return gl.filter(
+        (F.col("rn") > _RSI_N) & (F.col("sum_gain") + F.col("sum_loss") > 0)
+    ).select(
+        "event_type",
+        "day",
+        F.round(F.col("close_c") / 100.0, 6).alias("close"),
+        F.round(
+            (100 * F.col("sum_gain")).cast("double")
+            / (F.col("sum_gain") + F.col("sum_loss")),
+            6,
+        ).alias("rsi"),
+    )

@@ -755,3 +755,136 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("item", "other", "cnt_ab", "cosine", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Modularity — Newman's partition-quality score for the communities
+# the 2-round deterministic LPA finds on the co-purchase graph:
+# Q = Σ_c [ e_c/m − (d_c/2m)² ] = (4m·Σe_c − Σd_c²) / 4m², computed
+# per community so each row carries its own contribution.  The
+# measurement that tells you whether a community structure is real
+# before you invest in a Louvain pass.  Exact: e_c, d_c, m are edge
+# counts; d_c² rides DECIMAL(38,0) (d_c ≤ 2m breaches int64 squared
+# past ~3e9 edges — the q_gini head-room rule); one division per row.
+# Scale: label table is node-sized (broadcast onto the edge scan
+# twice — src and dst); e_c and d_c are one agg each over edges/adj;
+# m is a 1-row broadcast.
+# --------------------------------------------------------------------------
+def _modularity_oracle() -> str:
+    head = f"""
+    WITH e AS ({_EDGE_SQL}),
+    adj AS (SELECT src AS part, dst AS nbr FROM e
+            UNION ALL SELECT dst, src FROM e),
+    lab0 AS (SELECT DISTINCT part, part AS label FROM adj)
+    """
+    body = ""
+    for i in range(1, 3):
+        body += f""",
+    cnt{i} AS (
+        SELECT adj.part, l.label, COUNT(*) AS cnt
+        FROM adj JOIN lab{i - 1} l ON l.part = adj.nbr
+        GROUP BY adj.part, l.label
+    ),
+    lab{i} AS (
+        SELECT part, label FROM (
+            SELECT part, label,
+                   ROW_NUMBER() OVER (PARTITION BY part
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM cnt{i}
+        ) WHERE rn = 1
+    )"""
+    tail = """,
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    deg AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY part),
+    comm AS (
+        SELECT l.label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(deg.d) AS BIGINT) AS deg_sum
+        FROM lab2 l JOIN deg ON deg.part = l.part
+        GROUP BY l.label
+    ),
+    intra AS (
+        SELECT ls.label AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+        FROM e
+        JOIN lab2 ls ON ls.part = e.src
+        JOIN lab2 ld ON ld.part = e.dst
+        WHERE ls.label = ld.label
+        GROUP BY ls.label
+    )
+    SELECT c.community, c.n_members, c.deg_sum,
+           CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           round(CAST(4 * m.m * CAST(COALESCE(i.intra_edges, 0)
+                                     AS DECIMAL(38, 0))
+                      - CAST(c.deg_sum AS DECIMAL(38, 0)) * c.deg_sum AS DOUBLE)
+                 / CAST(4 * CAST(m.m AS DECIMAL(38, 0)) * m.m AS DOUBLE), 6)
+             + 0.0 AS contribution
+    FROM comm c
+    LEFT JOIN intra i ON i.community = c.community
+    CROSS JOIN m
+    """
+    return head + body + tail
+
+
+@q("q_modularity", _modularity_oracle())
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = _edges(spark, sf_dir).cache()
+    adj = e.select(F.col("src").alias("part"), F.col("dst").alias("nbr")).unionAll(
+        e.select(F.col("dst").alias("part"), F.col("src").alias("nbr"))
+    )
+    adj = adj.repartition("part").cache()
+    lab = adj.select("part").distinct().select("part", F.col("part").alias("label"))
+    rn = F.row_number().over(
+        W.partitionBy("part").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    )
+    for _ in range(2):
+        nbr_lab = lab.select(F.col("part").alias("nbr"), "label")
+        lab = (
+            adj.join(F.broadcast(nbr_lab), "nbr")
+            .groupBy("part", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("part", "label")
+            .localCheckpoint(eager=False)
+        )
+    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    deg = adj.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    comm = (
+        lab.join(deg, "part")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("d").cast("bigint").alias("deg_sum"),
+        )
+    )
+    ls = lab.select(F.col("part").alias("src"), F.col("label").alias("l_src"))
+    ld = lab.select(F.col("part").alias("dst"), F.col("label").alias("l_dst"))
+    intra = (
+        e.join(F.broadcast(ls), "src")
+        .join(F.broadcast(ld), "dst")
+        .filter(F.col("l_src") == F.col("l_dst"))
+        .groupBy(F.col("l_src").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    dec = "decimal(38,0)"
+    ie = F.coalesce(F.col("intra_edges"), F.lit(0)).cast("bigint")
+    return (
+        comm.join(F.broadcast(intra), "community", "left")
+        .crossJoin(F.broadcast(m))  # 1-row edge total
+        .select(
+            "community",
+            "n_members",
+            "deg_sum",
+            ie.alias("intra_edges"),
+            (
+                F.round(
+                    (4 * F.col("m") * ie.cast(dec)
+                     - F.col("deg_sum").cast(dec) * F.col("deg_sum")).cast("double")
+                    / (4 * F.col("m").cast(dec) * F.col("m")).cast("double"),
+                    6,
+                )
+                + 0.0  # normalize −0.0 (round of a tiny negative) cross-engine
+            ).alias("contribution"),
+        )
+    )

@@ -1064,3 +1064,161 @@ def q_label_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "churned"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-class precision/recall/F1 + macro-F1 — the multi-class
+# extension of q_confusion.  The deterministic pseudo-classifier maps
+# value cents mod 5 onto the alphabetical class list (a synthetic
+# stand-in; any scored table with (true, pred) columns drops in).
+# One fact agg to the ≤|C|² (true, pred) grid; tp/fp/fn re-aggregate
+# the grid per class; every rate is exact-int-over-exact-int, macro
+# averaged once (the 1-row broadcast joined back onto the per-class
+# rows).  Classes never predicted keep P=0 by the 0/0→0 convention
+# (greatest(denom, 1) — both engines identically).
+# --------------------------------------------------------------------------
+_CLASSES = ("click", "error", "purchase", "signup", "view")
+_PRED_SQL = (
+    "CASE CAST(round(value * 100, 0) AS BIGINT) % 5 "
+    + " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(_CLASSES))
+    + " END"
+)
+
+
+@q(
+    "q_macro_f1",
+    f"""
+    WITH grid AS (
+        SELECT event_type AS t, {_PRED_SQL} AS p, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), per_class AS (
+        SELECT c.cls,
+               CAST(COALESCE(SUM(CASE WHEN g.t = c.cls AND g.p = c.cls
+                                      THEN g.n END), 0) AS BIGINT) AS tp,
+               CAST(COALESCE(SUM(CASE WHEN g.p = c.cls AND g.t <> c.cls
+                                      THEN g.n END), 0) AS BIGINT) AS fp,
+               CAST(COALESCE(SUM(CASE WHEN g.t = c.cls AND g.p <> c.cls
+                                      THEN g.n END), 0) AS BIGINT) AS fn
+        FROM (SELECT unnest({list(_CLASSES)}) AS cls) c
+        LEFT JOIN grid g ON g.t = c.cls OR g.p = c.cls
+        GROUP BY c.cls
+    ), scored AS (
+        SELECT cls, tp, fp, fn,
+               round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision_,
+               round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall_,
+               round(CAST(2 * tp AS DOUBLE) / greatest(2 * tp + fp + fn, 1), 6)
+                 AS f1
+        FROM per_class
+    )
+    SELECT s.cls, s.tp, s.fp, s.fn, s.precision_, s.recall_, s.f1,
+           m.macro_f1
+    FROM scored s
+    CROSS JOIN (SELECT round(AVG(f1), 6) AS macro_f1 FROM scored) m
+    """,
+)
+def q_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pred = F.expr(_PRED_SQL)
+    grid = ev.groupBy(
+        F.col("event_type").alias("t"), pred.alias("p")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cls = spark.createDataFrame([(c,) for c in _CLASSES], "cls string")
+    z = F.lit(0).cast("bigint")
+    per_class = (
+        F.broadcast(cls)
+        .join(grid, (F.col("t") == F.col("cls")) | (F.col("p") == F.col("cls")), "left")
+        .groupBy("cls")
+        .agg(
+            F.coalesce(
+                F.sum(F.when((F.col("t") == F.col("cls")) & (F.col("p") == F.col("cls")), F.col("n"))), z
+            ).cast("bigint").alias("tp"),
+            F.coalesce(
+                F.sum(F.when((F.col("p") == F.col("cls")) & (F.col("t") != F.col("cls")), F.col("n"))), z
+            ).cast("bigint").alias("fp"),
+            F.coalesce(
+                F.sum(F.when((F.col("t") == F.col("cls")) & (F.col("p") != F.col("cls")), F.col("n"))), z
+            ).cast("bigint").alias("fn"),
+        )
+    )
+    g1 = lambda c: F.greatest(c, F.lit(1))  # noqa: E731
+    scored = per_class.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp").cast("double") / g1(F.col("tp") + F.col("fp")), 6)
+        .alias("precision_"),
+        F.round(F.col("tp").cast("double") / g1(F.col("tp") + F.col("fn")), 6)
+        .alias("recall_"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / g1(2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+    )
+    macro = scored.agg(F.round(F.avg("f1"), 6).alias("macro_f1"))
+    return scored.crossJoin(F.broadcast(macro))  # 1-row macro average
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa — chance-corrected agreement between two binary
+# raters (here the two deterministic labelers: value ≥ 50 and the
+# user-parity variant; any pair of label columns drops in).  Exact:
+# κ = (n·agree − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k) is an integer
+# ratio — the marginal products ride DECIMAL(38,0) since n² breaches
+# int64 past ~3e9 rows (the q_gini head-room rule).  One fact scan,
+# one 1-row agg, closed form.
+# --------------------------------------------------------------------------
+@q(
+    "q_cohens_kappa",
+    """
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN (value >= 50) = (user_id % 2 = 0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+               CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS a_pos,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS b_pos
+        FROM events
+    )
+    SELECT n, agree, a_pos, b_pos,
+           round(CAST(agree AS DOUBLE) / n, 6) AS po,
+           round(CAST(CAST(a_pos AS DECIMAL(38, 0)) * b_pos
+                      + CAST(n - a_pos AS DECIMAL(38, 0)) * (n - b_pos)
+                      AS DOUBLE) / n / n, 6) AS pe,
+           round(CAST(CAST(n AS DECIMAL(38, 0)) * agree
+                      - CAST(a_pos AS DECIMAL(38, 0)) * b_pos
+                      - CAST(n - a_pos AS DECIMAL(38, 0)) * (n - b_pos) AS DOUBLE)
+                 / CAST(CAST(n AS DECIMAL(38, 0)) * n
+                        - CAST(a_pos AS DECIMAL(38, 0)) * b_pos
+                        - CAST(n - a_pos AS DECIMAL(38, 0)) * (n - b_pos)
+                        AS DOUBLE), 6) AS kappa
+    FROM m
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    a = F.col("value") >= 50
+    b = F.col("user_id") % 2 == 0
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    m = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        cnt(a == b).alias("agree"),
+        cnt(a).alias("a_pos"),
+        cnt(b).alias("b_pos"),
+    )
+    dec = "decimal(38,0)"
+    n, agree = F.col("n"), F.col("agree")
+    ap, bp = F.col("a_pos"), F.col("b_pos")
+    pe_num = ap.cast(dec) * bp + (n - ap).cast(dec) * (n - bp)
+    k_num = n.cast(dec) * agree - pe_num
+    k_den = n.cast(dec) * n - pe_num
+    return m.select(
+        "n",
+        "agree",
+        "a_pos",
+        "b_pos",
+        F.round(agree.cast("double") / n, 6).alias("po"),
+        F.round(pe_num.cast("double") / n / n, 6).alias("pe"),
+        F.round(k_num.cast("double") / k_den.cast("double"), 6).alias("kappa"),
+    )

@@ -282,3 +282,35 @@ ORACLES["q_spectral_bins"] = """
     FROM s CROSS JOIN bins
     GROUP BY doc_id, k
 """
+
+
+def q_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real Netpbm PGM payloads (P5 raw for even ids, P2
+    plain ASCII with header comments for odd ids — both parser paths
+    every batch) → token/raster parse → integer features.  Same
+    scan-side zero-shuffle mapInPandas kernel pair as the other
+    codecs (operators/codecs.encode_pgm/decode_pgm)."""
+    from ..operators.multimodal import pgm_features, synth_pgm_payloads
+
+    d = table(spark, sf_dir, "documents")
+    return pgm_features(synth_pgm_payloads(d))
+
+
+QUERIES["q_pgm_decode"] = q_pgm_decode
+ORACLES["q_pgm_decode"] = """
+    WITH dims AS (
+        SELECT doc_id, 10 + doc_id % 19 AS w, 3 + doc_id % 7 AS h
+        FROM documents
+    ), xs AS (
+        SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), px AS (
+        SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM((5 * x + 7 * y + doc_id) % 256) AS BIGINT) AS px_sum,
+           CAST(MAX((5 * x + 7 * y + doc_id) % 256) AS BIGINT) AS px_max
+    FROM px
+    GROUP BY doc_id
+"""

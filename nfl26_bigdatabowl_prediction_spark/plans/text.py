@@ -3536,3 +3536,248 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Perplexity bucketing — the CCNet curation step (Wenzek et al. 2020):
+# score every document under a language model and split the corpus
+# into head / middle / tail terciles by perplexity, so downstream
+# mixes can up-weight the head.  The LM here is the corpus's own
+# unigram model (the q_unigram_logprob scoring pass verbatim); the
+# bucket is NTILE(3) over the per-doc average log-prob — rank-based,
+# so no cutpoint floats cross the engine boundary.  Ordering is total
+# (avg int-micro score, then doc_id), hence the tercile assignment is
+# bitwise-deterministic.  Scale: scoring is the broadcast-vocab join
+# of q_unigram_logprob; the NTILE runs on the doc-dimension-sized
+# score table (one bounded window — at 100 TB substitute the
+# two-pass approx-quantile cutpoint + broadcast compare, same output
+# contract).
+# --------------------------------------------------------------------------
+@q(
+    "q_perplexity_bucket",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS_DUCK}) AS token FROM documents
+    ), freq AS (
+        SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> '' GROUP BY token
+    ), probs AS (
+        SELECT token,
+               CAST(round(ln(CAST(cnt AS DOUBLE) / SUM(cnt) OVER ()) * 1000000, 0)
+                    AS BIGINT) AS logp_u
+        FROM freq
+    ), scored AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(p.logp_u) AS BIGINT) AS logp_sum_u
+        FROM toks t JOIN probs p ON t.token = p.token
+        WHERE t.token <> ''
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(logp_sum_u AS DOUBLE) / n_tokens / 1000000.0, 6)
+             AS avg_logprob,
+           CASE NTILE(3) OVER (ORDER BY CAST(logp_sum_u AS DOUBLE) / n_tokens DESC,
+                               doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM scored
+    """,
+)
+def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        _with_words(d, "doc_id")
+        .select("doc_id", F.explode("words").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(W.partitionBy())
+    probs = freq.select(
+        "token",
+        F.round(F.log(F.col("cnt").cast("double") / total) * 1000000, 0)
+        .cast("bigint")
+        .alias("logp_u"),
+    )
+    scored = (
+        toks.join(F.broadcast(probs), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("logp_u").cast("bigint").alias("logp_sum_u"),
+        )
+    )
+    # one IEEE division of two exact ints — bitwise identical in both
+    # engines, so the NTILE total order (score desc, doc_id) matches.
+    avg = F.col("logp_sum_u").cast("double") / F.col("n_tokens")
+    ntile = F.ntile(3).over(W.orderBy(avg.desc(), F.col("doc_id").asc()))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(avg / 1000000.0, 6).alias("avg_logprob"),
+        F.when(ntile == 1, "head")
+        .when(ntile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law curve — vocabulary growth V(n) as the corpus is read in
+# doc_id order: each token type is attributed to the document where
+# it FIRST appears (min doc_id), so cum_vocab at doc k = #types with
+# first_doc ≤ k — two prefix sums on the doc-dimension grid give the
+# (cum_tokens, cum_vocab) curve whose log-log slope is Heaps' β.  The
+# dataset-health probe that says whether more data still buys new
+# vocabulary.  Scale: two fact-keyed aggs (token → first doc; doc →
+# token count), then windows on the doc dimension only (bounded,
+# documented single-partition window — the q_mannwhitney rule).
+# --------------------------------------------------------------------------
+@q(
+    "q_heaps_law",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS_DUCK}) AS token FROM documents
+    ), nz AS (
+        SELECT doc_id, token FROM toks WHERE token <> ''
+    ), first_doc AS (
+        SELECT token, MIN(doc_id) AS fd FROM nz GROUP BY token
+    ), new_types AS (
+        SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM first_doc GROUP BY fd
+    ), doc_toks AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM nz GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_tokens,
+           CAST(SUM(d.n_tokens) OVER (ORDER BY d.doc_id) AS BIGINT) AS cum_tokens,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_types,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.doc_id) AS BIGINT)
+             AS cum_vocab
+    FROM doc_toks d LEFT JOIN new_types n ON n.doc_id = d.doc_id
+    """,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    nz = (
+        _with_words(d, "doc_id")
+        .select("doc_id", F.explode("words").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    new_types = (
+        nz.groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    doc_toks = nz.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    n_new = F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint")
+    return (
+        doc_toks.join(F.broadcast(new_types), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            n_new.alias("n_new_types"),
+            F.sum(n_new).over(w).cast("bigint").alias("cum_vocab"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf fit — OLS of ln(freq) on ln(rank) over the top-200 vocabulary:
+# the slope is the corpus's Zipf exponent (≈ −1 for natural text;
+# far off signals boilerplate or spam floods) and r² says how
+# Zipfian the corpus is.  Each ln is scaled to int micro-nats ONCE
+# (the q_unigram_logprob rule); every OLS power sum then rides
+# DECIMAL(38,0) — n·Σxy at big corpora breaches int64 (the q_gini
+# head-room rule) — and the closed forms divide once at the end.
+# Scale: vocab-sized rank window (bounded, documented), 1-row output.
+# --------------------------------------------------------------------------
+_ZIPF_TOP = 200
+
+
+@q(
+    "q_zipf_fit",
+    f"""
+    WITH toks AS (
+        SELECT unnest({_WORDS_DUCK}) AS token FROM documents
+    ), freq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks WHERE token <> '' GROUP BY token
+    ), ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rnk, cnt
+        FROM freq
+        ORDER BY cnt DESC, token ASC LIMIT {_ZIPF_TOP}
+    ), pts AS (
+        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+               CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+        FROM ranked
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38, 0)) * y) AS DECIMAL(38, 0)) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38, 0)) * x) AS DECIMAL(38, 0)) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38, 0)) * y) AS DECIMAL(38, 0)) AS syy
+        FROM pts
+    )
+    SELECT n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / n / 1000000.0, 6) AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 / CAST(n * syy - sy * sy AS DOUBLE), 6) AS r2
+    FROM s
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        _with_words(d)
+        .select(F.explode("words").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ranked = (
+        freq.select(
+            F.row_number()
+            .over(W.orderBy(F.col("cnt").desc(), F.col("token").asc()))
+            .alias("rnk"),
+            "cnt",
+        )
+        .orderBy(F.col("rnk").asc())
+        .limit(_ZIPF_TOP)
+    )
+    dec = "decimal(38,0)"
+    x = F.round(F.log(F.col("rnk").cast("double")) * 1000000, 0).cast("bigint")
+    y = F.round(F.log(F.col("cnt").cast("double")) * 1000000, 0).cast("bigint")
+    pts = ranked.select(x.alias("x"), y.alias("y"))
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope_num = (n * sxy - sx * sy).cast("double")
+    slope_den = (n * sxx - sx * sx).cast("double")
+    slope = slope_num / slope_den
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (sy.cast("double") - slope * sx.cast("double")) / n / 1000000.0, 6
+        ).alias("intercept"),
+        F.round(
+            slope_num * slope_num / slope_den / (n * syy - sy * sy).cast("double"),
+            6,
+        ).alias("r2"),
+    )

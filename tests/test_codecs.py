@@ -294,3 +294,51 @@ def test_gif_round_trip_property(w, h, rnd):
 
     rows = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
     assert decode_gif(encode_gif(w, h, rows)) == (w, h, rows)
+
+
+def test_pgm_round_trip_both_formats():
+    from nfl26_bigdatabowl_prediction_spark.operators.codecs import (
+        decode_pgm, encode_pgm,
+    )
+
+    rows = [[(5 * x + 7 * y) % 256 for x in range(10)] for y in range(4)]
+    for plain in (False, True):
+        assert decode_pgm(encode_pgm(10, 4, rows, plain=plain)) == (10, 4, rows)
+
+
+def test_pgm_parser_handles_comments_and_whitespace():
+    from nfl26_bigdatabowl_prediction_spark.operators.codecs import decode_pgm
+
+    # A hand-written conforming P2 file: comments between every header
+    # token, mixed tabs/newlines between samples.
+    b = b"P2 # magic comment\n# full line\n 3\t2 # dims\n255\n0 1\t2\n253  254\n255\n"
+    assert decode_pgm(b) == (3, 2, [[0, 1, 2], [253, 254, 255]])
+
+
+def test_pgm_rejects_unsupported():
+    import pytest
+
+    from nfl26_bigdatabowl_prediction_spark.operators.codecs import (
+        decode_pgm, encode_pgm,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_pgm(b"P6\n1 1\n255\n\x00\x00\x00")  # PPM color
+    with pytest.raises(NotImplementedError):
+        decode_pgm(b"P5\n1 1\n65535\n\x00\x00")  # 16-bit maxval
+    with pytest.raises(ValueError):
+        decode_pgm(b"P5\n4 4\n255\n\x00")  # truncated raster
+    with pytest.raises(ValueError):
+        encode_pgm(2, 2, [[0, 0]], plain=False)  # dim mismatch
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.booleans(),
+       st.randoms(use_true_random=False))
+def test_pgm_round_trip_property(w, h, plain, rnd):
+    from nfl26_bigdatabowl_prediction_spark.operators.codecs import (
+        decode_pgm, encode_pgm,
+    )
+
+    rows = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+    assert decode_pgm(encode_pgm(w, h, rows, plain=plain)) == (w, h, rows)

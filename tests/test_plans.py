@@ -190,7 +190,8 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
                     "q_dsir_weights", "q_gumbel_topk_resample",
                     "q_bpe_train", "q_bpe_vocab", "q_bpe_encode",
                     "q_pmi_cooccur", "q_hll_audit", "q_bloom_audit",
-                    "q_histogram_2d", "q_emd_drift"):
+                    "q_histogram_2d", "q_emd_drift", "q_chi_square",
+                    "q_changepoint", "q_macro_f1", "q_modularity"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
@@ -209,7 +210,12 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
             # cross their two 1-row scalar aggregates (Z / occupancy ×
             # exact truth).  q_histogram_2d broadcasts its 1-row
             # quartile cutpoints (the q_equi_depth_hist shape);
-            # q_emd_drift its 1-row (n0, n1) totals.
+            # q_emd_drift its 1-row (n0, n1) totals; q_chi_square its
+            # 1-row grand total + df factors; q_changepoint its 1-row
+            # series totals; q_macro_f1 its 1-row macro average AND
+            # the 5-row class spine OR-joined onto the ≤|C|² grid
+            # (O(|C|³) — class-dimension-sized, never fact-sized);
+            # q_modularity its 1-row edge count m.
         plan = _plan(spark, name)
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in plan, f"{name} compiles to {bad}"
