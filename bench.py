@@ -367,6 +367,12 @@ HEADLINE = {
     "q_cohens_kappa",
     "q_modularity",
     "q_pgm_decode",
+    "q_anova",
+    "q_kendall_tau",
+    "q_holt_winters",
+    "q_naive_bayes",
+    "q_power_iteration",
+    "q_zonemap_audit",
     "q_scan_text",
     "q_gif_decode",
     "q_scan_binary",

@@ -2721,3 +2721,312 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rsi"),
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA — does mean value differ across the event types?
+# Completes the hypothesis-test family: Welch t (2 groups), Mann-
+# Whitney (rank), KS (distribution), chi-square (categorical), and
+# now the k-group mean comparison.  Exactness: per-group power sums
+# are int64 cents; each group's s_g²·100/n_g lands in int64 micros
+# ONCE (s_g² rides DECIMAL(38,0) first — the q_gini head-room rule),
+# so both sums of squares are integer sums; F divides once.  One fact
+# agg to k rows, 1-row output.
+# --------------------------------------------------------------------------
+@q(
+    "q_anova",
+    """
+    WITH g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)
+                        * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS ss
+        FROM events GROUP BY 1
+    ), terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(s) AS BIGINT) AS s_tot,
+               CAST(SUM(ss) AS BIGINT) AS ss_tot,
+               CAST(SUM(CAST(round(CAST(CAST(s AS DECIMAL(38, 0)) * s
+                                        AS DOUBLE) * 100 / n, 0)
+                             AS BIGINT)) AS BIGINT) AS sum_sq_over_n_u
+        FROM g
+    )
+    SELECT k, n_tot,
+           round((sum_sq_over_n_u
+                  - round(CAST(CAST(s_tot AS DECIMAL(38, 0)) * s_tot AS DOUBLE)
+                          * 100 / n_tot, 0)) / 1000000.0, 6) AS ss_between,
+           round((ss_tot * 100 - sum_sq_over_n_u) / 1000000.0, 6) AS ss_within,
+           round(CAST(sum_sq_over_n_u
+                      - round(CAST(CAST(s_tot AS DECIMAL(38, 0)) * s_tot
+                                   AS DOUBLE) * 100 / n_tot, 0) AS DOUBLE)
+                 / (k - 1)
+                 / ((ss_tot * 100 - sum_sq_over_n_u) * 1.0 / (n_tot - k)), 6)
+             AS f_stat
+    FROM terms
+    """,
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("s"),
+        F.sum(cents * cents).cast("bigint").alias("ss"),
+    )
+    sq_over_n = F.round(
+        (F.col("s").cast("decimal(38,0)") * F.col("s")).cast("double")
+        * 100
+        / F.col("n"),
+        0,
+    ).cast("bigint")
+    terms = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s").cast("bigint").alias("s_tot"),
+        F.sum("ss").cast("bigint").alias("ss_tot"),
+        F.sum(sq_over_n).cast("bigint").alias("sum_sq_over_n_u"),
+    )
+    grand = F.round(
+        (F.col("s_tot").cast("decimal(38,0)") * F.col("s_tot")).cast("double")
+        * 100
+        / F.col("n_tot"),
+        0,
+    )
+    ssb_u = F.col("sum_sq_over_n_u") - grand
+    ssw_u = F.col("ss_tot") * 100 - F.col("sum_sq_over_n_u")
+    return terms.select(
+        "k",
+        "n_tot",
+        F.round(ssb_u / 1000000.0, 6).alias("ss_between"),
+        F.round(ssw_u / 1000000.0, 6).alias("ss_within"),
+        F.round(
+            ssb_u.cast("double")
+            / (F.col("k") - 1)
+            / (ssw_u * 1.0 / (F.col("n_tot") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kendall's tau-b — rank correlation between hourly click volume and
+# hourly purchase volume, with the tie correction (count data ties
+# heavily).  Completes the correlation family: Pearson (q_group_corr/
+# q_xcorr_lags), Spearman (q_spearman), and now the concordance form.
+# Concordant/discordant pairs come from the i<j self-join of the
+# BOUNDED hour grid (≤ n_hours² pairs — the documented bounded-domain
+# quadratic, never fact-sized); the tie terms n1/n2 re-aggregate the
+# grid by value.  All counts integer; the denominator's product rides
+# DECIMAL(38,0); one sqrt + one division at the end.
+# --------------------------------------------------------------------------
+@q(
+    "q_kendall_tau",
+    """
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS hr,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM hourly a JOIN hourly b ON a.hr < b.hr
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hourly
+    ), tx AS (
+        SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1
+        FROM (SELECT COUNT(*) AS t FROM hourly GROUP BY x)
+    ), ty AS (
+        SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n2
+        FROM (SELECT COUNT(*) AS t FROM hourly GROUP BY y)
+    )
+    SELECT nn.n, pairs.c AS concordant, pairs.d AS discordant,
+           tx.n1 AS ties_x, ty.n2 AS ties_y,
+           round((pairs.c - pairs.d)
+                 / sqrt(CAST((CAST(nn.n AS DECIMAL(38, 0)) * (nn.n - 1) / 2 - tx.n1)
+                             * (CAST(nn.n AS DECIMAL(38, 0)) * (nn.n - 1) / 2 - ty.n2)
+                             AS DOUBLE)), 6) AS tau_b
+    FROM pairs CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.expr("ts div 3600000000").alias("hr")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a = hourly.select(
+        F.col("hr").alias("hr_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = hourly.select(
+        F.col("hr").alias("hr_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    pairs = (
+        a.join(b, F.col("hr_a") < F.col("hr_b"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("c"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("d"),
+        )
+    )
+    nn = hourly.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tx = (
+        hourly.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2")).cast("bigint").alias("n1")
+        )
+    )
+    ty = (
+        hourly.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2")).cast("bigint").alias("n2")
+        )
+    )
+    dec = "decimal(38,0)"
+    half = F.col("n").cast(dec) * (F.col("n") - 1) / 2
+    return (
+        pairs.crossJoin(F.broadcast(nn))  # all three are 1-row scalars
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n",
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            F.col("n1").alias("ties_x"),
+            F.col("n2").alias("ties_y"),
+            F.round(
+                (F.col("c") - F.col("d"))
+                / F.sqrt(
+                    ((half - F.col("n1")) * (half - F.col("n2"))).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters (additive, weekly season m=7) — completes the
+# exponential-smoothing family: q_ewm (level), q_holt (level+trend),
+# and now level+trend+seasonality over the daily revenue series.
+# Textbook init (level = mean of season 1, trend = (mean₂ − mean₁)/m²,
+# s_j = y_j − level), then the classic three-equation update from day
+# m+1.  Smoothing constants are binary-exact doubles (α=0.25,
+# β=0.0625, γ=0.125), init means divide exact int cent sums once, and
+# the recursion applies the IDENTICAL operation sequence in the
+# Python kernel and DuckDB's recursive CTE (list-valued seasonal
+# state; `AS MATERIALIZED` on the series CTE — non-materialized CTEs
+# re-evaluate per recursive step).  Scale: the fact side collapses to
+# the bounded daily grid distributed-first; the sequential fold runs
+# on that dimension-sized series only (the q_holt applyInPandas
+# shape, one bounded group).  Emitted only when ≥ 15 days exist (two
+# full seasons + 1), identically on both engines.
+# --------------------------------------------------------------------------
+_HW_M = 7
+
+
+@q(
+    "q_holt_winters",
+    """
+    WITH RECURSIVE d AS MATERIALIZED (
+        SELECT day, c,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        )
+    ), init AS MATERIALIZED (
+        SELECT CAST((SELECT SUM(c) FROM d WHERE rn <= 7) AS DOUBLE) / 700.0 AS l0,
+               CAST((SELECT SUM(c) FROM d WHERE rn BETWEEN 8 AND 14)
+                    - (SELECT SUM(c) FROM d WHERE rn <= 7) AS DOUBLE)
+                 / 4900.0 AS b0,
+               (SELECT list(CAST(c AS DOUBLE) / 100.0
+                            - CAST((SELECT SUM(c) FROM d WHERE rn <= 7)
+                                   AS DOUBLE) / 700.0
+                            ORDER BY rn)
+                FROM d WHERE rn <= 7) AS s0,
+               (SELECT COUNT(*) FROM d) AS n_days
+    ), hw AS (
+        SELECT CAST(7 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS day,
+               CAST(NULL AS DOUBLE) AS y, l0 AS l, b0 AS b, s0 AS s,
+               CAST(NULL AS DOUBLE) AS seasonal, CAST(NULL AS DOUBLE) AS fitted
+        FROM init WHERE n_days >= 15
+        UNION ALL
+        SELECT r.rn, r.day, CAST(r.c AS DOUBLE) / 100.0,
+               0.25 * (CAST(r.c AS DOUBLE) / 100.0 - h.s[1])
+                 + 0.75 * (h.l + h.b),
+               0.0625 * ((0.25 * (CAST(r.c AS DOUBLE) / 100.0 - h.s[1])
+                          + 0.75 * (h.l + h.b)) - h.l) + 0.9375 * h.b,
+               h.s[2:7] || [0.125 * (CAST(r.c AS DOUBLE) / 100.0
+                                     - (0.25 * (CAST(r.c AS DOUBLE) / 100.0
+                                                - h.s[1])
+                                        + 0.75 * (h.l + h.b)))
+                            + 0.875 * h.s[1]],
+               h.s[1],
+               h.l + h.b + h.s[1]
+        FROM hw h JOIN d r ON r.rn = h.rn + 1
+    )
+    SELECT day, round(y, 6) AS y, round(l, 6) AS level, round(b, 6) AS trend,
+           round(seasonal, 6) AS seasonal, round(fitted, 6) AS fitted
+    FROM hw WHERE rn > 7
+    """,
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = ev.groupBy(F.expr("ts div 86400000000").alias("day")).agg(
+        F.sum(cents).cast("bigint").alias("c")
+    )
+
+    def kernel(pdf):
+        import math
+
+        import pandas as pd
+
+        def r6(x):
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+        cols = ("day", "y", "level", "trend", "seasonal", "fitted")
+        if not {"day", "c"} <= set(pdf.columns) or len(pdf) < 2 * _HW_M + 1:
+            return pd.DataFrame({k: pd.Series([], dtype="float64") for k in cols})
+        pdf = pdf.sort_values("day", kind="mergesort")
+        days = [int(v) for v in pdf["day"]]
+        c = [int(v) for v in pdf["c"]]
+        lvl = sum(c[:7]) / 700.0
+        b = (sum(c[7:14]) - sum(c[:7])) / 4900.0
+        s = [ci / 100.0 - lvl for ci in c[:7]]
+        out = {k: [] for k in cols}
+        for i in range(_HW_M, len(c)):
+            y = c[i] / 100.0
+            s1 = s[0]
+            fitted = lvl + b + s1
+            lnew = 0.25 * (y - s1) + 0.75 * (lvl + b)
+            bnew = 0.0625 * (lnew - lvl) + 0.9375 * b
+            snew = 0.125 * (y - lnew) + 0.875 * s1
+            lvl, b = lnew, bnew
+            s = s[1:] + [snew]
+            out["day"].append(days[i])
+            out["y"].append(r6(y))
+            out["level"].append(r6(lvl))
+            out["trend"].append(r6(b))
+            out["seasonal"].append(r6(s1))
+            out["fitted"].append(r6(fitted))
+        return pd.DataFrame(out)
+
+    return daily.groupBy(F.lit(1).alias("g")).applyInPandas(
+        kernel,
+        "day bigint, y double, level double, trend double, "
+        "seasonal double, fitted double",
+    )

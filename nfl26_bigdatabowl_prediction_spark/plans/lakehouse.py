@@ -448,3 +448,62 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("was_updated"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zone-map pruning audit — per-file min/max stats (files simulated as
+# 64 contiguous orderkey ranges, the natural ingest clustering) and,
+# for the canonical time-window predicate, whether each file's
+# [min, max] interval lets the scan skip it.  The measurement that
+# motivates q_zorder_cells/q_compaction_plan: a near-zero skip ratio
+# on a date predicate says the layout needs re-clustering.  All
+# exact: day ints are yyyymmdd, the file spine is ≤64 rows, the
+# orderkey→file map needs one 1-row max broadcast.  One fact agg.
+# --------------------------------------------------------------------------
+_ZM_LO, _ZM_HI = 19970101, 19970630
+
+
+@q(
+    "q_zonemap_audit",
+    f"""
+    WITH mx AS (
+        SELECT CAST(MAX(l_orderkey) + 1 AS BIGINT) AS mo FROM lineitem
+    ), stats AS (
+        SELECT CAST(l.l_orderkey * 64 // mx.mo AS BIGINT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(CAST(strftime(l.l_shipdate, '%Y%m%d') AS BIGINT))
+                    AS BIGINT) AS min_day,
+               CAST(MAX(CAST(strftime(l.l_shipdate, '%Y%m%d') AS BIGINT))
+                    AS BIGINT) AS max_day
+        FROM lineitem l CROSS JOIN mx
+        GROUP BY 1
+    )
+    SELECT file_id, n_rows, min_day, max_day,
+           NOT (min_day <= {_ZM_HI} AND max_day >= {_ZM_LO}) AS skipped
+    FROM stats
+    """,
+)
+def q_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    mx = li.agg((F.max("l_orderkey") + 1).cast("bigint").alias("mo"))
+    day = F.date_format("l_shipdate", "yyyyMMdd").cast("bigint")
+    stats = (
+        li.crossJoin(F.broadcast(mx))  # 1-row max orderkey
+        .groupBy(
+            F.expr("l_orderkey * 64 div mo").cast("bigint").alias("file_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(day).cast("bigint").alias("min_day"),
+            F.max(day).cast("bigint").alias("max_day"),
+        )
+    )
+    return stats.select(
+        "file_id",
+        "n_rows",
+        "min_day",
+        "max_day",
+        (~((F.col("min_day") <= _ZM_HI) & (F.col("max_day") >= _ZM_LO))).alias(
+            "skipped"
+        ),
+    )

@@ -3781,3 +3781,173 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multinomial naive Bayes, train + apply in one DAG — the classic
+# distributed text classifier (language identification here, the
+# supervised twin of q_lang_id's heuristic): add-one-smoothed
+# per-class word log-likelihoods + log priors, per-doc argmax, scored
+# against the true label as a confusion grid.  Unseen-word mass is
+# handled exactly: score_c = Σ_matched logp + (n_tok − matched_c)·
+# logp0_c + prior_c, so docs never join the zero-count rows.  Every
+# ln is scaled to int micro-nats once (the q_unigram_logprob rule);
+# per-doc-class scores are integer sums; argmax tie-breaks on class.
+# Scale: the (vocab × k) likelihood table is dimension-sized and
+# broadcast onto the token stream; ONE doc-keyed fact shuffle; the
+# class spine is a k-row broadcast; output is the k×k grid.
+# --------------------------------------------------------------------------
+@q(
+    "q_naive_bayes",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS_DUCK}) AS token FROM documents
+    ), nz AS (
+        SELECT doc_id, token FROM toks WHERE token <> ''
+    ), doc_tok AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM nz GROUP BY doc_id
+    ), classes AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ), prior AS (
+        SELECT lang,
+               CAST(round(ln(CAST(n_docs AS DOUBLE)
+                             / (SELECT SUM(n_docs) FROM classes)) * 1000000, 0)
+                    AS BIGINT) AS prior_u
+        FROM classes
+    ), wc AS (
+        SELECT d.lang, t.token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM nz t JOIN documents d ON d.doc_id = t.doc_id
+        GROUP BY 1, 2
+    ), totals AS (
+        SELECT lang, CAST(SUM(cnt) AS BIGINT) AS t_c FROM wc GROUP BY 1
+    ), vocab AS (
+        SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM nz
+    ), lik AS (
+        SELECT wc.lang, wc.token,
+               CAST(round(ln(CAST(wc.cnt + 1 AS DOUBLE) / (t.t_c + vocab.v))
+                          * 1000000, 0) AS BIGINT) AS logp_u
+        FROM wc JOIN totals t ON t.lang = wc.lang CROSS JOIN vocab
+    ), default_lp AS (
+        SELECT t.lang,
+               CAST(round(ln(CAST(1 AS DOUBLE) / (t.t_c + vocab.v)) * 1000000, 0)
+                    AS BIGINT) AS logp0_u
+        FROM totals t CROSS JOIN vocab
+    ), matched AS (
+        SELECT t.doc_id, l.lang,
+               CAST(SUM(l.logp_u) AS BIGINT) AS m_sum,
+               CAST(COUNT(*) AS BIGINT) AS m_cnt
+        FROM nz t JOIN lik l ON l.token = t.token
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT dt.doc_id, p.lang,
+               COALESCE(m.m_sum, 0)
+                 + (dt.n_tok - COALESCE(m.m_cnt, 0)) * d0.logp0_u
+                 + p.prior_u AS score_u
+        FROM doc_tok dt
+        CROSS JOIN prior p
+        JOIN default_lp d0 ON d0.lang = p.lang
+        LEFT JOIN matched m ON m.doc_id = dt.doc_id AND m.lang = p.lang
+    ), pred AS (
+        SELECT doc_id, lang AS pred_lang FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score_u DESC, lang ASC) AS rn
+            FROM scored) WHERE rn = 1
+    )
+    SELECT d.lang AS true_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    nz = (
+        _with_words(d, "doc_id")
+        .select("doc_id", F.explode("words").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    doc_tok = nz.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    classes = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    total_docs = F.sum("n_docs").over(W.partitionBy())
+    prior = classes.select(
+        "lang",
+        F.round(F.log(F.col("n_docs").cast("double") / total_docs) * 1000000, 0)
+        .cast("bigint")
+        .alias("prior_u"),
+    )
+    wc = (
+        nz.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    totals = wc.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("t_c"))
+    vocab = nz.agg(F.countDistinct("token").cast("bigint").alias("v"))
+    lik = (
+        wc.join(F.broadcast(totals), "lang")
+        .crossJoin(F.broadcast(vocab))  # 1-row vocab size
+        .select(
+            "lang",
+            "token",
+            F.round(
+                F.log((F.col("cnt") + 1).cast("double") / (F.col("t_c") + F.col("v")))
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("logp_u"),
+        )
+    )
+    default_lp = (
+        totals.crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.lit(1).cast("double") / (F.col("t_c") + F.col("v")))
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("logp0_u"),
+        )
+    )
+    matched = (
+        nz.join(F.broadcast(lik), "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("logp_u").cast("bigint").alias("m_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("m_cnt"),
+        )
+    )
+    spine = prior.join(F.broadcast(default_lp), "lang")
+    scored = (
+        doc_tok.crossJoin(F.broadcast(spine))  # k-row class spine
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.coalesce(F.col("m_sum"), F.lit(0))
+                + (F.col("n_tok") - F.coalesce(F.col("m_cnt"), F.lit(0)))
+                * F.col("logp0_u")
+                + F.col("prior_u")
+            ).alias("score_u"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("score_u").desc(), F.col("lang").asc())
+    )
+    pred = (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        pred.join(d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

@@ -1363,3 +1363,77 @@ def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_neardup_threshold_sweep"] = ORACLES["q_neardup_threshold_sweep"].replace(
     "{NEARDUP}", ORACLES["q_embed_neardup"]
 )
+
+
+# --------------------------------------------------------------------------
+# Power-iteration step — one v → X'Xv Krylov update over the
+# embedding matrix, normalized: the distributed primitive under PCA /
+# spectral methods (chain it for the top eigenvector; the docstring
+# kernel IS the loop body).  v₀ = 1/8·𝟙 (1/√64 — binary-exact).
+# Exactness: s_i = ⟨x_i, v₀⟩ is the strict left fold both engines
+# share (the q_embed_cosine_topk rule), rounded to int micros ONCE;
+# each w_j contribution round(s_m·x_ij) is one IEEE product of exact
+# inputs; w_j is an integer sum (order-free); ‖w‖² rides
+# DECIMAL(38,0) (64 dims × (5e8)² breaches int64).  Scale: scan-side
+# row scores, one pos-keyed agg (64 groups, map-side combine), 1-row
+# norm broadcast — the fact table shuffles once.
+# --------------------------------------------------------------------------
+_PI_SUM_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(embedding, e -> CAST(e AS DOUBLE) * 0.125)), "
+    "(acc, v) -> acc + v)"
+)
+_PI_SUM_SPARK = "(cast(0.0 as double) + " + " + ".join(
+    f"cast(element_at(embedding, {i}) as double) * 0.125"
+    for i in range(1, EMBED_DIM + 1)
+) + ")"
+
+
+@q(
+    "q_power_iteration",
+    f"""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               CAST(round({_PI_SUM_DUCK} * 1000000, 0) AS BIGINT) AS s_m
+        FROM embeddings
+    ), contrib AS (
+        SELECT i.i AS pos,
+               CAST(round(CAST(s.s_m AS DOUBLE)
+                          * CAST(s.embedding[i.i] AS DOUBLE), 0) AS BIGINT) AS t
+        FROM s, (SELECT unnest(range(1, 65)) AS i) i
+    ), w AS (
+        SELECT pos, CAST(SUM(t) AS BIGINT) AS w_u FROM contrib GROUP BY pos
+    ), nrm AS (
+        SELECT sqrt(CAST(SUM(CAST(w_u AS DECIMAL(38, 0)) * w_u) AS DOUBLE))
+          AS nrm FROM w
+    )
+    SELECT w.pos, w.w_u, round(w.w_u / nrm.nrm, 6) AS weight
+    FROM w CROSS JOIN nrm
+    """,
+)
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        "embedding",
+        F.round(F.expr(_PI_SUM_SPARK) * 1000000, 0).cast("bigint").alias("s_m"),
+    )
+    contrib = s.select(
+        "s_m", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        (F.col("i0") + 1).alias("pos"),
+        F.round(F.col("s_m").cast("double") * F.col("x").cast("double"), 0)
+        .cast("bigint")
+        .alias("t"),
+    )
+    w = contrib.groupBy("pos").agg(F.sum("t").cast("bigint").alias("w_u"))
+    nrm = w.agg(
+        F.sqrt(
+            F.sum(F.col("w_u").cast("decimal(38,0)") * F.col("w_u")).cast("double")
+        ).alias("nrm")
+    )
+    return w.crossJoin(F.broadcast(nrm)).select(
+        "pos",
+        "w_u",
+        F.round(F.col("w_u") / F.col("nrm"), 6).alias("weight"),
+    )

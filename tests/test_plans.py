@@ -191,7 +191,9 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
                     "q_bpe_train", "q_bpe_vocab", "q_bpe_encode",
                     "q_pmi_cooccur", "q_hll_audit", "q_bloom_audit",
                     "q_histogram_2d", "q_emd_drift", "q_chi_square",
-                    "q_changepoint", "q_macro_f1", "q_modularity"):
+                    "q_changepoint", "q_macro_f1", "q_modularity",
+                    "q_kendall_tau", "q_naive_bayes", "q_power_iteration",
+                    "q_zonemap_audit"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
@@ -215,7 +217,10 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
             # series totals; q_macro_f1 its 1-row macro average AND
             # the 5-row class spine OR-joined onto the ≤|C|² grid
             # (O(|C|³) — class-dimension-sized, never fact-sized);
-            # q_modularity its 1-row edge count m.
+            # q_modularity its 1-row edge count m; q_kendall_tau its
+            # three 1-row scalars (n / tie terms); q_naive_bayes the
+            # 1-row vocab size + k-row class spine; q_power_iteration
+            # its 1-row norm; q_zonemap_audit its 1-row max orderkey.
         plan = _plan(spark, name)
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in plan, f"{name} compiles to {bad}"
