@@ -373,6 +373,10 @@ HEADLINE = {
     "q_naive_bayes",
     "q_power_iteration",
     "q_zonemap_audit",
+    "q_asof_nearest",
+    "q_winnowing_fingerprint",
+    "q_matryoshka_recall",
+    "q_qoi_decode",
     "q_scan_text",
     "q_gif_decode",
     "q_scan_binary",

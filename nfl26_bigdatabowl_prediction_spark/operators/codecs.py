@@ -514,3 +514,110 @@ def decode_pgm(b: bytes) -> tuple[int, int, list[list[int]]]:
     return width, height, [
         tokens[y * width : (y + 1) * width] for y in range(height)
     ]
+
+
+# ---------------------------------------------------------------------------
+# QOI (Quite OK Image, qoiformat.org — the 2021 single-page spec)
+# ---------------------------------------------------------------------------
+
+
+def _qoi_index(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """RGB (channels=3) QOI bytes — the REAL compressor: per pixel it
+    emits the first applicable op of QOI_OP_RUN / INDEX / DIFF / LUMA
+    / RGB, exactly as the reference encoder does, so output opens in
+    any QOI-aware tool.  Alpha is fixed 255 (channels=3 contract)."""
+    if height != len(rgb_rows) or any(len(r) != width for r in rgb_rows):
+        raise ValueError("raster does not match dimensions")
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", width, height, 3, 0)
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for row in rgb_rows:
+        for r, g, b in row:
+            if (r, g, b) == (pr, pg, pb):
+                run += 1
+                if run == 62:
+                    out.append(0xC0 | (run - 1))
+                    run = 0
+                continue
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            idx = _qoi_index(r, g, b, 255)
+            if index[idx] == (r, g, b, 255):
+                out.append(idx)
+            else:
+                dr = (r - pr + 128) % 256 - 128
+                dg = (g - pg + 128) % 256 - 128
+                db = (b - pb + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                elif (
+                    -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))
+            index[idx] = (r, g, b, 255)
+            pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode RGB/RGBA QOI to (width, height, RGB rows) — all five op
+    types + the 8-byte end marker.  RGBA payloads decode (alpha
+    tracked for the index hash) but only RGB is returned, matching
+    the encoder's channels=3 contract."""
+    if b[:4] != b"qoif":
+        raise NotImplementedError("not a QOI stream")
+    width, height, channels, _cs = struct.unpack(">IIBB", b[4:14])
+    if channels not in (3, 4):
+        raise NotImplementedError(f"QOI channels={channels} unsupported")
+    index = [(0, 0, 0, 0)] * 64
+    r, g, bl, a = 0, 0, 0, 255
+    px: list[tuple[int, int, int]] = []
+    need = width * height
+    pos = 14
+    while len(px) < need:
+        if pos >= len(b) - 8:
+            raise ValueError("truncated QOI stream")
+        op = b[pos]
+        pos += 1
+        if op == 0xFE:  # RGB
+            r, g, bl = b[pos], b[pos + 1], b[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # RGBA
+            r, g, bl, a = b[pos], b[pos + 1], b[pos + 2], b[pos + 3]
+            pos += 4
+        elif op >> 6 == 0:  # INDEX
+            r, g, bl, a = index[op]
+        elif op >> 6 == 1:  # DIFF
+            r = (r + ((op >> 4) & 3) - 2) % 256
+            g = (g + ((op >> 2) & 3) - 2) % 256
+            bl = (bl + (op & 3) - 2) % 256
+        elif op >> 6 == 2:  # LUMA
+            dg = (op & 0x3F) - 32
+            r = (r + dg + ((b[pos] >> 4) & 0xF) - 8) % 256
+            g = (g + dg) % 256
+            bl = (bl + dg + (b[pos] & 0xF) - 8) % 256
+            pos += 1
+        else:  # RUN
+            run = (op & 0x3F) + 1
+            px.extend([(r, g, bl)] * run)
+            index[_qoi_index(r, g, bl, a)] = (r, g, bl, a)
+            continue
+        index[_qoi_index(r, g, bl, a)] = (r, g, bl, a)
+        px.append((r, g, bl))
+    if b[-8:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    px = px[:need]
+    return width, height, [px[y * width : (y + 1) * width] for y in range(height)]

@@ -416,3 +416,61 @@ def pgm_features(df_payload: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df_payload.mapInPandas(gen, PGM_FEATURES_SCHEMA)
+
+
+def synth_qoi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc_id → real QOI bytes (channels=3): w = 8 + id%21,
+    h = 3 + id%8, rgb(x, y) = ((2x+3y+id)%256, (3x+5y+id)%256,
+    (5x+7y+id)%256) with every 4th row flattened to a constant so the
+    RUN/INDEX ops exercise alongside DIFF/LUMA/RGB."""
+    from .codecs import encode_qoi
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for doc_id in b[id_col]:
+                d = int(doc_id)
+                w, h = 8 + d % 21, 3 + d % 8
+                rows = [
+                    [
+                        ((d % 7,) * 3)
+                        if y % 4 == 3
+                        else (
+                            (2 * x + 3 * y + d) % 256,
+                            (3 * x + 5 * y + d) % 256,
+                            (5 * x + 7 * y + d) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                payloads.append(encode_qoi(w, h, rows))
+            yield pd.DataFrame({id_col: b[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} bigint, payload binary")
+
+
+QOI_FEATURES_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, px_sum bigint, g_sum bigint"
+)
+
+
+def qoi_features(df_payload: DataFrame) -> DataFrame:
+    """Decode QOI payloads and emit integer raster features."""
+    from .codecs import decode_qoi
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "px_sum", "g_sum")}
+            for doc_id, p in zip(b["doc_id"], b["payload"]):
+                w, h, rows = decode_qoi(bytes(p))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(
+                    sum(r + g + bb for row in rows for r, g, bb in row)
+                )
+                out["g_sum"].append(sum(g for row in rows for _, g, _ in row))
+            yield pd.DataFrame(out)
+
+    return df_payload.mapInPandas(gen, QOI_FEATURES_SCHEMA)

@@ -314,3 +314,44 @@ ORACLES["q_pgm_decode"] = """
     FROM px
     GROUP BY doc_id
 """
+
+
+def q_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real QOI payloads (qoiformat.org; the full op set —
+    gradient rows drive DIFF/LUMA/RGB, constant rows drive RUN/INDEX)
+    → decode → integer raster features.  Same scan-side zero-shuffle
+    mapInPandas kernel pair as the other codecs
+    (operators/codecs.encode_qoi/decode_qoi)."""
+    from ..operators.multimodal import qoi_features, synth_qoi_payloads
+
+    d = table(spark, sf_dir, "documents")
+    return qoi_features(synth_qoi_payloads(d))
+
+
+QUERIES["q_qoi_decode"] = q_qoi_decode
+ORACLES["q_qoi_decode"] = """
+    WITH dims AS (
+        SELECT doc_id, 8 + doc_id % 21 AS w, 3 + doc_id % 8 AS h
+        FROM documents
+    ), xs AS (
+        SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims
+    ), px AS (
+        SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+    ), chan AS (
+        SELECT doc_id, w, h,
+               CASE WHEN y % 4 = 3 THEN 3 * (doc_id % 7)
+                    ELSE (2 * x + 3 * y + doc_id) % 256
+                         + (3 * x + 5 * y + doc_id) % 256
+                         + (5 * x + 7 * y + doc_id) % 256 END AS s,
+               CASE WHEN y % 4 = 3 THEN doc_id % 7
+                    ELSE (3 * x + 5 * y + doc_id) % 256 END AS g
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM(s) AS BIGINT) AS px_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum
+    FROM chan
+    GROUP BY doc_id
+"""

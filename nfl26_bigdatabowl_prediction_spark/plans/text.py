@@ -3951,3 +3951,104 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints — the MOSS algorithm (Schleimer et al.,
+# SIGMOD 2003): hash every word 3-gram, slide a window of w=4
+# consecutive hashes, keep the RIGHTMOST MINIMUM of each window, then
+# dedup.  Guarantees a fingerprint in every w-window (the density
+# bound q_doc_fingerprint's single whole-doc hash cannot give) —
+# the standard local-similarity/plagiarism fingerprint set.
+# Cross-engine argmin: (h asc, pos desc) is encoded as the single
+# integer h·w + (w−1−off) so both engines take a plain MIN — no
+# struct-comparison semantics crossed.  Scale: shingle hashing is
+# scan-side; the window candidates come from a w-offset Generate +
+# one (doc, pos) equi self-join (output ≤ w·positions, linear); the
+# dedup is the only doc-keyed aggregation.
+# --------------------------------------------------------------------------
+_WINNOW_W = 4
+
+
+@q(
+    "q_winnowing_fingerprint",
+    f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_DUCK} AS words FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(words) - 1, 1)),
+                              i -> words[i] || ' ' || words[i + 1] || ' '
+                                   || words[i + 2]) AS shingles
+        FROM w WHERE len(words) >= 3
+    ), hashed AS (
+        SELECT doc_id, p.i AS pos,
+               {portable_hash_sql_duckdb('shingles[p.i]')} AS h
+        FROM sh, (SELECT unnest(range(1, 10000)) AS i) p
+        WHERE p.i <= len(shingles)
+    ), npos AS (
+        SELECT doc_id, CAST(MAX(pos) AS BIGINT) AS n FROM hashed GROUP BY doc_id
+    ), starts AS (
+        SELECT h.doc_id, h.pos AS s
+        FROM hashed h JOIN npos n ON n.doc_id = h.doc_id
+        WHERE h.pos + {_WINNOW_W} - 1 <= n.n
+    ), winner AS (
+        SELECT st.doc_id, st.s,
+               MIN(c.h * {_WINNOW_W}
+                   + ({_WINNOW_W} - 1 - (c.pos - st.s))) AS k
+        FROM starts st
+        JOIN hashed c ON c.doc_id = st.doc_id
+         AND c.pos >= st.s AND c.pos <= st.s + {_WINNOW_W} - 1
+        GROUP BY st.doc_id, st.s
+    )
+    SELECT DISTINCT doc_id,
+           CAST(s + {_WINNOW_W} - 1 - (k % {_WINNOW_W}) AS BIGINT) AS pos,
+           CAST(k // {_WINNOW_W} AS BIGINT) AS fp
+    FROM winner
+    """,
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = _with_words(d, "doc_id").filter(F.size("words") >= 3)
+    sh = w.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(words) - 2), "
+            "i -> concat_ws(' ', element_at(words, i), "
+            "element_at(words, i + 1), element_at(words, i + 2)))"
+        ).alias("shingles"),
+    )
+    hashed = sh.select(
+        "doc_id", F.posexplode("shingles").alias("i0", "sh")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("pos"),
+        F.expr(portable_hash_sql_spark("sh")).alias("h"),
+    )
+    npos = hashed.groupBy("doc_id").agg(F.max("pos").cast("bigint").alias("n"))
+    starts = (
+        hashed.join(npos, "doc_id")
+        .filter(F.col("pos") + _WINNOW_W - 1 <= F.col("n"))
+        .select("doc_id", F.col("pos").alias("s"))
+    )
+    # w-offset Generate on the start side, then ONE (doc, pos) equi
+    # join — the range predicate pos ∈ [s, s+w−1] as a hash join.
+    cand = starts.select(
+        "doc_id", "s", F.explode(F.expr(f"sequence(0, {_WINNOW_W - 1})")).alias("off")
+    ).select("doc_id", "s", (F.col("s") + F.col("off")).alias("pos"))
+    winner = (
+        cand.join(hashed, ["doc_id", "pos"])
+        .groupBy("doc_id", "s")
+        .agg(
+            F.min(
+                F.col("h") * _WINNOW_W + (_WINNOW_W - 1 - (F.col("pos") - F.col("s")))
+            ).alias("k")
+        )
+    )
+    return winner.select(
+        "doc_id",
+        (F.col("s") + _WINNOW_W - 1 - (F.col("k") % _WINNOW_W))
+        .cast("bigint")
+        .alias("pos"),
+        F.expr(f"k div {_WINNOW_W}").cast("bigint").alias("fp"),
+    ).distinct()

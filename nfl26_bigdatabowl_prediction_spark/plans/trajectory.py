@@ -1233,3 +1233,95 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             kernel, "user_id bigint, event_id bigint, level double, trend double"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest as-of join — completes the as-of family (backward, forward,
+# tolerance, cogroup): match each purchase to its temporally CLOSEST
+# click, whichever side it falls on (pandas merge_asof
+# direction='nearest'; ties prefer the backward match, its
+# convention).  Composed from the engine's own backward+forward
+# as-of operator (operators/asof.py) — two union-window passes —
+# then one deterministic CASE pick; the oracle composes DuckDB's two
+# ASOF JOIN directions identically.  Scale: same two sort-keyed
+# exchanges as q_asof_forward, no new shuffle shapes.
+# --------------------------------------------------------------------------
+@q(
+    "q_asof_nearest",
+    """
+    WITH r0 AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, ts_us, event_id, value FROM r0 WHERE rn = 1
+    ), l AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    ), b AS (
+        SELECT l.user_id, l.ts_us, l.event_id, l.value,
+               r.event_id AS b_eid, r.value AS b_val, r.ts_us AS b_ts
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    ), f AS (
+        SELECT l.user_id, l.event_id,
+               r.event_id AS f_eid, r.value AS f_val, r.ts_us AS f_ts
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us <= r.ts_us
+    )
+    SELECT b.user_id, b.event_id, b.value AS target_value,
+           CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                     OR b.ts_us - b.b_ts <= f.f_ts - b.ts_us)
+                THEN b.b_eid ELSE f.f_eid END AS click_event_id,
+           CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                     OR b.ts_us - b.b_ts <= f.f_ts - b.ts_us)
+                THEN b.b_val ELSE f.f_val END AS click_value,
+           CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                     OR b.ts_us - b.b_ts <= f.f_ts - b.ts_us)
+                THEN b.ts_us - b.b_ts ELSE f.f_ts - b.ts_us END AS gap_us,
+           CASE WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN NULL
+                WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+                     OR b.ts_us - b.b_ts <= f.f_ts - b.ts_us)
+                THEN 'backward' ELSE 'forward' END AS side
+    FROM b JOIN f ON f.user_id = b.user_id AND f.event_id = b.event_id
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    left = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    right = ev.filter(F.col("event_type") == "click").drop("event_type")
+    kw = dict(
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id", "value"],
+        tiebreak="event_id",
+        dedup_right=True,
+    )
+    b = asof_join(left, right, suffix="_b", direction="backward", **kw)
+    f = asof_join(left, right, suffix="_f", direction="forward", **kw).select(
+        "user_id", "event_id", "event_id_f", "value_f", "ts_f"
+    )
+    j = b.join(f, ["user_id", "event_id"])
+    pick_b = F.col("ts_b").isNotNull() & (
+        F.col("ts_f").isNull()
+        | (F.col("ts") - F.col("ts_b") <= F.col("ts_f") - F.col("ts"))
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("target_value"),
+        F.when(pick_b, F.col("event_id_b")).otherwise(F.col("event_id_f"))
+        .alias("click_event_id"),
+        F.when(pick_b, F.col("value_b")).otherwise(F.col("value_f"))
+        .alias("click_value"),
+        F.when(pick_b, F.col("ts") - F.col("ts_b"))
+        .otherwise(F.col("ts_f") - F.col("ts"))
+        .alias("gap_us"),
+        F.when(F.col("ts_b").isNull() & F.col("ts_f").isNull(), F.lit(None))
+        .when(pick_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("side"),
+    )

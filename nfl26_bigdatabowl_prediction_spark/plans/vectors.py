@@ -1437,3 +1437,112 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_u",
         F.round(F.col("w_u") / F.col("nrm"), 6).alias("weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation recall — grade serving on the FIRST 16
+# dimensions against full-64 brute-force truth (Kusupati et al. 2022:
+# MRL embeddings are trained so prefixes are usable sub-embeddings;
+# the serving question is always "how much recall does the cheap
+# prefix keep?").  Truth reuses the registered q_embed_cosine_topk
+# top-10; the truncated arm scores prefix-cosine (dot, both norms on
+# dims 1–16 only) over the SAME guarded query set; recall@10 joins
+# the two rank lists.  Scale: the truncated arm is the documented
+# audit-only brute shape (MAX_BRUTE_QUERIES guard upstream); in
+# production the prefix scores come from the IVF/PQ candidate list
+# and this query is the calibration readout.
+# --------------------------------------------------------------------------
+_MRL_DIM = 16
+
+
+@q(
+    "q_matryoshka_recall",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 20 = 0
+    ), full_scored AS (
+        SELECT q.qid, c.vec_id AS nb_id,
+               {_dot_duck('q.qe', 'c.embedding')}
+                 / (sqrt({_dot_duck('q.qe', 'q.qe')}) * sqrt({_dot_duck('c.embedding', 'c.embedding')})) AS cosine
+        FROM q JOIN embeddings c ON q.qid <> c.vec_id
+    ), ft AS (
+        SELECT qid, nb_id FROM (
+            SELECT qid, nb_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nb_id ASC) AS rnk
+            FROM full_scored) WHERE rnk <= 10
+    ), qt AS (
+        SELECT qid, qe[1:{_MRL_DIM}] AS qe FROM q
+    ), trunc_scored AS (
+        SELECT qt.qid, c.vec_id AS nb_id,
+               {_dot_duck('qt.qe', "c.embedding[1:" + str(_MRL_DIM) + "]")}
+                 / (sqrt({_dot_duck('qt.qe', 'qt.qe')})
+                    * sqrt({_dot_duck("c.embedding[1:" + str(_MRL_DIM) + "]", "c.embedding[1:" + str(_MRL_DIM) + "]")})) AS cosine
+        FROM qt JOIN embeddings c ON qt.qid <> c.vec_id
+    ), tt AS (
+        SELECT qid, nb_id FROM (
+            SELECT qid, nb_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nb_id ASC) AS rnk
+            FROM trunc_scored) WHERE rnk <= 10
+    ), hits AS (
+        SELECT t.qid, COUNT(*) AS n_hit
+        FROM tt t JOIN ft f ON f.qid = t.qid AND f.nb_id = t.nb_id
+        GROUP BY t.qid
+    )
+    SELECT g.qid,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_overlap,
+           round(COALESCE(h.n_hit, 0) / 10.0, 6) AS recall_at_10
+    FROM (SELECT DISTINCT qid FROM ft) g
+    LEFT JOIN hits h ON g.qid = h.qid
+    """,
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    full = (
+        QUERIES["q_embed_cosine_topk"](spark, sf_dir)
+        .filter(F.col("rnk") <= 10)
+        .select("qid", "nb_id")
+        .alias("ft")
+    )
+    qt = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.slice("embedding", 1, _MRL_DIM).alias("qe"),
+    )
+    ct = emb.select(
+        F.col("vec_id").alias("nb_id"),
+        F.slice("embedding", 1, _MRL_DIM).alias("ce"),
+    )
+    dot = _dot_spark("qe", "ce", dim=_MRL_DIM)
+    qn = _dot_spark("qe", "qe", dim=_MRL_DIM)
+    cn = _dot_spark("ce", "ce", dim=_MRL_DIM)
+    scored = (
+        qt.join(F.broadcast(ct), F.col("qid") != F.col("nb_id"))
+        .select(
+            "qid",
+            "nb_id",
+            (F.expr(dot) / (F.sqrt(F.expr(qn)) * F.sqrt(F.expr(cn)))).alias(
+                "cosine"
+            ),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nb_id").asc())
+    )
+    tt = (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 10)
+        .select("qid", "nb_id")
+        .alias("tt")
+    )
+    hits = (
+        tt.join(full, ["qid", "nb_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    spine = full.select("qid").distinct()
+    return spine.join(F.broadcast(hits), "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / 10.0, 6).alias(
+            "recall_at_10"
+        ),
+    )

@@ -342,3 +342,52 @@ def test_pgm_round_trip_property(w, h, plain, rnd):
 
     rows = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
     assert decode_pgm(encode_pgm(w, h, rows, plain=plain)) == (w, h, rows)
+
+
+def test_qoi_round_trip_exercises_all_ops():
+    from nfl26_bigdatabowl_prediction_spark.operators.codecs import (
+        decode_qoi, encode_qoi,
+    )
+
+    # Gradient rows force DIFF/LUMA/RGB; constant rows force RUN (and
+    # INDEX on revisits); a >62-run forces the run-length split.
+    w, h = 70, 6
+    rows = [
+        [((7,) * 3) if y % 2 else ((2 * x + y) % 256, (3 * x) % 256, (5 * x) % 256)
+         for x in range(w)]
+        for y in range(h)
+    ]
+    b = encode_qoi(w, h, rows)
+    assert b[:4] == b"qoif" and b[-8:] == b"\x00" * 7 + b"\x01"
+    assert decode_qoi(b) == (w, h, rows)
+
+
+def test_qoi_rejects_unsupported():
+    import pytest
+
+    from nfl26_bigdatabowl_prediction_spark.operators.codecs import (
+        decode_qoi, encode_qoi,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_qoi(b"nope" + b"\x00" * 20)
+    with pytest.raises(ValueError):
+        decode_qoi(encode_qoi(2, 1, [[(1, 2, 3), (4, 5, 6)]])[:-10])  # truncated
+    with pytest.raises(ValueError):
+        encode_qoi(3, 1, [[(0, 0, 0)]])  # dim mismatch
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 10), st.integers(1, 10), st.randoms(use_true_random=False))
+def test_qoi_round_trip_property(w, h, rnd):
+    from nfl26_bigdatabowl_prediction_spark.operators.codecs import (
+        decode_qoi, encode_qoi,
+    )
+
+    rows = [
+        [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+         if rnd.random() < 0.6 else (9, 9, 9)
+         for _ in range(w)]
+        for _ in range(h)
+    ]
+    assert decode_qoi(encode_qoi(w, h, rows)) == (w, h, rows)

@@ -193,7 +193,7 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
                     "q_histogram_2d", "q_emd_drift", "q_chi_square",
                     "q_changepoint", "q_macro_f1", "q_modularity",
                     "q_kendall_tau", "q_naive_bayes", "q_power_iteration",
-                    "q_zonemap_audit"):
+                    "q_zonemap_audit", "q_matryoshka_recall"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
@@ -221,6 +221,10 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
             # three 1-row scalars (n / tie terms); q_naive_bayes the
             # 1-row vocab size + k-row class spine; q_power_iteration
             # its 1-row norm; q_zonemap_audit its 1-row max orderkey.
+            # q_matryoshka_recall's truncated arm is the DECLARED
+            # brute-force audit shape (qid <> nb_id theta join,
+            # query side capped by MAX_BRUTE_QUERIES upstream) — the
+            # same O(q·n) contract as q_embed_cosine_topk's kernel.
         plan = _plan(spark, name)
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in plan, f"{name} compiles to {bad}"
