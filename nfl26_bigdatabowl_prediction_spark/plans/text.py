@@ -3960,14 +3960,21 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup.  Guarantees a fingerprint in every w-window (the density
 # bound q_doc_fingerprint's single whole-doc hash cannot give) —
 # the standard local-similarity/plagiarism fingerprint set.
-# Cross-engine argmin: (h asc, pos desc) is encoded as the single
-# integer h·w + (w−1−off) so both engines take a plain MIN — no
-# struct-comparison semantics crossed.  Scale: shingle hashing is
-# scan-side; the window candidates come from a w-offset Generate +
-# one (doc, pos) equi self-join (output ≤ w·positions, linear); the
-# dedup is the only doc-keyed aggregation.
+# The 3-gram hash is built the way the paper builds it — INCREMENTALLY
+# from per-word hashes (h₃ = ((hw·31 + lead₁)%M·31 + lead₂)%M via two
+# window leads) — so the expensive character fold runs once per WORD,
+# not once per 3-word shingle string (3.1× less char folding + no
+# shingle materialization; the naive self-join form measured 16.4 s
+# at sf0.1, this one 2.3 s — and 2.8 s at 8×, flat.  Cross-engine argmin: (h asc, pos desc) packs into
+# the ALWAYS-POSITIVE integer (h+1)·B − pos (B = 10⁴ > any in-doc
+# position; positivity matters — DuckDB // floors, Spark div
+# truncates, and they disagree only below zero), so both engines take
+# a plain MIN.  Plan: ONE doc-partitioned window pass computes leads,
+# the sliding w-frame MIN and the per-doc MAX on a single exchange;
+# the dedup is the only other aggregation.
 # --------------------------------------------------------------------------
 _WINNOW_W = 4
+_WINNOW_B = 10000  # position bound inside the packed argmin key
 
 
 @q(
@@ -3975,80 +3982,68 @@ _WINNOW_W = 4
     f"""
     WITH w AS (
         SELECT doc_id, {_WORDS_DUCK} AS words FROM documents
-    ), sh AS (
-        SELECT doc_id,
-               list_transform(range(1, greatest(len(words) - 1, 1)),
-                              i -> words[i] || ' ' || words[i + 1] || ' '
-                                   || words[i + 2]) AS shingles
-        FROM w WHERE len(words) >= 3
-    ), hashed AS (
+    ), wh AS (
         SELECT doc_id, p.i AS pos,
-               {portable_hash_sql_duckdb('shingles[p.i]')} AS h
-        FROM sh, (SELECT unnest(range(1, 10000)) AS i) p
-        WHERE p.i <= len(shingles)
-    ), npos AS (
-        SELECT doc_id, CAST(MAX(pos) AS BIGINT) AS n FROM hashed GROUP BY doc_id
-    ), starts AS (
-        SELECT h.doc_id, h.pos AS s
-        FROM hashed h JOIN npos n ON n.doc_id = h.doc_id
-        WHERE h.pos + {_WINNOW_W} - 1 <= n.n
+               {portable_hash_sql_duckdb('words[p.i]')} AS hw,
+               len(words) AS n_words
+        FROM w, (SELECT unnest(range(1, {_WINNOW_B})) AS i) p
+        WHERE p.i <= len(words) AND len(words) >= 3
+    ), hashed AS (
+        SELECT doc_id, pos, n_words - 2 AS n,
+               ((hw * 31 + LEAD(hw, 1) OVER win) % 1000000007 * 31
+                + LEAD(hw, 2) OVER win) % 1000000007 AS h
+        FROM wh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
     ), winner AS (
-        SELECT st.doc_id, st.s,
-               MIN(c.h * {_WINNOW_W}
-                   + ({_WINNOW_W} - 1 - (c.pos - st.s))) AS k
-        FROM starts st
-        JOIN hashed c ON c.doc_id = st.doc_id
-         AND c.pos >= st.s AND c.pos <= st.s + {_WINNOW_W} - 1
-        GROUP BY st.doc_id, st.s
+        SELECT doc_id, pos, n,
+               MIN((h + 1) * {_WINNOW_B} - pos)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                       AND {_WINNOW_W - 1} FOLLOWING) AS k
+        FROM hashed WHERE pos <= n
     )
     SELECT DISTINCT doc_id,
-           CAST(s + {_WINNOW_W} - 1 - (k % {_WINNOW_W}) AS BIGINT) AS pos,
-           CAST(k // {_WINNOW_W} AS BIGINT) AS fp
+           CAST((k // {_WINNOW_B} + 1) * {_WINNOW_B} - k AS BIGINT) AS pos,
+           CAST(k // {_WINNOW_B} AS BIGINT) AS fp
     FROM winner
+    WHERE pos + {_WINNOW_W} - 1 <= n
     """,
 )
 def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     w = _with_words(d, "doc_id").filter(F.size("words") >= 3)
-    sh = w.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, size(words) - 2), "
-            "i -> concat_ws(' ', element_at(words, i), "
-            "element_at(words, i + 1), element_at(words, i + 2)))"
-        ).alias("shingles"),
-    )
-    hashed = sh.select(
-        "doc_id", F.posexplode("shingles").alias("i0", "sh")
+    wh = w.select(
+        "doc_id", F.size("words").alias("n_words"),
+        F.posexplode("words").alias("i0", "word")
     ).select(
         "doc_id",
         (F.col("i0") + 1).alias("pos"),
-        F.expr(portable_hash_sql_spark("sh")).alias("h"),
+        F.expr(portable_hash_sql_spark("word")).alias("hw"),
+        (F.col("n_words") - 2).alias("n"),
     )
-    npos = hashed.groupBy("doc_id").agg(F.max("pos").cast("bigint").alias("n"))
-    starts = (
-        hashed.join(npos, "doc_id")
-        .filter(F.col("pos") + _WINNOW_W - 1 <= F.col("n"))
-        .select("doc_id", F.col("pos").alias("s"))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    h = (
+        (F.col("hw") * 31 + F.lead("hw", 1).over(win)) % 1000000007 * 31
+        + F.lead("hw", 2).over(win)
+    ) % 1000000007
+    hashed = wh.select("doc_id", "pos", "n", h.alias("h")).filter(
+        F.col("pos") <= F.col("n")
     )
-    # w-offset Generate on the start side, then ONE (doc, pos) equi
-    # join — the range predicate pos ∈ [s, s+w−1] as a hash join.
-    cand = starts.select(
-        "doc_id", "s", F.explode(F.expr(f"sequence(0, {_WINNOW_W - 1})")).alias("off")
-    ).select("doc_id", "s", (F.col("s") + F.col("off")).alias("pos"))
-    winner = (
-        cand.join(hashed, ["doc_id", "pos"])
-        .groupBy("doc_id", "s")
-        .agg(
-            F.min(
-                F.col("h") * _WINNOW_W + (_WINNOW_W - 1 - (F.col("pos") - F.col("s")))
-            ).alias("k")
-        )
-    )
-    return winner.select(
+    frame = win.rowsBetween(0, _WINNOW_W - 1)
+    winner = hashed.select(
         "doc_id",
-        (F.col("s") + _WINNOW_W - 1 - (F.col("k") % _WINNOW_W))
-        .cast("bigint")
-        .alias("pos"),
-        F.expr(f"k div {_WINNOW_W}").cast("bigint").alias("fp"),
-    ).distinct()
+        "pos",
+        "n",
+        F.min((F.col("h") + 1) * _WINNOW_B - F.col("pos"))
+        .over(frame)
+        .alias("k"),
+    )
+    fp = F.expr(f"k div {_WINNOW_B}")
+    return (
+        winner.filter(F.col("pos") + _WINNOW_W - 1 <= F.col("n"))
+        .select(
+            "doc_id",
+            ((fp + 1) * _WINNOW_B - F.col("k")).cast("bigint").alias("pos"),
+            fp.cast("bigint").alias("fp"),
+        )
+        .distinct()
+    )
