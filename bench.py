@@ -377,6 +377,9 @@ HEADLINE = {
     "q_winnowing_fingerprint",
     "q_matryoshka_recall",
     "q_qoi_decode",
+    "q_leakage_audit",
+    "q_token_budget_trim",
+    "q_contrastive_pairs",
     "q_scan_text",
     "q_gif_decode",
     "q_scan_binary",

@@ -4047,3 +4047,172 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Split-leakage audit — exact-duplicate documents straddling the
+# train/val/test boundary are evaluation leaks (the test set "seeing"
+# training text); this counts duplicate PAIRS per split combination
+# from the same md5 clusters as q_dedup_exact crossed with the same
+# hash-coin splits as q_split_assign.  leaky_pairs is the headline
+# number a curation run must drive to zero (dedup BEFORE splitting).
+# One digest-keyed fact shuffle; per-digest split counts are a ≤3-wide
+# pivot; pair counts close over n·(n−1)/2 / nₐ·n_b — all integers.
+# --------------------------------------------------------------------------
+@q(
+    "q_leakage_audit",
+    f"""
+    WITH tagged AS (
+        SELECT md5(text) AS digest,
+               CASE WHEN {knuth_fold_sql('doc_id', 100)} < 80 THEN 'train'
+                    WHEN {knuth_fold_sql('doc_id', 100)} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), per_digest AS (
+        SELECT digest,
+               CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM tagged GROUP BY digest
+    )
+    SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS pairs_train_train,
+           CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS pairs_val_val,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS pairs_test_test,
+           CAST(SUM(a * b) AS BIGINT) AS pairs_train_val,
+           CAST(SUM(a * c) AS BIGINT) AS pairs_train_test,
+           CAST(SUM(b * c) AS BIGINT) AS pairs_val_test,
+           CAST(SUM(a * b + a * c + b * c) AS BIGINT) AS leaky_pairs
+    FROM per_digest
+    """,
+)
+def q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    h = knuth_fold_expr(F.col("doc_id"), 100)
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    tagged = d.select(F.md5("text").alias("digest"), split.alias("split"))
+    cnt = lambda s: F.sum(  # noqa: E731
+        F.when(F.col("split") == s, 1).otherwise(0)
+    ).cast("bigint")
+    per_digest = tagged.groupBy("digest").agg(
+        cnt("train").alias("a"), cnt("val").alias("b"), cnt("test").alias("c")
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    within = lambda x: F.sum(F.expr(f"{x} * ({x} - 1) div 2")).cast("bigint")  # noqa: E731
+    return per_digest.agg(
+        within("a").alias("pairs_train_train"),
+        within("b").alias("pairs_val_val"),
+        within("c").alias("pairs_test_test"),
+        F.sum(a * b).cast("bigint").alias("pairs_train_val"),
+        F.sum(a * c).cast("bigint").alias("pairs_train_test"),
+        F.sum(b * c).cast("bigint").alias("pairs_val_test"),
+        F.sum(a * b + a * c + b * c).cast("bigint").alias("leaky_pairs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget trim — keep the quality-ranked prefix of the corpus
+# that fits a training token budget (60% of the corpus here): the
+# final act of every curation pipeline ("we can afford B tokens —
+# which documents make the cut?").  Quality = stopword ratio in
+# integer micros (natural text carries function words; the cheap
+# stand-in for a model score — any score column drops in).
+# The global rank-prefix sum uses the SCALABLE two-level pattern, not
+# one corpus-wide window: 20 bounded score buckets → per-bucket
+# totals → bucket prefix offsets on the 20-row spine (broadcast) →
+# within-bucket cumulative sums.  At 100 TB each bucket window is
+# 1/20th of the corpus and the spine never grows.
+# --------------------------------------------------------------------------
+@q(
+    "q_token_budget_trim",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_filter({_WORDS_DUCK}, w -> w <> '')) AS BIGINT)
+                 AS n_tokens,
+               CAST(1000000 * len(list_filter({_WORDS_DUCK},
+                                              w -> w IN ({_STOP_SQL})))
+                    // greatest(len(list_filter({_WORDS_DUCK}, w -> w <> '')), 1)
+                    AS BIGINT) AS score_u
+        FROM documents
+    ), bucketed AS (
+        SELECT doc_id, n_tokens, score_u,
+               CAST(score_u // 50000 AS BIGINT) AS bkt
+        FROM scored
+    ), totals AS (
+        SELECT bkt, CAST(SUM(n_tokens) AS BIGINT) AS bkt_tokens
+        FROM bucketed GROUP BY bkt
+    ), offsets AS (
+        SELECT bkt,
+               CAST(COALESCE(SUM(bkt_tokens)
+                             OVER (ORDER BY bkt DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM totals
+    ), budget AS (
+        SELECT CAST(SUM(n_tokens) * 6 // 10 AS BIGINT) AS b FROM scored
+    )
+    SELECT s.doc_id, s.n_tokens, s.score_u,
+           CAST(o.off + SUM(s.n_tokens)
+                          OVER (PARTITION BY s.bkt
+                                ORDER BY s.score_u DESC, s.doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+           (o.off + SUM(s.n_tokens)
+                      OVER (PARTITION BY s.bkt
+                            ORDER BY s.score_u DESC, s.doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)) <= bu.b AS kept
+    FROM bucketed s
+    JOIN offsets o ON o.bkt = s.bkt
+    CROSS JOIN budget bu
+    """,
+)
+def q_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    w = _with_words(d, "doc_id")
+    nz = "filter(words, w -> w != '')"
+    scored = w.select(
+        "doc_id",
+        F.expr(f"cast(size({nz}) as bigint)").alias("n_tokens"),
+        F.expr(
+            f"cast(1000000 * size(filter(words, w -> w IN ({stop_arr}))) "
+            f"div greatest(size({nz}), 1) as bigint)"
+        ).alias("score_u"),
+    )
+    bucketed = scored.withColumn(
+        "bkt", F.expr("score_u div 50000").cast("bigint")
+    )
+    totals = bucketed.groupBy("bkt").agg(
+        F.sum("n_tokens").cast("bigint").alias("bkt_tokens")
+    )
+    woff = (
+        W.orderBy(F.col("bkt").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bkt",
+        F.coalesce(F.sum("bkt_tokens").over(woff), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+    )
+    budget = scored.agg(
+        F.expr("cast(sum(n_tokens) * 6 div 10 as bigint)").alias("b")
+    )
+    win = (
+        W.partitionBy("bkt")
+        .orderBy(F.col("score_u").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = (F.col("off") + F.sum("n_tokens").over(win)).cast("bigint")
+    return (
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .crossJoin(F.broadcast(budget))  # 1-row token budget
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_u",
+            cum.alias("cum_tokens"),
+            (cum <= F.col("b")).alias("kept"),
+        )
+    )

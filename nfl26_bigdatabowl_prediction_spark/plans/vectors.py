@@ -1546,3 +1546,100 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive pair mining — for every anchor, the best in-bucket
+# POSITIVE (same label, highest cosine) and the HARDEST in-bucket
+# NEGATIVE (different label, highest cosine): the triplet/InfoNCE
+# training-data prep, where hard negatives — near misses, not random
+# ones — carry the gradient signal.  Candidates come from the SAME
+# hyperplane-LSH buckets as q_embed_neardup (the bucket equi-join
+# bounds the pair space; random-pair mining would be all-pairs), so
+# the mined negatives are "near" by construction.  Cosines are the
+# shared strict-left-fold doubles; both argmaxes are one window each
+# over the bucket-bounded candidate set, tie-broken by id.
+# --------------------------------------------------------------------------
+@q(
+    "q_contrastive_pairs",
+    f"""
+    WITH b AS (
+        SELECT vec_id, label, embedding, {_PLANE_DUCK} AS bucket
+        FROM embeddings
+    ), cand AS (
+        SELECT a.vec_id AS anchor, a.label AS a_label,
+               c.vec_id AS cand_id, c.label AS c_label,
+               {_dot_duck('a.embedding', 'c.embedding')}
+                 / (sqrt({_dot_duck('a.embedding', 'a.embedding')})
+                    * sqrt({_dot_duck('c.embedding', 'c.embedding')})) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ), pos AS (
+        SELECT anchor, cand_id AS pos_id, round(cosine, 6) AS pos_cos FROM (
+            SELECT anchor, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY anchor
+                                      ORDER BY cosine DESC, cand_id ASC) AS rn
+            FROM cand WHERE a_label = c_label) WHERE rn = 1
+    ), neg AS (
+        SELECT anchor, cand_id AS neg_id, round(cosine, 6) AS neg_cos FROM (
+            SELECT anchor, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY anchor
+                                      ORDER BY cosine DESC, cand_id ASC) AS rn
+            FROM cand WHERE a_label <> c_label) WHERE rn = 1
+    )
+    SELECT p.anchor, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+    FROM pos p JOIN neg n ON n.anchor = p.anchor
+    """,
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "label", "embedding", F.expr(_PLANE_SPARK).alias("bucket")
+    )
+    a = b.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("ae"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("ce"),
+        "bucket",
+    )
+    cos = (
+        F.expr(_dot_spark("ae", "ce"))
+        / (
+            F.sqrt(F.expr(_dot_spark("ae", "ae")))
+            * F.sqrt(F.expr(_dot_spark("ce", "ce")))
+        )
+    )
+    cand = (
+        a.join(c, "bucket")
+        .filter(F.col("anchor") != F.col("cand_id"))
+        .select("anchor", "a_label", "cand_id", "c_label", cos.alias("cosine"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("anchor").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    )
+    pos = (
+        cand.filter(F.col("a_label") == F.col("c_label"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("cand_id").alias("pos_id"),
+            F.round("cosine", 6).alias("pos_cos"),
+        )
+    )
+    neg = (
+        cand.filter(F.col("a_label") != F.col("c_label"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("cand_id").alias("neg_id"),
+            F.round("cosine", 6).alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor")
