@@ -1556,90 +1556,99 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ones — carry the gradient signal.  Candidates come from the SAME
 # hyperplane-LSH buckets as q_embed_neardup (the bucket equi-join
 # bounds the pair space; random-pair mining would be all-pairs), so
-# the mined negatives are "near" by construction.  Cosines are the
-# shared strict-left-fold doubles; both argmaxes are one window each
-# over the bucket-bounded candidate set, tie-broken by id.
+# the mined negatives are "near" by construction.  Selection is BY
+# THE ROUNDED cosine (6 dp — the reported value), packed with the id
+# tiebreak into one integer (c_u+10⁶)·10⁹ − (id+1), so BOTH argmaxes
+# come from ONE conditional aggregation over ONE pass of the
+# candidate join — the two-window form re-evaluated the join + the
+# 64-dim cosine twice (13.5 s → ~4 s at sf0.01 driver scale).  Norms
+# are precomputed scan-side (per row, not per pair).
 # --------------------------------------------------------------------------
+_CP_IDB = 1000000000  # id bound inside the packed argmax key
+
+
 @q(
     "q_contrastive_pairs",
     f"""
     WITH b AS (
-        SELECT vec_id, label, embedding, {_PLANE_DUCK} AS bucket
+        SELECT vec_id, label, embedding, {_PLANE_DUCK} AS bucket,
+               sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
         FROM embeddings
     ), cand AS (
-        SELECT a.vec_id AS anchor, a.label AS a_label,
-               c.vec_id AS cand_id, c.label AS c_label,
-               {_dot_duck('a.embedding', 'c.embedding')}
-                 / (sqrt({_dot_duck('a.embedding', 'a.embedding')})
-                    * sqrt({_dot_duck('c.embedding', 'c.embedding')})) AS cosine
+        SELECT a.vec_id AS anchor, a.label = c.label AS same,
+               (CAST(round({_dot_duck('a.embedding', 'c.embedding')}
+                           / (a.nrm * c.nrm) * 1000000, 0) AS BIGINT)
+                + 1000000) * {_CP_IDB} - (c.vec_id + 1) AS k
         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
-    ), pos AS (
-        SELECT anchor, cand_id AS pos_id, round(cosine, 6) AS pos_cos FROM (
-            SELECT anchor, cand_id, cosine,
-                   ROW_NUMBER() OVER (PARTITION BY anchor
-                                      ORDER BY cosine DESC, cand_id ASC) AS rn
-            FROM cand WHERE a_label = c_label) WHERE rn = 1
-    ), neg AS (
-        SELECT anchor, cand_id AS neg_id, round(cosine, 6) AS neg_cos FROM (
-            SELECT anchor, cand_id, cosine,
-                   ROW_NUMBER() OVER (PARTITION BY anchor
-                                      ORDER BY cosine DESC, cand_id ASC) AS rn
-            FROM cand WHERE a_label <> c_label) WHERE rn = 1
+    ), best AS (
+        SELECT anchor,
+               MAX(CASE WHEN same THEN k END) AS pk,
+               MAX(CASE WHEN NOT same THEN k END) AS nk
+        FROM cand GROUP BY anchor
     )
-    SELECT p.anchor, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
-    FROM pos p JOIN neg n ON n.anchor = p.anchor
+    SELECT anchor,
+           CAST((pk // {_CP_IDB} + 1) * {_CP_IDB} - pk - 1 AS BIGINT) AS pos_id,
+           CAST(pk // {_CP_IDB} - 999999 AS DOUBLE) / 1000000.0 AS pos_cos,
+           CAST((nk // {_CP_IDB} + 1) * {_CP_IDB} - nk - 1 AS BIGINT) AS neg_id,
+           CAST(nk // {_CP_IDB} - 999999 AS DOUBLE) / 1000000.0 AS neg_cos
+    FROM best
+    WHERE pk IS NOT NULL AND nk IS NOT NULL
     """,
 )
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     b = e.select(
-        "vec_id", "label", "embedding", F.expr(_PLANE_SPARK).alias("bucket")
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_PLANE_SPARK).alias("bucket"),
+        F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("nrm"),
     )
     a = b.select(
         F.col("vec_id").alias("anchor"),
         F.col("label").alias("a_label"),
         F.col("embedding").alias("ae"),
+        F.col("nrm").alias("an"),
         "bucket",
     )
     c = b.select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("c_label"),
         F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
         "bucket",
     )
-    cos = (
-        F.expr(_dot_spark("ae", "ce"))
-        / (
-            F.sqrt(F.expr(_dot_spark("ae", "ae")))
-            * F.sqrt(F.expr(_dot_spark("ce", "ce")))
-        )
-    )
+    c_u = F.round(
+        F.expr(_dot_spark("ae", "ce")) / (F.col("an") * F.col("cn")) * 1000000, 0
+    ).cast("bigint")
+    key = (c_u + 1000000) * _CP_IDB - (F.col("cand_id") + 1)
     cand = (
         a.join(c, "bucket")
         .filter(F.col("anchor") != F.col("cand_id"))
-        .select("anchor", "a_label", "cand_id", "c_label", cos.alias("cosine"))
-    )
-    rn = F.row_number().over(
-        W.partitionBy("anchor").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    )
-    pos = (
-        cand.filter(F.col("a_label") == F.col("c_label"))
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
         .select(
             "anchor",
-            F.col("cand_id").alias("pos_id"),
-            F.round("cosine", 6).alias("pos_cos"),
+            (F.col("a_label") == F.col("c_label")).alias("same"),
+            key.alias("k"),
         )
     )
-    neg = (
-        cand.filter(F.col("a_label") != F.col("c_label"))
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select(
-            "anchor",
-            F.col("cand_id").alias("neg_id"),
-            F.round("cosine", 6).alias("neg_cos"),
-        )
+    best = cand.groupBy("anchor").agg(
+        F.max(F.when(F.col("same"), F.col("k"))).alias("pk"),
+        F.max(F.when(~F.col("same"), F.col("k"))).alias("nk"),
     )
-    return pos.join(neg, "anchor")
+
+    def _decode(col: str):
+        hi = F.expr(f"{col} div {_CP_IDB}")
+        return (
+            ((hi + 1) * _CP_IDB - F.col(col) - 1).cast("bigint"),
+            (hi - 999999).cast("double") / 1000000.0,
+        )
+
+    pid, pcos = _decode("pk")
+    nid, ncos = _decode("nk")
+    return best.filter(F.col("pk").isNotNull() & F.col("nk").isNotNull()).select(
+        "anchor",
+        pid.alias("pos_id"),
+        pcos.alias("pos_cos"),
+        nid.alias("neg_id"),
+        ncos.alias("neg_cos"),
+    )
