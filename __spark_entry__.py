@@ -96,8 +96,9 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 
 # ROUND-6 TODO (first thing): merge CORRECTNESS_r05.json's green
 # names into _DRIVER_GREEN, rebuild _PRIORITY from the remaining
-# ~48 pending names (tools/rotate.py prints both lists), pre-flight
-# with `python tools/driver_sim.py --window 50`.  rotate.py now also
+# pending names (~100 at round-5 close after the late operator
+# batches; tools/rotate.py prints both lists), pre-flight with
+# `python tools/driver_sim.py --window 50`.  rotate.py now also
 # prints a function-level "plan drift" section (green rows older than
 # their plan source); as of round 5 it flags q_except,
 # q_schema_evolution and q_setsim_join — put any still-drifted names
