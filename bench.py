@@ -380,6 +380,8 @@ HEADLINE = {
     "q_leakage_audit",
     "q_token_budget_trim",
     "q_contrastive_pairs",
+    "q_als_step",
+    "q_bootstrap_ci",
     "q_scan_text",
     "q_gif_decode",
     "q_scan_binary",

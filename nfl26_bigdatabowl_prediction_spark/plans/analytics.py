@@ -3030,3 +3030,71 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day bigint, y double, level double, trend double, "
         "seasonal double, fitted double",
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap — B=32 deterministic resampling replicates of the
+# mean event value, the distributed bootstrap (Chamandy et al.,
+# Google 2012: per-row independent Poisson(1) weights replace
+# with-replacement sampling, so one scan serves every replicate and
+# no resampled copy of the data exists).  Randomness is the engine's
+# hash coin: w(row, b) inverts the Poisson(1) CDF via a PYTHON-
+# GENERATED integer LUT embedded in both SQLs (the q_dp_count
+# pattern — no libm on the judged path).  The per-replicate sums are
+# exact int64 cents; the fan-out is a scan-side Generate into a
+# 32-group map-side-combined agg — replicate state, never data,
+# reaches the shuffle.
+# --------------------------------------------------------------------------
+_BOOT_B = 32
+# ceil(1000 · P(Poisson(1) ≤ k)) for k = 0..5; weight = #thresholds
+# strictly below the hash draw (≥ 999 ⇒ 6, capping the tail).
+_POIS_LUT = (368, 736, 920, 981, 996, 999)
+
+
+def _boot_weight_sql(h: str) -> str:
+    return (
+        "("
+        + " + ".join(f"CASE WHEN {h} >= {t} THEN 1 ELSE 0 END" for t in _POIS_LUT)
+        + ")"
+    )
+
+
+@q(
+    "q_bootstrap_ci",
+    f"""
+    WITH fan AS (
+        SELECT b.b AS replicate,
+               {_boot_weight_sql(knuth_fold_sql('event_id * 31 + b.b * 7919', 1000))}
+                 AS w,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events, (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+    )
+    SELECT replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           round(CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100.0, 6)
+             AS mean_value
+    FROM fan GROUP BY replicate
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    fan = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("replicate"),
+    )
+    h = knuth_fold_sql("event_id * 31 + replicate * 7919", 1000)
+    w = F.expr(_boot_weight_sql(h))
+    return (
+        fan.select("replicate", w.alias("w"), "cents")
+        .groupBy("replicate")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w")
+                / 100.0,
+                6,
+            ).alias("mean_value"),
+        )
+    )

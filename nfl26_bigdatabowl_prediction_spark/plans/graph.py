@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.portable import knuth_fold_expr, knuth_fold_sql
 from ..sources.io import table
 
 QUERIES: dict = {}
@@ -887,4 +888,100 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 0.0  # normalize −0.0 (round of a tiny negative) cross-engine
             ).alias("contribution"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# ALS half-step — one alternating-least-squares user-side solve for a
+# rank-2 matrix factorization over the (customer, part) quantity
+# matrix (Koren/Hu-Koren-Volinsky; Spark MLlib's ALS does exactly
+# this per iteration): item factors fixed (deterministic hash init),
+# each user's w = (AᵀA + λI)⁻¹Aᵀr via the exact 2×2 closed form.
+# This IS the distributed-trainer primitive — per-user Gram terms are
+# map-side-combined integer-micro sums (each per-rating product
+# rounded once, so partial-agg order is free), the 2×2 inverse runs
+# on the user-dimension table, λ = 0.125 (binary-exact).  One fact
+# shuffle keyed by user; item factors are scan-side expressions, no
+# factor table is even materialized.
+# --------------------------------------------------------------------------
+@q(
+    "q_als_step",
+    f"""
+    WITH r AS (
+        SELECT o.o_custkey AS cust, l.l_partkey AS pk,
+               CAST(SUM(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ), f AS (
+        SELECT cust, pk, qty,
+               (CAST({knuth_fold_sql('pk', 1000)} AS DOUBLE) - 500) / 1000.0 AS f1,
+               (CAST({knuth_fold_sql('pk * 7 + 1', 1000)} AS DOUBLE) - 500)
+                 / 1000.0 AS f2
+        FROM r
+    ), gram AS (
+        SELECT cust, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(round(f1 * f1 * 1000000, 0) AS BIGINT)) AS BIGINT) AS g11,
+               CAST(SUM(CAST(round(f1 * f2 * 1000000, 0) AS BIGINT)) AS BIGINT) AS g12,
+               CAST(SUM(CAST(round(f2 * f2 * 1000000, 0) AS BIGINT)) AS BIGINT) AS g22,
+               CAST(SUM(CAST(round(f1 * qty * 1000000, 0) AS BIGINT)) AS BIGINT) AS d1,
+               CAST(SUM(CAST(round(f2 * qty * 1000000, 0) AS BIGINT)) AS BIGINT) AS d2
+        FROM f GROUP BY cust
+    )
+    SELECT cust, n_items,
+           round(((CAST(g22 AS DOUBLE) / 1000000 + 0.125)
+                  * (CAST(d1 AS DOUBLE) / 1000000)
+                  - (CAST(g12 AS DOUBLE) / 1000000)
+                    * (CAST(d2 AS DOUBLE) / 1000000))
+                 / ((CAST(g11 AS DOUBLE) / 1000000 + 0.125)
+                    * (CAST(g22 AS DOUBLE) / 1000000 + 0.125)
+                    - (CAST(g12 AS DOUBLE) / 1000000)
+                      * (CAST(g12 AS DOUBLE) / 1000000)), 6) AS w1,
+           round(((CAST(g11 AS DOUBLE) / 1000000 + 0.125)
+                  * (CAST(d2 AS DOUBLE) / 1000000)
+                  - (CAST(g12 AS DOUBLE) / 1000000)
+                    * (CAST(d1 AS DOUBLE) / 1000000))
+                 / ((CAST(g11 AS DOUBLE) / 1000000 + 0.125)
+                    * (CAST(g22 AS DOUBLE) / 1000000 + 0.125)
+                    - (CAST(g12 AS DOUBLE) / 1000000)
+                      * (CAST(g12 AS DOUBLE) / 1000000)), 6) AS w2
+    FROM gram
+    """,
+)
+def q_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("pk")
+        )
+        .agg(F.sum(F.round("l_quantity", 0).cast("bigint")).cast("bigint").alias("qty"))
+    )
+    f1 = (knuth_fold_expr(F.col("pk"), 1000).cast("double") - 500) / 1000.0
+    f2 = (
+        knuth_fold_expr(F.col("pk") * 7 + 1, 1000).cast("double") - 500
+    ) / 1000.0
+    f = r.select("cust", "qty", f1.alias("f1"), f2.alias("f2"))
+    u = lambda e: F.sum(F.round(e * 1000000, 0).cast("bigint")).cast("bigint")  # noqa: E731
+    gram = f.groupBy("cust").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        u(F.col("f1") * F.col("f1")).alias("g11"),
+        u(F.col("f1") * F.col("f2")).alias("g12"),
+        u(F.col("f2") * F.col("f2")).alias("g22"),
+        u(F.col("f1") * F.col("qty")).alias("d1"),
+        u(F.col("f2") * F.col("qty")).alias("d2"),
+    )
+    g11 = F.col("g11").cast("double") / 1000000 + 0.125
+    g12 = F.col("g12").cast("double") / 1000000
+    g22 = F.col("g22").cast("double") / 1000000 + 0.125
+    d1 = F.col("d1").cast("double") / 1000000
+    d2 = F.col("d2").cast("double") / 1000000
+    det = g11 * g22 - g12 * g12
+    return gram.select(
+        "cust",
+        "n_items",
+        F.round((g22 * d1 - g12 * d2) / det, 6).alias("w1"),
+        F.round((g11 * d2 - g12 * d1) / det, 6).alias("w2"),
     )
