@@ -28,19 +28,27 @@ _POLY_MOD = 1000000007  # prime modulus for the rolling hash
 
 
 def knuth_fold_expr(key: Column, k: int) -> Column:
-    """Deterministic grouped-CV fold id: ((key * 2654435761) % 2^32) % k.
+    """Deterministic grouped-CV fold id:
+    (((key % (1e9+7)) * 2654435761) % 2^32) % k.
 
     Replaces sklearn GroupKFold (main_cuda.py:596-604, 1465-1467) with
     a join-free column — leakage-safe (whole group lands in one fold)
-    and identical on any engine.  Production alternative:
-    ``pmod(xxhash64(key), k)``.
+    and identical on any engine.  The pre-modulus bounds the product
+    inside int64 for arbitrarily large keys (a 7×10⁹ id × the Knuth
+    constant overflows; 100 TB ids will be larger still) and is the
+    identity for every oracle-checked fixture (ids < 1e9+7 there).
+    Production alternative: ``pmod(xxhash64(key), k)``.
     """
-    return ((key.cast("bigint") * F.lit(_KNUTH)) % F.lit(_MOD32)) % F.lit(k)
+    pre = key.cast("bigint") % F.lit(_POLY_MOD)
+    return ((pre * F.lit(_KNUTH)) % F.lit(_MOD32)) % F.lit(k)
 
 
 def knuth_fold_sql(key_sql: str, k: int) -> str:
     """DuckDB/ANSI twin of :func:`knuth_fold_expr`."""
-    return f"(((CAST({key_sql} AS BIGINT) * {_KNUTH}) % {_MOD32}) % {k})"
+    return (
+        f"((((CAST({key_sql} AS BIGINT) % {_POLY_MOD}) * {_KNUTH})"
+        f" % {_MOD32}) % {k})"
+    )
 
 
 def portable_hash_sql_spark(col_sql: str) -> str:

@@ -3043,9 +3043,8 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pattern — no libm on the judged path).  The per-replicate sums are
 # exact int64 cents; the fan-out is a scan-side Generate into a
 # 32-group map-side-combined agg — replicate state, never data,
-# reaches the shuffle.  The coin key pre-mods by 1e9+7 so
-# key·KNUTH stays inside int64 for arbitrarily large event ids
-# (the 8× derivative's 7e9 ids overflowed the raw fold).
+# reaches the shuffle.  (The fold helper pre-mods its key by 1e9+7,
+# added after this query's 8× probe overflowed int64 on 7e9 ids.)
 # --------------------------------------------------------------------------
 _BOOT_B = 32
 # ceil(1000 · P(Poisson(1) ≤ k)) for k = 0..5; weight = #thresholds
@@ -3066,7 +3065,7 @@ def _boot_weight_sql(h: str) -> str:
     f"""
     WITH fan AS (
         SELECT b.b AS replicate,
-               {_boot_weight_sql(knuth_fold_sql('(event_id * 31 + b.b * 7919) % 1000000007', 1000))}
+               {_boot_weight_sql(knuth_fold_sql('event_id * 31 + b.b * 7919', 1000))}
                  AS w,
                CAST(round(value * 100, 0) AS BIGINT) AS cents
         FROM events, (SELECT unnest(range(0, {_BOOT_B})) AS b) b
@@ -3085,7 +3084,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
         F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("replicate"),
     )
-    h = knuth_fold_sql("(event_id * 31 + replicate * 7919) % 1000000007", 1000)
+    h = knuth_fold_sql("event_id * 31 + replicate * 7919", 1000)
     w = F.expr(_boot_weight_sql(h))
     return (
         fan.select("replicate", w.alias("w"), "cents")
