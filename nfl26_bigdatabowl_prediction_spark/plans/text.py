@@ -3795,7 +3795,10 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-doc-class scores are integer sums; argmax tie-breaks on class.
 # Scale: the (vocab × k) likelihood table is dimension-sized and
 # broadcast onto the token stream; ONE doc-keyed fact shuffle; the
-# class spine is a k-row broadcast; output is the k×k grid.
+# class spine is a k-row broadcast; output is the k×k grid.  The
+# corpus is scanned three times — train (wc), doc lengths, score —
+# the honest minimum for a one-DAG train+apply; the vocab size
+# re-aggregates the dimension-sized wc, never the token stream.
 # --------------------------------------------------------------------------
 @q(
     "q_naive_bayes",
@@ -3821,7 +3824,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), totals AS (
         SELECT lang, CAST(SUM(cnt) AS BIGINT) AS t_c FROM wc GROUP BY 1
     ), vocab AS (
-        SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM nz
+        SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM wc
     ), lik AS (
         SELECT wc.lang, wc.token,
                CAST(round(ln(CAST(wc.cnt + 1 AS DOUBLE) / (t.t_c + vocab.v))
@@ -3886,7 +3889,7 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     totals = wc.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("t_c"))
-    vocab = nz.agg(F.countDistinct("token").cast("bigint").alias("v"))
+    vocab = wc.agg(F.countDistinct("token").cast("bigint").alias("v"))
     lik = (
         wc.join(F.broadcast(totals), "lang")
         .crossJoin(F.broadcast(vocab))  # 1-row vocab size
