@@ -382,6 +382,8 @@ HEADLINE = {
     "q_contrastive_pairs",
     "q_als_step",
     "q_bootstrap_ci",
+    "q_window_funnel",
+    "q_code_detect",
     "q_scan_text",
     "q_gif_decode",
     "q_scan_binary",

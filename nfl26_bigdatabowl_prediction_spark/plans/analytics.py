@@ -3099,3 +3099,84 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed funnel — the ClickHouse-windowFunnel semantics: how far
+# does each user get through view → click → purchase where every
+# consecutive stage must land within 1 hour of the previous one?
+# q_funnel answers unbounded 2-stage conversion; this adds the stage
+# chain + the per-hop time bound every growth team actually uses.
+# Earliest-completion semantics: stage k's timestamp is the MIN event
+# of that type inside (prev, prev + 1h] — three chained per-user
+# min-aggs, each a dimension-sized join back onto the typed scan; no
+# windows over the raw feed, no per-user sequence kernel.
+# --------------------------------------------------------------------------
+_WF_GAP_US = 3600 * 10**6
+
+
+@q(
+    "q_window_funnel",
+    f"""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) > v.t1 AND epoch_us(e.ts) <= v.t1 + {_WF_GAP_US}
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) > c.t2 AND epoch_us(e.ts) <= c.t2 + {_WF_GAP_US}
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t1 AS view_us, c.t2 AS click_us, p.t3 AS purchase_us,
+           CAST(1 + CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS stages_reached
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + _WF_GAP_US))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + _WF_GAP_US))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    reach = (
+        1
+        + F.when(F.col("t2").isNull(), 0).otherwise(1)
+        + F.when(F.col("t3").isNull(), 0).otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias("view_us"),
+            F.col("t2").alias("click_us"),
+            F.col("t3").alias("purchase_us"),
+            reach.cast("bigint").alias("stages_reached"),
+        )
+    )

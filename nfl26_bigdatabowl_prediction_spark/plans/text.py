@@ -4219,3 +4219,75 @@ def q_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cum <= F.col("b")).alias("kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Code detection — is a document source code or prose?  The corpus
+# router every mixed crawl needs before language-specific curation
+# (prose → q_quality_score/q_gopher_rules, code → its own pipeline).
+# Deterministic surface ratios in integer micros: symbol density
+# ({}[]();=<>#), indented-line share, and code-keyword hits per
+# token; the verdict ORs two strong signals exactly as fastText-less
+# heuristic routers do.  Pure scan-side expressions, zero shuffles.
+# --------------------------------------------------------------------------
+_CODE_KEYWORDS = ("def", "return", "import", "class", "void", "int",
+                  "function", "var", "const", "if", "else", "for")
+_CODE_KW_SQL = ", ".join(f"'{k}'" for k in _CODE_KEYWORDS)
+
+
+@q(
+    "q_code_detect",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(1000000 * (length(text)
+                               - length(regexp_replace(text,
+                                        '[{{}}\\[\\]();=<>#]', '', 'g')))
+                    // greatest(length(text), 1) AS BIGINT) AS symbol_u,
+               CAST(1000000 * len(list_filter(split(text, chr(10)),
+                                              l -> l LIKE '    %'
+                                                   OR l LIKE chr(9) || '%'))
+                    // greatest(len(split(text, chr(10))), 1) AS BIGINT)
+                 AS indent_u,
+               CAST(1000000 * len(list_filter({_WORDS_DUCK},
+                                              w -> w IN ({_CODE_KW_SQL})))
+                    // greatest(len(list_filter({_WORDS_DUCK}, w -> w <> '')), 1)
+                    AS BIGINT) AS kw_u
+        FROM documents
+    )
+    SELECT doc_id, symbol_u, indent_u, kw_u,
+           (symbol_u >= 40000 AND kw_u >= 10000)
+             OR indent_u >= 300000 AS is_code
+    FROM feats
+    """,
+)
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    kw = ", ".join(f"'{k}'" for k in _CODE_KEYWORDS)
+    feats = _with_words(d, "doc_id", "text").select(
+        "doc_id",
+        F.expr(
+            "cast(1000000 * (length(text) - length(regexp_replace(text, "
+            r"'[{}\\[\\]();=<>#]', ''))) div greatest(length(text), 1) "
+            "as bigint)"
+        ).alias("symbol_u"),
+        F.expr(
+            "cast(1000000 * size(filter(split(text, '\\n'), "
+            "l -> l LIKE '    %' OR l LIKE '\\t%')) "
+            "div greatest(size(split(text, '\\n')), 1) as bigint)"
+        ).alias("indent_u"),
+        F.expr(
+            f"cast(1000000 * size(filter(words, w -> w IN ({kw}))) "
+            "div greatest(size(filter(words, w -> w != '')), 1) as bigint)"
+        ).alias("kw_u"),
+    )
+    return feats.select(
+        "doc_id",
+        "symbol_u",
+        "indent_u",
+        "kw_u",
+        (
+            ((F.col("symbol_u") >= 40000) & (F.col("kw_u") >= 10000))
+            | (F.col("indent_u") >= 300000)
+        ).alias("is_code"),
+    )
