@@ -384,6 +384,8 @@ HEADLINE = {
     "q_bootstrap_ci",
     "q_window_funnel",
     "q_code_detect",
+    "q_temporal_split",
+    "q_log_histogram",
     "q_scan_text",
     "q_gif_decode",
     "q_scan_binary",

@@ -3180,3 +3180,101 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             reach.cast("bigint").alias("stages_reached"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal train/test split — the time-series-correct alternative to
+# q_split_assign's hash coins: everything before the cut goes to
+# train, everything at/after to test, so no future information leaks
+# backward (random splits DO leak for forecasting tasks).  The cut is
+# the first hour where the cumulative event count reaches 80% —
+# computed on the bounded hourly grid (one prefix window, the
+# q_mannwhitney rule) and broadcast as one row; the per-event tagging
+# is a scan-side comparison.  Integer arithmetic only (cum·10 ≥ 8·N).
+# --------------------------------------------------------------------------
+@q(
+    "q_temporal_split",
+    """
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS hr, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), pre AS (
+        SELECT hr,
+               CAST(SUM(c) OVER (ORDER BY hr) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM hourly
+    ), cut AS (
+        SELECT CAST(MIN(hr) AS BIGINT) AS cut_hr FROM pre WHERE cum * 10 >= n * 8
+    )
+    SELECT e.event_id,
+           CAST(epoch_us(e.ts) // 3600000000 AS BIGINT) AS hr,
+           CASE WHEN epoch_us(e.ts) // 3600000000 < c.cut_hr
+                THEN 'train' ELSE 'test' END AS split
+    FROM events e CROSS JOIN cut c
+    """,
+)
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.expr("ts div 3600000000").alias("hr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    pre = hourly.select(
+        "hr",
+        F.sum("c").over(w).cast("bigint").alias("cum"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    cut = pre.filter(F.col("cum") * 10 >= F.col("n") * 8).agg(
+        F.min("hr").cast("bigint").alias("cut_hr")
+    )
+    hr = F.expr("ts div 3600000000").cast("bigint")
+    return ev.crossJoin(F.broadcast(cut)).select(
+        "event_id",
+        hr.alias("hr"),
+        F.when(hr < F.col("cut_hr"), "train").otherwise("test").alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Log-scale histogram — powers-of-two value bins per event type, the
+# right shape for heavy-tailed metrics where q_histogram's linear
+# bins put 99% of mass in one bucket.  The bin is exact integer math:
+# floor(log2(cents)) = length(bin(cents)) − 1 (binary digit count —
+# no libm log anywhere), bounds reconstructed with shifts.  One
+# map-side-combined fact agg to ≤ |types|·log2(max) cells.
+# --------------------------------------------------------------------------
+@q(
+    "q_log_histogram",
+    """
+    SELECT event_type,
+           CAST(length(bin(CAST(round(value * 100, 0) AS BIGINT))) - 1
+                AS BIGINT) AS bin_log2,
+           round(CAST((CAST(1 AS BIGINT)
+                       << (length(bin(CAST(round(value * 100, 0) AS BIGINT))) - 1))
+                      AS DOUBLE) / 100.0, 6) AS lo_value,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_c
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    b = (F.length(F.expr("bin(cast(round(value * 100, 0) as bigint))")) - 1).cast(
+        "bigint"
+    )
+    lo = F.round(
+        F.expr(
+            "cast(shiftleft(cast(1 as bigint), "
+            "length(bin(cast(round(value * 100, 0) as bigint))) - 1) as double)"
+        )
+        / 100.0,
+        6,
+    )
+    return ev.groupBy(
+        "event_type", b.alias("bin_log2"), lo.alias("lo_value")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("total_c"),
+    )
