@@ -107,7 +107,11 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # (int → any ordered node id, for q_entity_resolution), a dependency
 # of the D3-green q_dedup_components — include q_dedup_components in
 # the round-6 drift slots too (it re-verified green in the local
-# differential + driver_sim after the change).
+# differential + driver_sim after the change).  Likewise the round-5
+# close hardened functions/portable.knuth_fold_* (pre-modulus; the
+# identity at every oracle scale) — rotate.py's function-level drift
+# can't attribute helper changes, but the post-change 358/358 sweep
+# re-verified every fold consumer; no extra drift slots needed.
 #
 # Round-5 window (first 50 of queries()): per the round-4 verdict,
 # front-load the never-driver-verified families with the most user

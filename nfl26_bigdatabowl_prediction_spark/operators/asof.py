@@ -51,9 +51,40 @@ def asof_join(
     violates ``tolerance_us``).  ``direction='backward'`` (default)
     matches the most recent right row with right.ts <= left.ts;
     ``'forward'`` matches the earliest right row with
-    right.ts >= left.ts (both exact-match-inclusive)."""
-    assert direction in ("backward", "forward"), direction
+    right.ts >= left.ts (both exact-match-inclusive);
+    ``'nearest'`` the temporally closest of the two, ties to the
+    backward match (pandas merge_asof direction='nearest' with its
+    prior-row tie preference) — composed from one backward and one
+    forward pass, the forward pass running on the DISTINCT left
+    (by, on) keys (the match is a function of those keys alone, so
+    duplicate left rows join the same payload back exactly once)."""
+    assert direction in ("backward", "forward", "nearest"), direction
     by = by or ["user_id"]
+    if direction == "nearest":
+        kw = dict(
+            on=on, by=by, right_cols=right_cols, tiebreak=tiebreak,
+            tolerance_us=tolerance_us, dedup_right=dedup_right,
+        )
+        b = asof_join(left, right, suffix=suffix, direction="backward", **kw)
+        lk = left.select(*by, on).distinct()
+        f = asof_join(lk, right, suffix="__f", direction="forward", **kw)
+        j = b.join(f, [*by, on])
+        cols = (right_cols or [
+            c for c in right.columns if c not in set(by) | {on}
+        ]) + [on]
+        pick_b = F.col(f"{on}{suffix}").isNotNull() & (
+            F.col(f"{on}__f").isNull()
+            | (F.col(on) - F.col(f"{on}{suffix}")
+               <= F.col(f"{on}__f") - F.col(on))
+        )
+        for c in cols:
+            j = j.withColumn(
+                f"{c}{suffix}",
+                F.when(pick_b, F.col(f"{c}{suffix}")).otherwise(
+                    F.col(f"{c}__f")
+                ),
+            ).drop(f"{c}__f")
+        return j
     right_cols = right_cols or [
         c for c in right.columns if c not in set(by) | {on}
     ]

@@ -1293,35 +1293,26 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     left = ev.filter(F.col("event_type") == "purchase").drop("event_type")
     right = ev.filter(F.col("event_type") == "click").drop("event_type")
-    kw = dict(
+    j = asof_join(
+        left,
+        right,
         on="ts",
         by=["user_id"],
         right_cols=["event_id", "value"],
         tiebreak="event_id",
         dedup_right=True,
+        direction="nearest",
     )
-    b = asof_join(left, right, suffix="_b", direction="backward", **kw)
-    f = asof_join(left, right, suffix="_f", direction="forward", **kw).select(
-        "user_id", "event_id", "event_id_f", "value_f", "ts_f"
-    )
-    j = b.join(f, ["user_id", "event_id"])
-    pick_b = F.col("ts_b").isNotNull() & (
-        F.col("ts_f").isNull()
-        | (F.col("ts") - F.col("ts_b") <= F.col("ts_f") - F.col("ts"))
-    )
+    matched = F.col("ts_asof").isNotNull()
     return j.select(
         "user_id",
         "event_id",
         F.col("value").alias("target_value"),
-        F.when(pick_b, F.col("event_id_b")).otherwise(F.col("event_id_f"))
-        .alias("click_event_id"),
-        F.when(pick_b, F.col("value_b")).otherwise(F.col("value_f"))
-        .alias("click_value"),
-        F.when(pick_b, F.col("ts") - F.col("ts_b"))
-        .otherwise(F.col("ts_f") - F.col("ts"))
-        .alias("gap_us"),
-        F.when(F.col("ts_b").isNull() & F.col("ts_f").isNull(), F.lit(None))
-        .when(pick_b, F.lit("backward"))
+        F.col("event_id_asof").alias("click_event_id"),
+        F.col("value_asof").alias("click_value"),
+        F.abs(F.col("ts_asof") - F.col("ts")).alias("gap_us"),
+        F.when(~matched, F.lit(None))
+        .when(F.col("ts_asof") <= F.col("ts"), F.lit("backward"))
         .otherwise(F.lit("forward"))
         .alias("side"),
     )

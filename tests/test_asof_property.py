@@ -103,3 +103,76 @@ def test_asof_matches_pandas(spark, direction, lrows, rrows):
         ga = got[c].astype("Float64").to_numpy()
         wa = want[c].astype("Float64").to_numpy() if len(want) else ga
         assert ((ga == wa) | (pd.isna(ga) & pd.isna(wa))).all(), (c, got, want)
+
+
+def _pandas_nearest(l, r):
+    """Reference nearest = backward + forward + the operator's
+    documented tie rule (ties → backward), built from the same
+    per-direction pandas reference above."""
+    b = _pandas_asof(l, r, "backward").rename(
+        columns={"eid_asof": "b_eid", "val_asof": "b_val", "ts_asof": "b_ts"}
+    )
+    f = _pandas_asof(l, r, "forward")[["user", "ts", "eid", "eid_asof", "val_asof", "ts_asof"]].rename(
+        columns={"eid_asof": "f_eid", "val_asof": "f_val", "ts_asof": "f_ts"}
+    )
+    m = b.merge(f, on=["user", "ts", "eid"])
+    rows = []
+    for _, row in m.iterrows():
+        has_b, has_f = pd.notna(row["b_ts"]), pd.notna(row["f_ts"])
+        if has_b and (not has_f or row["ts"] - row["b_ts"] <= row["f_ts"] - row["ts"]):
+            pick = ("b_eid", "b_val", "b_ts") if has_b else ("f_eid", "f_val", "f_ts")
+        else:
+            pick = ("f_eid", "f_val", "f_ts")
+        rows.append(
+            (row["user"], row["ts"], row["eid"],
+             row[pick[0]], row[pick[1]], row[pick[2]])
+        )
+    return pd.DataFrame(
+        rows, columns=["user", "ts", "eid", "eid_asof", "val_asof", "ts_asof"]
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=st.lists(ROW, min_size=0, max_size=12),
+    rrows=st.lists(ROW, min_size=0, max_size=12),
+)
+def test_asof_nearest_matches_pandas(spark, lrows, rrows):
+    lp = pd.DataFrame(
+        [(u, t, v, i) for i, (u, t, v) in enumerate(lrows)],
+        columns=["user", "ts", "val", "eid"],
+    )
+    rp = pd.DataFrame(
+        [(u, t, v, 100 + i) for i, (u, t, v) in enumerate(rrows)],
+        columns=["user", "ts", "val", "eid"],
+    )
+    schema = "user bigint, ts bigint, val double, eid bigint"
+    l = spark.createDataFrame(lp, schema=schema) if len(lp) else spark.createDataFrame([], schema)
+    r = spark.createDataFrame(rp, schema=schema) if len(rp) else spark.createDataFrame([], schema)
+
+    got = (
+        asof_join(
+            l, r, on="ts", by=["user"], right_cols=["eid", "val"],
+            tiebreak="eid", dedup_right=True, direction="nearest",
+        )
+        .select("user", "ts", "eid", "eid_asof", "val_asof", "ts_asof")
+        .toPandas()
+        .sort_values(["user", "ts", "eid"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _pandas_nearest(lp, rp)
+        .sort_values(["user", "ts", "eid"])
+        .reset_index(drop=True)
+        if len(lp)
+        else got.iloc[0:0]
+    )
+    assert len(got) == len(want)
+    for c in ["eid_asof", "ts_asof"]:
+        ga = got[c].astype("Float64").to_numpy()
+        wa = want[c].astype("Float64").to_numpy() if len(want) else ga
+        assert ((ga == wa) | (pd.isna(ga) & pd.isna(wa))).all(), (c, got, want)
