@@ -386,6 +386,7 @@ HEADLINE = {
     "q_code_detect",
     "q_temporal_split",
     "q_log_histogram",
+    "q_stream_funnel",
     "q_scan_text",
     "q_gif_decode",
     "q_scan_binary",

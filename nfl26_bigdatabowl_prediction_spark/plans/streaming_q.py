@@ -496,3 +496,57 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("bucket").cast("bigint").alias("bucket"), "n", "payload_sum"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming stateful funnel — the q_window_funnel semantics (view →
+# click → purchase, 1 h per-hop bound, earliest completion) as an
+# applyInPandasWithState machine: per-user (t1, t2, t3) progress
+# state, one output row per stage ADVANCE — so the accumulated
+# append output is micro-batch-split-invariant.  The oracle is the
+# batch chained-argmin form: first view, first in-window click after
+# it, first in-window purchase after that, each with its event id.
+# --------------------------------------------------------------------------
+_FUNNEL_GAP_US = 3600 * 10**6
+
+
+@q(
+    "q_stream_funnel",
+    f"""
+    WITH v AS (
+        SELECT user_id, event_id, ts_us FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events WHERE event_type = 'view') WHERE rn = 1
+    ), c AS (
+        SELECT user_id, event_id, ts_us FROM (
+            SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY epoch_us(e.ts), e.event_id) AS rn
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click'
+              AND epoch_us(e.ts) > v.ts_us
+              AND epoch_us(e.ts) <= v.ts_us + {_FUNNEL_GAP_US}) WHERE rn = 1
+    ), p AS (
+        SELECT user_id, event_id, ts_us FROM (
+            SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY epoch_us(e.ts), e.event_id) AS rn
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) > c.ts_us
+              AND epoch_us(e.ts) <= c.ts_us + {_FUNNEL_GAP_US}) WHERE rn = 1
+    )
+    SELECT user_id, event_id, CAST(1 AS BIGINT) AS stage, ts_us FROM v
+    UNION ALL
+    SELECT user_id, event_id, CAST(2 AS BIGINT), ts_us FROM c
+    UNION ALL
+    SELECT user_id, event_id, CAST(3 AS BIGINT), ts_us FROM p
+    """,
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import streaming_funnel
+
+    ev = events_stream(spark, sf_dir)
+    return run_available_now(streaming_funnel(ev), output_mode="append")

@@ -23,7 +23,7 @@ from .pipelines import (
     stream_stream_interval_join,
     stream_static_enrich,
 )
-from .stateful import streaming_ewm, streaming_running_stats
+from .stateful import streaming_ewm, streaming_funnel, streaming_running_stats
 from .run import run_available_now
 from .sink import (
     compact_rollup,
@@ -44,6 +44,7 @@ __all__ = [
     "stream_stream_interval_join",
     "stream_static_enrich",
     "streaming_ewm",
+    "streaming_funnel",
     "streaming_running_stats",
     "run_available_now",
     "compact_rollup",

@@ -201,3 +201,88 @@ def streaming_running_stats(events: DataFrame, use_v2: bool = False) -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("stage", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t1", T.LongType()),
+        T.StructField("t2", T.LongType()),
+        T.StructField("t3", T.LongType()),
+    ]
+)
+
+_FUNNEL_GAP_US = 3600 * 10**6
+
+
+def _funnel_fn(
+    key: Any, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user earliest-completion funnel state machine
+    (view → click → purchase, 1 h per-hop bound — q_window_funnel's
+    batch semantics).  Emits one row per STAGE ADVANCE, so the
+    accumulated append output is identical however the micro-batches
+    split (each advance fires exactly once); like streaming_ewm, the
+    state machine assumes event-time-ordered arrival across batches
+    (exact under the drained single-source run the oracle checks)."""
+    t1: int | None
+    t2: int | None
+    t3: int | None
+    if state.exists:
+        t1, t2, t3 = (v if v is not None and v >= 0 else None for v in state.get)
+    else:
+        t1 = t2 = t3 = None
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = {"user_id": [], "event_id": [], "stage": [], "ts_us": []}
+        for uid, eid, ts, et in zip(
+            pdf["user_id"], pdf["event_id"], pdf["ts"], pdf["event_type"]
+        ):
+            ts = int(ts)
+            stage = None
+            if et == "view" and t1 is None:
+                t1, stage = ts, 1
+            elif (
+                et == "click"
+                and t1 is not None
+                and t2 is None
+                and t1 < ts <= t1 + _FUNNEL_GAP_US
+            ):
+                t2, stage = ts, 2
+            elif (
+                et == "purchase"
+                and t2 is not None
+                and t3 is None
+                and t2 < ts <= t2 + _FUNNEL_GAP_US
+            ):
+                t3, stage = ts, 3
+            if stage is not None:
+                out["user_id"].append(int(uid))
+                out["event_id"].append(int(eid))
+                out["stage"].append(stage)
+                out["ts_us"].append(ts)
+        yield pd.DataFrame(out)
+    state.update(
+        tuple(-1 if v is None else v for v in (t1, t2, t3))
+    )
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Per-user stateful funnel over the event stream."""
+    return events.select("user_id", "event_id", "ts", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
