@@ -447,3 +447,62 @@ def test_running_stats_v2_matches_v1_when_protobuf_present(spark):
     finally:
         q.stop()
     assert q.exception() is None
+
+
+def test_stateful_funnel_carries_state_across_microbatches(spark, tmp_path):
+    """The applyInPandasWithState funnel must reach the SAME per-user
+    stages whether events arrive in one micro-batch or four — the
+    (t1, t2, t3) progress carry lives in the state store between
+    triggers (and a stage ADVANCE must fire exactly once even when
+    the qualifying event lands in a later batch than the previous
+    stage).  Reference: the single-batch run of the same kernel."""
+    import time as _time
+
+    from nfl26_bigdatabowl_prediction_spark.streaming import (
+        events_stream,
+        run_available_now,
+        streaming_funnel,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    src = tmp_path / "ev_funnel"
+    src.mkdir()
+    n = len(raw)
+    for i in range(4):
+        raw.iloc[i * n // 4 : (i + 1) * n // 4].to_parquet(
+            src / f"chunk{i}.parquet", index=False
+        )
+        _time.sleep(0.05)
+
+    split = (
+        run_available_now(
+            streaming_funnel(
+                events_stream(
+                    spark, str(src), max_files_per_trigger=1, glob="chunk*.parquet"
+                )
+            ),
+            output_mode="append",
+        )
+        .toPandas()
+        .sort_values(["user_id", "stage"])
+        .reset_index(drop=True)
+    )
+    whole = (
+        run_available_now(
+            streaming_funnel(events_stream(spark, SF_DIR)),
+            output_mode="append",
+        )
+        .toPandas()
+        .sort_values(["user_id", "stage"])
+        .reset_index(drop=True)
+    )
+    assert len(split) == len(whole) > 0
+    for c in ("user_id", "event_id", "stage", "ts_us"):
+        assert (split[c].values == whole[c].values).all(), c
+    # no advance may fire twice
+    assert not split.duplicated(["user_id", "stage"]).any()
