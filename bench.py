@@ -54,8 +54,12 @@ def main() -> None:
 
     # Three measured passes, report the min: the host shows bursty CPU
     # steal, and min-of-N isolates the plan's cost from neighbor noise.
+    # A cumulative compact line is FLUSHED after every pass so a run
+    # killed by an external timeout still leaves one valid JSON line
+    # on stdout (the suite is ~280 queries now; pass 1 alone is the
+    # minimum viable result).
     timings: dict[str, float] = {}
-    for _ in range(3):
+    for pass_no in range(3):
         for name in headline:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
@@ -63,6 +67,20 @@ def main() -> None:
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "n": len(timings),
+                    "sf": sf,
+                    "load1": load1,
+                    "passes": pass_no + 1,
+                }
+            ),
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
     compact = json.dumps(
