@@ -405,6 +405,8 @@ HEADLINE = {
     "q_temporal_split",
     "q_log_histogram",
     "q_stream_funnel",
+    "q_percentile_rank",
+    "q_seasonal_index",
     "q_scan_text",
     "q_gif_decode",
     "q_scan_binary",

@@ -3278,3 +3278,128 @@ def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(cents).cast("bigint").alias("total_c"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentile rank — each event's value percentile within its
+# event type (the feature-prep normalization that survives skew where
+# z-scores don't).  Deliberately NOT a fact-partitioned window (5
+# types ⇒ corpus-sized partitions at 100 TB): ranks come from the
+# bounded (type, distinct-cents) grid — per-cell counts, one prefix
+# window on the grid (the q_mannwhitney rule), then one broadcast
+# join back onto the scan.  pct = (# strictly smaller + 1) scaled by
+# 1e6 over n, an exact integer ratio; ties share a rank (RANK
+# semantics).
+# --------------------------------------------------------------------------
+@q(
+    "q_percentile_rank",
+    """
+    WITH g AS (
+        SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT event_type, cents,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents)
+                    - c AS BIGINT) AS n_smaller,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM g
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round(CAST((grid.n_smaller + 1) * 1000000 // grid.n AS DOUBLE)
+                 / 1000000.0, 6) AS pct_rank
+    FROM events e
+    JOIN grid ON grid.event_type = e.event_type
+             AND grid.cents = CAST(round(e.value * 100, 0) AS BIGINT)
+    """,
+)
+def q_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    g = ev.groupBy("event_type", cents.alias("cents")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grid = g.select(
+        "event_type",
+        "cents",
+        (F.sum("c").over(w) - F.col("c")).cast("bigint").alias("n_smaller"),
+        F.sum("c").over(Window.partitionBy("event_type")).cast("bigint").alias("n"),
+    )
+    e = ev.alias("e")
+    gr = grid.alias("gr")
+    return (
+        e.join(
+            F.broadcast(gr),
+            (F.col("e.event_type") == F.col("gr.event_type"))
+            & (F.round(F.col("e.value") * 100, 0).cast("bigint")
+               == F.col("gr.cents")),
+        )
+        .select(
+            F.col("e.event_id").alias("event_id"),
+            F.col("e.event_type").alias("event_type"),
+            F.col("e.value").alias("value"),
+            F.round(
+                F.expr("cast((n_smaller + 1) * 1000000 div n as double)")
+                / 1000000.0,
+                6,
+            ).alias("pct_rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonal index — mean revenue per weekday over the
+# grand mean, the retail "Monday index" (and the additive-seasonality
+# sanity check behind q_holt_winters' m=7 choice).  Exact: weekday
+# from integer epoch-day mod 7 (no calendar libm; day 0 = Thursday,
+# the epoch's weekday — documented), per-dow cent sums, index =
+# one double division of two exact DECIMAL(38,0) products, round 6
+# (integer floor-division was NOT portable here: DuckDB's // on
+# DECIMAL operands rounds the quotient).  One fact agg to ≤7 rows +
+# a 1-row grand total broadcast.
+# --------------------------------------------------------------------------
+@q(
+    "q_seasonal_index",
+    """
+    WITH d AS (
+        SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st FROM d
+    )
+    SELECT d.dow, d.n, round(CAST(d.s AS DOUBLE) / d.n / 100.0, 6) AS mean_value,
+           round(CAST(CAST(d.s AS DECIMAL(38, 0)) * t.nt AS DOUBLE)
+                 / CAST(CAST(d.n AS DECIMAL(38, 0)) * t.st AS DOUBLE), 6)
+             AS seasonal_index
+    FROM d CROSS JOIN tot t
+    """,
+)
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    d = ev.groupBy(F.expr("(ts div 86400000000) % 7").alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("s"),
+    )
+    tot = d.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+    )
+    dec = "decimal(38,0)"
+    return d.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n") / 100.0, 6).alias(
+            "mean_value"
+        ),
+        F.round(
+            (F.col("s").cast(dec) * F.col("nt")).cast("double")
+            / (F.col("n").cast(dec) * F.col("st")).cast("double"),
+            6,
+        ).alias("seasonal_index"),
+    )

@@ -194,7 +194,8 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
                     "q_changepoint", "q_macro_f1", "q_modularity",
                     "q_kendall_tau", "q_naive_bayes", "q_power_iteration",
                     "q_zonemap_audit", "q_matryoshka_recall",
-                    "q_token_budget_trim", "q_temporal_split"):
+                    "q_token_budget_trim", "q_temporal_split",
+                    "q_seasonal_index"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
@@ -227,7 +228,8 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
             # query side capped by MAX_BRUTE_QUERIES upstream) — the
             # same O(q·n) contract as q_embed_cosine_topk's kernel.
             # q_token_budget_trim broadcasts its 1-row token budget;
-            # q_temporal_split its 1-row cut hour.
+            # q_temporal_split its 1-row cut hour; q_seasonal_index
+            # its 1-row grand total.
         plan = _plan(spark, name)
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in plan, f"{name} compiles to {bad}"
