@@ -88,69 +88,73 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "q_target_encode", "q_tfidf_topk", "q_triangle_count", "q_try_cast",
     "q_udtf_polymorphic", "q_unigram_logprob", "q_vocab_topn",
     "q_zorder_cells",
+    # round 5 (CORRECTNESS_r05.json, 50/50 fully green)
+    "q_ab_test", "q_arrow_grouped", "q_arrow_map", "q_assoc_rules",
+    "q_autocorr", "q_benford", "q_bpe_pairs", "q_correlated_subquery",
+    "q_crosstab", "q_cusum", "q_dataset_card", "q_embed_components",
+    "q_expanding", "q_ffill", "q_forecast_revenue", "q_geo_join",
+    "q_geo_track", "q_gini", "q_group_entropy", "q_histogram",
+    "q_interpolate", "q_join_nullsafe", "q_logit_irls", "q_mad_outliers",
+    "q_markov_transition", "q_max_drawdown", "q_moments", "q_mutual_info",
+    "q_observe", "q_ols_by_group", "q_pandas_scalar", "q_peak_concurrency",
+    "q_recursive_cte", "q_regex_tokens", "q_repetition_score", "q_resample",
+    "q_ridge_fit", "q_seasonal_anomaly", "q_session_window", "q_spearman",
+    "q_sql_param", "q_sql_udf", "q_survival", "q_ttr",
+    "q_udaf_weighted_median", "q_udtf_sentences", "q_vwap", "q_welch_ttest",
+    "q_winsorize", "q_zscore_outliers",
     # rows-only by declared contract (no value oracle): the driver row
     # cannot improve, so don't let them occupy front-window slots.
     "q_approx_distinct", "q_quantile_approx", "q_embed_kmeans",
     "q_image_resize",
 })
 
-# ROUND-6 TODO (first thing): merge CORRECTNESS_r05.json's green
-# names into _DRIVER_GREEN, rebuild _PRIORITY from the remaining
-# pending names (~100 at round-5 close after the late operator
-# batches; tools/rotate.py prints both lists), pre-flight with
-# `python tools/driver_sim.py --window 50`.  rotate.py now also
-# prints a function-level "plan drift" section (green rows older than
-# their plan source); as of round 5 it flags q_except,
-# q_schema_evolution and q_setsim_join — put any still-drifted names
-# in the round-6 window ahead of never-verified ones.  The round-5
-# late batch also generalized operators/components.py's union-find
-# (int → any ordered node id, for q_entity_resolution), a dependency
-# of the D3-green q_dedup_components — include q_dedup_components in
-# the round-6 drift slots too (it re-verified green in the local
-# differential + driver_sim after the change).  Likewise the round-5
-# close hardened functions/portable.knuth_fold_* (pre-modulus; the
-# identity at every oracle scale) — rotate.py's function-level drift
-# can't attribute helper changes, but the post-change 358/358 sweep
-# re-verified every fold consumer; no extra drift slots needed.
-#
-# Round-5 window (first 50 of queries()): per the round-4 verdict,
-# front-load the never-driver-verified families with the most user
-# traffic — the advanced-SQL surface (correlated subquery, recursive
-# CTE, observe, parameterized SQL, SQL UDF, UDTF, null-safe join),
-# the gap-repair/outlier family (ffill, resample, interpolate,
-# winsorize, zscore/mad outliers, seasonal anomaly), the Python UDF
-# surface (pandas scalar, arrow map/grouped, weighted-median UDAF),
-# session windows, vector dedup components, the finance/product
-# analytics tail (vwap, drawdown, concurrency, crosstab, AB test,
-# cusum, assoc rules, geo, ridge/logit), the stats family, and the
-# remaining text-analysis tail.  Every member pre-flighted green via
+# Round-6 window (first 50 of queries()): per the round-5 verdict,
+# 4 plan-drift re-verification slots first (rotate.py flagged
+# q_except/q_schema_evolution/q_setsim_join as green rows older than
+# their plan source; q_dedup_components added because the round-5
+# union-find generalization in operators/components.py is a
+# dependency rotate.py's function-level drift cannot attribute), then
+# 46 never-driver-verified names front-loading the round-5 late/close
+# batches that carry the newest code: the BPE tokenizer-training
+# family, DSIR/Gumbel/DP data-selection, PMI/RAKE co-occurrence, the
+# sketch trio, the codec quartet, the stats batch, the graph batch,
+# the funnel pair, entity resolution, and the vector-family heavies.
+# Every member pre-flighted green via
 # `python tools/driver_sim.py --window 50`.
 _PRIORITY: tuple[str, ...] = (
-    # advanced-SQL surface
-    "q_correlated_subquery", "q_recursive_cte", "q_observe",
-    "q_sql_param", "q_sql_udf", "q_udtf_sentences", "q_join_nullsafe",
-    # gap repair / outlier handling
-    "q_ffill", "q_resample", "q_interpolate", "q_winsorize",
-    "q_zscore_outliers", "q_mad_outliers", "q_seasonal_anomaly",
-    # Python UDF surface
-    "q_pandas_scalar", "q_arrow_map", "q_arrow_grouped",
-    "q_udaf_weighted_median",
-    # sessionization + vector clusters
-    "q_session_window", "q_embed_components",
-    # finance / product analytics tail
-    "q_vwap", "q_max_drawdown", "q_peak_concurrency", "q_crosstab",
-    "q_ab_test", "q_cusum", "q_assoc_rules", "q_geo_join", "q_geo_track",
-    "q_ridge_fit", "q_logit_irls",
-    # statistics family
-    "q_autocorr", "q_spearman", "q_welch_ttest", "q_moments",
-    "q_mutual_info", "q_group_entropy", "q_gini", "q_benford",
-    "q_histogram", "q_ols_by_group",
-    # text-analysis tail
-    "q_ttr", "q_bpe_pairs", "q_regex_tokens", "q_repetition_score",
-    "q_dataset_card",
-    # sequence / survival tail
-    "q_markov_transition", "q_survival", "q_forecast_revenue",
-    "q_expanding",
+    # plan-drift re-verification (rotate.py)
+    "q_except", "q_schema_evolution", "q_setsim_join",
+    "q_dedup_components",
+    # BPE tokenizer training family
+    "q_bpe_train", "q_bpe_vocab", "q_bpe_encode",
+    # data selection / privacy
+    "q_dsir_weights", "q_gumbel_topk_resample", "q_dp_count",
+    # co-occurrence / keywords / novelty
+    "q_pmi_cooccur", "q_keyword_extract", "q_ngram_novelty",
+    # classification / ER / leakage
+    "q_naive_bayes", "q_entity_resolution", "q_leakage_audit",
+    "q_token_budget_trim", "q_temporal_split", "q_code_detect",
+    # vector-family heavies
+    "q_contrastive_pairs", "q_knn_classify", "q_minhash_containment",
+    "q_matryoshka_recall",
+    # trainer-side prep
+    "q_als_step", "q_bootstrap_ci",
+    # funnel pair (batch + stateful streaming twin)
+    "q_window_funnel", "q_stream_funnel",
+    # round-5 close analytics
+    "q_percentile_rank", "q_seasonal_index", "q_asof_nearest",
+    "q_winnowing_fingerprint", "q_mv_incremental",
+    # codec quartet
+    "q_qoi_decode", "q_gif_decode", "q_pgm_decode", "q_spectral_bins",
+    # sketch trio
+    "q_cms_topk", "q_hll_audit", "q_bloom_audit",
+    # graph batch
+    "q_label_propagation", "q_kcore", "q_modularity",
+    # stats batch
+    "q_holt_winters", "q_anova", "q_kendall_tau", "q_mannwhitney",
+    "q_chi_square", "q_changepoint",
+    # older stragglers to fill 50
+    "q_variant", "q_sort_nulls",
 )
 
 

@@ -592,6 +592,13 @@ def decode_qoi(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
             raise ValueError("truncated QOI stream")
         op = b[pos]
         pos += 1
+        # Operand reads are bounds-checked against the 8-byte end
+        # marker too: a truncated stream whose final multi-byte op
+        # starts just before the marker must raise, not silently
+        # consume marker bytes as pixel operands.
+        oplen = 3 if op == 0xFE else 4 if op == 0xFF else 1 if op >> 6 == 2 else 0
+        if pos + oplen > len(b) - 8:
+            raise ValueError("truncated QOI stream")
         if op == 0xFE:  # RGB
             r, g, bl = b[pos], b[pos + 1], b[pos + 2]
             pos += 3

@@ -237,7 +237,10 @@ def _funnel_fn(
     t2: int | None
     t3: int | None
     if state.exists:
-        t1, t2, t3 = (v if v is not None and v >= 0 else None for v in state.get)
+        # Stage timestamps are stored as nullable LongType directly —
+        # no -1 sentinel, so a legitimate ts of exactly 0 us (epoch)
+        # round-trips unchanged across micro-batches.
+        t1, t2, t3 = (v if v is not None else None for v in state.get)
     else:
         t1 = t2 = t3 = None
     for pdf in pdf_iter:
@@ -270,9 +273,7 @@ def _funnel_fn(
                 out["stage"].append(stage)
                 out["ts_us"].append(ts)
         yield pd.DataFrame(out)
-    state.update(
-        tuple(-1 if v is None else v for v in (t1, t2, t3))
-    )
+    state.update((t1, t2, t3))
 
 
 def streaming_funnel(events: DataFrame) -> DataFrame:

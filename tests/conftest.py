@@ -42,22 +42,59 @@ def sf_dir():
     return SF_DIR
 
 
+class _LazyEncoders:
+    """Dict-like, trains each encoder on first subscript and caches it
+    for the session — a single-file run pays only for the encoders it
+    actually uses, while the full suite still trains each exactly once
+    (each training is ~40-110 s; per-test retraining dominated the
+    suite wall)."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._tables = None
+        self._cache: dict[str, object] = {}
+
+    def __getitem__(self, name: str):
+        if name not in self._cache:
+            if self._tables is None:
+                from nfl26_bigdatabowl_prediction_spark.testing import (
+                    make_tracking_tables,
+                )
+
+                self._tables = make_tracking_tables(self._spark)
+            inp, outp = self._tables
+            if name == "gru":
+                from nfl26_bigdatabowl_prediction_spark.ml.rnn import (
+                    GruConfig, train_and_predict_gru,
+                )
+
+                self._cache[name] = train_and_predict_gru(
+                    inp, outp, k=5, cfg=GruConfig(horizon_decay=0.9)
+                )
+            elif name == "bilstm":
+                from nfl26_bigdatabowl_prediction_spark.ml.bilstm import (
+                    BiLstmConfig, train_and_predict_bilstm,
+                )
+
+                self._cache[name] = train_and_predict_bilstm(
+                    inp, outp, k=5, cfg=BiLstmConfig(horizon_decay=0.9)
+                )
+            elif name == "transformer":
+                from nfl26_bigdatabowl_prediction_spark.ml.transformer import (
+                    TransformerConfig, train_and_predict_transformer,
+                )
+
+                self._cache[name] = train_and_predict_transformer(
+                    inp, outp, k=5, cfg=TransformerConfig(horizon_decay=0.9)
+                )
+            else:
+                raise KeyError(name)
+        return self._cache[name]
+
+
 @pytest.fixture(scope="session")
 def trained_encoders(spark):
-    """Train the GRU and CNN+BiLSTM once (default fixture configs) and
-    share across the beats-baseline and ensemble tests — each training
-    is ~40-60 s, so re-training per test dominated the suite wall."""
-    from nfl26_bigdatabowl_prediction_spark.ml.bilstm import (
-        BiLstmConfig, train_and_predict_bilstm,
-    )
-    from nfl26_bigdatabowl_prediction_spark.ml.rnn import (
-        GruConfig, train_and_predict_gru,
-    )
-    from nfl26_bigdatabowl_prediction_spark.testing import make_tracking_tables
-
-    inp, outp = make_tracking_tables(spark)
-    gru = train_and_predict_gru(inp, outp, k=5, cfg=GruConfig(horizon_decay=0.9))
-    bilstm = train_and_predict_bilstm(
-        inp, outp, k=5, cfg=BiLstmConfig(horizon_decay=0.9)
-    )
-    return {"gru": gru, "bilstm": bilstm}
+    """All three M9 encoders (GRU, CNN+BiLSTM, ST-transformer) trained
+    at the default fixture configs, shared across beats-baseline and
+    ensemble tests; lazy per-encoder (see _LazyEncoders)."""
+    return _LazyEncoders(spark)

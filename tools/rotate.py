@@ -48,21 +48,27 @@ def _plan_drift(
     import subprocess
     import textwrap
 
-    def added_commit(path: str) -> str | None:
+    def green_commit(path: str) -> str | None:
+        # Last commit touching the CORRECTNESS file: green rows can be
+        # appended to an existing file in later commits, so the oldest
+        # add-commit would compare against a too-old source revision
+        # (round-5 ADVICE.md).
         out = subprocess.run(
-            ["git", "log", "--diff-filter=A", "--format=%H", "--", path],
+            ["git", "log", "-1", "--format=%H", "--", path],
             capture_output=True, text=True,
         ).stdout.split()
-        return out[-1] if out else None
+        return out[0] if out else None
 
     def fn_bodies(source: str) -> dict[str, str]:
         try:
             tree = ast.parse(source)
         except SyntaxError:
             return {}
+        # Module-level defs only: a nested helper sharing a registry
+        # query's name must not shadow it (round-5 ADVICE.md).
         return {
             node.name: ast.dump(node)
-            for node in ast.walk(tree)
+            for node in tree.body
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
         }
 
@@ -73,7 +79,7 @@ def _plan_drift(
         fn = queries.get(name)
         if fn is None:
             continue
-        commit = added_commit(corr_path)
+        commit = green_commit(corr_path)
         if commit is None:
             continue
         src_path = os.path.relpath(fn.__code__.co_filename, os.getcwd())
