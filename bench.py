@@ -405,6 +405,9 @@ HEADLINE = {
     "q_temporal_split",
     "q_log_histogram",
     "q_stream_funnel",
+    "q_stream_tumbling_late",
+    "q_stream_funnel_late",
+    "q_stream_funnel_ttl",
     "q_percentile_rank",
     "q_seasonal_index",
     "q_scan_text",

@@ -550,3 +550,197 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_stream(spark, sf_dir)
     return run_available_now(streaming_funnel(ev), output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# LATE-DATA / WATERMARK semantics (round-6 batch) — the one streaming
+# axis the §2.8 suite had not oracle-encoded.  All three queries use
+# MEASURED Spark 4.1 boundaries (tests in git history /tmp probes,
+# re-verified by the oracle differential):
+#   * watermark_ms = floor(max_event_time_us/1000) − delay_ms,
+#     checkpoint-persisted between AvailableNow drains;
+#   * a stateful-op input row survives iff ts_us > watermark_ms·1000
+#     (STRICT — a row exactly at the watermark is dropped);
+#   * a windowed-agg row survives iff its window END (ms) is strictly
+#     above the watermark — row ts is irrelevant, so with a 2 h window
+#     and 1 h delay the "late but in-an-open-window" case is real;
+#   * an event-time timeout fires iff its timestamp (ms) is STRICTLY
+#     below the watermark.
+# The two-phase harness (streaming/run.py::run_two_phase) makes the
+# batch split deterministic: phase 2 = event_id % 10 == 3, parked
+# outside the source dir until the phase-1 drain checkpoints its
+# watermark.  At scale this is an ingest directory receiving an
+# out-of-order backfill drop — the exact situation watermarks exist
+# to bound.
+# --------------------------------------------------------------------------
+@q(
+    "q_stream_tumbling_late",
+    """
+    WITH evs AS (
+        SELECT event_id, epoch_us(ts) AS ts_us, value,
+               CASE WHEN event_id % 10 = 3 THEN 2 ELSE 1 END AS ph
+        FROM events
+    ), wm AS (
+        SELECT ((MAX(ts_us) // 1000) - 3600000) * 1000 AS wm_us
+        FROM evs WHERE ph = 1
+    ), p1 AS (
+        SELECT (ts_us // 7200000000) * 7200000000 AS window_start_us,
+               COUNT(*) AS n1,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS c1
+        FROM evs WHERE ph = 1 GROUP BY 1
+    ), p2 AS (
+        SELECT (e.ts_us // 7200000000) * 7200000000 AS window_start_us,
+               COUNT(*) AS n2,
+               SUM(CAST(round(e.value * 100, 0) AS BIGINT)) AS c2
+        FROM evs e, wm
+        WHERE e.ph = 2
+          AND (e.ts_us // 7200000000) * 7200000000 + 7200000000 > wm.wm_us
+        GROUP BY 1
+    )
+    SELECT window_start_us, CAST(n1 AS BIGINT) AS n_events,
+           CAST(c1 AS BIGINT) / 100.0 AS value_sum,
+           CAST(1 AS BIGINT) AS phase
+    FROM p1
+    UNION ALL
+    SELECT s.window_start_us, CAST(s.n2 + COALESCE(p1.n1, 0) AS BIGINT),
+           CAST(s.c2 + COALESCE(p1.c1, 0) AS BIGINT) / 100.0,
+           CAST(2 AS BIGINT)
+    FROM p2 s LEFT JOIN p1 USING (window_start_us)
+    """,
+)
+def q_stream_tumbling_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 h tumbling totals over the two-phase (late backfill) drop in
+    update mode: the returned rows are the accumulated CHANGELOG —
+    each phase-1 window once, plus a cumulative re-emission for every
+    window a surviving phase-2 row touched.  Phase-2 rows whose
+    window closed at-or-below the checkpointed watermark are dropped;
+    rows behind the watermark but inside a still-open 2 h window are
+    counted (the measured window-END rule)."""
+    from ..streaming import run_two_phase, tumbling_totals
+
+    return run_two_phase(
+        spark, sf_dir, tumbling_totals, output_mode="update"
+    )
+
+
+@q(
+    "q_stream_funnel_late",
+    f"""
+    WITH evs AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+               CASE WHEN event_id % 10 = 3 THEN 2 ELSE 1 END AS ph
+        FROM events
+    ), wm AS (
+        SELECT ((MAX(ts_us) // 1000) - 3600000) * 1000 AS wm_us
+        FROM evs WHERE ph = 1
+    ), live AS (
+        SELECT e.* FROM evs e, wm WHERE e.ph = 1 OR e.ts_us > wm.wm_us
+    ), v AS (
+        SELECT user_id, event_id, ts_us, ph FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ph, ts_us, event_id) AS rn
+            FROM live WHERE event_type = 'view') WHERE rn = 1
+    ), c AS (
+        SELECT user_id, event_id, ts_us, ph FROM (
+            SELECT e.user_id, e.event_id, e.ts_us, e.ph,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ph, e.ts_us, e.event_id) AS rn
+            FROM live e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ph >= v.ph
+              AND e.ts_us > v.ts_us
+              AND e.ts_us <= v.ts_us + {_FUNNEL_GAP_US}) WHERE rn = 1
+    ), p AS (
+        SELECT user_id, event_id, ts_us, ph FROM (
+            SELECT e.user_id, e.event_id, e.ts_us, e.ph,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ph, e.ts_us, e.event_id) AS rn
+            FROM live e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ph >= c.ph
+              AND e.ts_us > c.ts_us
+              AND e.ts_us <= c.ts_us + {_FUNNEL_GAP_US}) WHERE rn = 1
+    )
+    SELECT user_id, event_id, CAST(1 AS BIGINT) AS stage, ts_us,
+           CAST(ph AS BIGINT) AS phase FROM v
+    UNION ALL
+    SELECT user_id, event_id, CAST(2 AS BIGINT), ts_us, CAST(ph AS BIGINT) FROM c
+    UNION ALL
+    SELECT user_id, event_id, CAST(3 AS BIGINT), ts_us, CAST(ph AS BIGINT) FROM p
+    """,
+)
+def q_stream_funnel_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel over the two-phase drop with a 1 h watermark: delayed
+    events at-or-behind the checkpointed watermark never reach the
+    state machine; surviving delayed events are processed AFTER every
+    phase-1 event regardless of their event time.  The oracle encodes
+    that processing order exactly as a composite (phase, ts, id)
+    argmin — a stage advances on the first QUALIFYING event in
+    processing order, where a qualifier must carry phase >= the
+    phase of the stage it chains from (an on-time click can never
+    fire for a late view)."""
+    from ..streaming import run_two_phase, streaming_funnel_late
+
+    return run_two_phase(
+        spark, sf_dir, streaming_funnel_late, output_mode="append"
+    )
+
+
+@q(
+    "q_stream_funnel_ttl",
+    f"""
+    WITH v AS (
+        SELECT user_id, event_id, ts_us FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events WHERE event_type = 'view') WHERE rn = 1
+    ), c AS (
+        SELECT user_id, event_id, ts_us FROM (
+            SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY epoch_us(e.ts), e.event_id) AS rn
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click'
+              AND epoch_us(e.ts) > v.ts_us
+              AND epoch_us(e.ts) <= v.ts_us + {_FUNNEL_GAP_US}) WHERE rn = 1
+    ), p AS (
+        SELECT user_id, event_id, ts_us FROM (
+            SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY epoch_us(e.ts), e.event_id) AS rn
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) > c.ts_us
+              AND epoch_us(e.ts) <= c.ts_us + {_FUNNEL_GAP_US}) WHERE rn = 1
+    ), wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000) - 3600000 AS wm_ms FROM events
+    ), expired AS (
+        SELECT v.user_id, COALESCE(c.ts_us, v.ts_us) AS last_adv
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+               LEFT JOIN p ON p.user_id = v.user_id
+        WHERE p.user_id IS NULL
+    )
+    SELECT user_id, event_id, CAST(1 AS BIGINT) AS stage, ts_us FROM v
+    UNION ALL
+    SELECT user_id, event_id, CAST(2 AS BIGINT), ts_us FROM c
+    UNION ALL
+    SELECT user_id, event_id, CAST(3 AS BIGINT), ts_us FROM p
+    UNION ALL
+    SELECT e.user_id, CAST(NULL AS BIGINT), CAST(0 AS BIGINT), e.last_adv
+    FROM expired e, wm
+    WHERE (e.last_adv + {_FUNNEL_GAP_US}) // 1000 < wm.wm_ms
+    """,
+)
+def q_stream_funnel_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with event-time state EVICTION: an incomplete funnel
+    whose last stage advance is more than the 1 h gap behind the
+    end-of-stream watermark emits one expiry row (stage 0, NULL
+    event_id, ts = last advance) and drops its state — fired by the
+    trailing AvailableNow batch that advances the watermark after the
+    data batch commits (measured: a timeout fires iff its ms
+    timestamp is STRICTLY below the watermark).  At scale this is
+    what bounds funnel state: |state| tracks only users active within
+    the horizon, not all users ever seen."""
+    from ..streaming import streaming_funnel_ttl
+
+    ev = events_stream(spark, sf_dir)
+    return run_available_now(streaming_funnel_ttl(ev), output_mode="append")

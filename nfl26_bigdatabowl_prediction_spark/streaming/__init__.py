@@ -17,14 +17,21 @@ the batch answer.  That equivalence is what the oracle checks.
 from .source import events_stream
 from .pipelines import (
     tumbling_counts,
+    tumbling_totals,
     sliding_value_stats,
     session_windows,
     dedup_within_watermark,
     stream_stream_interval_join,
     stream_static_enrich,
 )
-from .stateful import streaming_ewm, streaming_funnel, streaming_running_stats
-from .run import run_available_now
+from .stateful import (
+    streaming_ewm,
+    streaming_funnel,
+    streaming_funnel_late,
+    streaming_funnel_ttl,
+    streaming_running_stats,
+)
+from .run import run_available_now, run_two_phase
 from .sink import (
     compact_rollup,
     incremental_cdc_table,
@@ -38,6 +45,7 @@ from .sink import (
 __all__ = [
     "events_stream",
     "tumbling_counts",
+    "tumbling_totals",
     "sliding_value_stats",
     "session_windows",
     "dedup_within_watermark",
@@ -45,8 +53,11 @@ __all__ = [
     "stream_static_enrich",
     "streaming_ewm",
     "streaming_funnel",
+    "streaming_funnel_late",
+    "streaming_funnel_ttl",
     "streaming_running_stats",
     "run_available_now",
+    "run_two_phase",
     "compact_rollup",
     "incremental_cdc_table",
     "incremental_hourly_rollup",

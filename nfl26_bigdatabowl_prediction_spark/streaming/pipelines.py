@@ -27,6 +27,32 @@ def _cents(c):
     return F.round(c * F.lit(100.0), 0).cast("bigint")
 
 
+def tumbling_totals(
+    events: DataFrame, width: str = "2 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Window-only tumbling totals (no secondary key) — the late-data
+    probe shape: with a 2 h window and a 1 h watermark delay there
+    exist rows that are BEHIND the watermark yet belong to a window
+    still open (window_end > watermark), and Spark keeps exactly
+    those (measured: a windowed-agg row is dropped iff its
+    window END is at-or-below the watermark; row ts is irrelevant).
+    Emitted counts are cumulative per window (update-mode changelog).
+    """
+    agged = (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", width).alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+    )
+    return agged.select(
+        F.unix_micros(F.col("win.start")).alias("window_start_us"),
+        "n_events",
+        "value_sum",
+    )
+
+
 def tumbling_counts(
     events: DataFrame, width: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -11,10 +11,15 @@ production job swaps in a parquet/kafka sink with the same plan.
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
 import tempfile
 import uuid
+from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def run_available_now(
@@ -46,3 +51,79 @@ def run_available_now(
         query.stop()
         raise TimeoutError(f"streaming query {name} did not drain in {timeout_sec}s")
     return sdf.sparkSession.table(name)
+
+
+def run_two_phase(
+    spark: SparkSession,
+    sf_dir: str,
+    build: Callable[[DataFrame], DataFrame],
+    output_mode: str = "append",
+    delayed_mod: int = 10,
+    delayed_rem: int = 3,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Late-data harness: drain the events table in TWO AvailableNow
+    runs sharing one checkpoint — an on-time file first (phase 1),
+    then a delayed file (``event_id % delayed_mod == delayed_rem``,
+    phase 2) whose rows mostly lie BEHIND the event-time watermark the
+    checkpoint carried over from phase 1.
+
+    This is the deterministic local stand-in for a real ingest
+    directory receiving out-of-order drops: the watermark persists in
+    the checkpoint between runs, so the second drain exercises exactly
+    the late-data path (row-level drops for stateful ops, window-end
+    drops for aggregations).  Each emitted micro-batch is accumulated
+    through ``foreachBatch`` into a parquet sink (the memory sink
+    cannot resume a checkpoint) with a ``phase`` tag, and the
+    accumulated emissions are returned as a batch DataFrame — in
+    update mode that is the per-phase CHANGELOG, the thing a
+    downstream upsert sink would consume.
+    """
+    from ..sources.io import table
+
+    base = table(spark, sf_dir, "events")  # ts normalized to int64 micros
+    root = tempfile.mkdtemp(prefix="spark_twophase_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    delayed = (F.col("event_id") % delayed_mod) == delayed_rem
+    for phase, pred in ((1, ~delayed), (2, delayed)):
+        stage = os.path.join(root, f"stage{phase}")
+        base.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        # phase 2 parks OUTSIDE the source dir until drain 1 finishes
+        dest = src if phase == 1 else root
+        shutil.copy(part, os.path.join(dest, f"phase{phase}.parquet"))
+        shutil.rmtree(stage)
+    schema = spark.read.parquet(os.path.join(src, "phase1.parquet")).schema
+    for phase in (1, 2):
+        if phase == 2:
+            os.rename(
+                os.path.join(root, "phase2.parquet"),
+                os.path.join(src, "phase2.parquet"),
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("event_time", F.timestamp_micros(F.col("ts")))
+        )
+        sdf = build(stream)
+
+        def sink(bdf: DataFrame, _bid: int, _p: int = phase) -> None:
+            bdf.withColumn("phase", F.lit(_p).cast("long")).write.mode(
+                "append"
+            ).parquet(out)
+
+        query = (
+            sdf.writeStream.foreachBatch(sink)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+        if query.isActive:  # pragma: no cover - defensive
+            query.stop()
+            raise TimeoutError(f"two-phase drain {phase} did not finish")
+    return spark.read.parquet(out)

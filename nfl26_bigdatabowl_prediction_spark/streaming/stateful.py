@@ -287,3 +287,112 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel_late(events: DataFrame) -> DataFrame:
+    """Funnel with a 1 h event-time watermark: rows behind the
+    checkpointed watermark are dropped BEFORE the state machine sees
+    them (measured boundary on Spark 4.1: a row survives iff
+    ts_us > watermark_ms * 1000, strictly).  State itself is never
+    evicted (NoTimeout) — this is the late-DATA axis; see
+    streaming_funnel_ttl for state eviction.  ``event_time`` must
+    survive the projection or the watermark filter is lost."""
+    return events.withWatermark("event_time", "1 hour").select(
+        "user_id", "event_id", "ts", "event_type", "event_time"
+    ).groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _funnel_ttl_fn(
+    key: Any, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """_funnel_fn plus event-time state EVICTION: an incomplete funnel
+    whose last stage advance is more than the 1 h gap behind the
+    watermark times out — one expiry row (stage 0, event_id NULL,
+    ts = last advance) is emitted and the state removed.  A COMPLETED
+    funnel removes its state immediately (nothing left to time out).
+    Measured Spark 4.1 boundary: a timeout fires iff its timestamp is
+    STRICTLY below the watermark (ms); timestamps are registered with
+    a wm+1 clamp because Spark rejects timeouts at-or-below the
+    current watermark."""
+    def _row(uid: int, eid: int | None, stage: int, ts: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([uid], dtype="int64"),
+                "event_id": pd.Series([eid], dtype="Int64"),
+                "stage": pd.Series([stage], dtype="int64"),
+                "ts_us": pd.Series([ts], dtype="int64"),
+            }
+        )
+
+    if state.hasTimedOut:
+        t1, t2, _t3 = (v if v is not None else None for v in state.get)
+        last = t2 if t2 is not None else t1
+        state.remove()
+        yield _row(int(key[0]), None, 0, int(last))
+        return
+    t1: int | None
+    t2: int | None
+    t3: int | None
+    if state.exists:
+        t1, t2, t3 = (v if v is not None else None for v in state.get)
+    else:
+        t1 = t2 = t3 = None
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = {"user_id": [], "event_id": [], "stage": [], "ts_us": []}
+        for uid, eid, ts, et in zip(
+            pdf["user_id"], pdf["event_id"], pdf["ts"], pdf["event_type"]
+        ):
+            ts = int(ts)
+            stage = None
+            if et == "view" and t1 is None:
+                t1, stage = ts, 1
+            elif (
+                et == "click"
+                and t1 is not None
+                and t2 is None
+                and t1 < ts <= t1 + _FUNNEL_GAP_US
+            ):
+                t2, stage = ts, 2
+            elif (
+                et == "purchase"
+                and t2 is not None
+                and t3 is None
+                and t2 < ts <= t2 + _FUNNEL_GAP_US
+            ):
+                t3, stage = ts, 3
+            if stage is not None:
+                out["user_id"].append(int(uid))
+                out["event_id"].append(int(eid))
+                out["stage"].append(stage)
+                out["ts_us"].append(ts)
+        yield pd.DataFrame(out)
+    if t3 is not None:
+        if state.exists:
+            state.remove()
+    elif t1 is not None:
+        state.update((t1, t2, t3))
+        last = t2 if t2 is not None else t1
+        timeout_ms = (last + _FUNNEL_GAP_US) // 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
+    # no view yet: no state, nothing to expire
+
+
+def streaming_funnel_ttl(events: DataFrame) -> DataFrame:
+    """Funnel with event-time TTL eviction (1 h watermark)."""
+    return events.withWatermark("event_time", "1 hour").select(
+        "user_id", "event_id", "ts", "event_type", "event_time"
+    ).groupBy("user_id").applyInPandasWithState(
+        _funnel_ttl_fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -28,12 +28,19 @@ from nfl26_bigdatabowl_prediction_spark.plans.registry import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 
+_PLAN_CACHE: dict[str, str] = {}
+
+
 def _plan(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_DIR)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    # Memoized per session: two registry-wide contracts (NL-join guard
+    # + unpartitioned-window allowlist) share one compile per query.
+    if name not in _PLAN_CACHE:
+        df = QUERIES[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        _PLAN_CACHE[name] = buf.getvalue()
+    return _PLAN_CACHE[name]
 
 
 def _ops(plan: str) -> list[str]:
@@ -233,6 +240,105 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
         plan = _plan(spark, name)
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in plan, f"{name} compiles to {bad}"
+
+
+# Queries ALLOWED an unpartitioned (ordered, single-partition-at-
+# runtime) WindowExec, each because the windowed relation is
+# DIMENSION-sized — an aggregate grid that stays bounded at any
+# corpus scale — so one partition is safe by design (round-5 verdict
+# #4: pin the contract so the WindowExec warning noise is
+# distinguishable from a real fact-sized unpartitioned window).
+# Justifications (windowed relation, not the fact table):
+#   q_auc/q_pr_auc/q_lift   distinct-score histogram (cents grid)
+#   q_ks_stat               distinct-value CDF steps (cents grid)
+#   q_benford               9-row leading-digit spine
+#   q_changepoint/q_stl_lite/q_xcorr_lags  day/hour time grid
+#   q_compaction_plan/q_skew_audit  file/partition metadata rows
+#   q_corpus_mix            source-dimension rows
+#   q_dedup_stats           cluster-size histogram
+#   q_emd_drift/q_gini/q_mannwhitney  distinct-cents prefix grid
+#   q_heaps_law/q_zipf_fit/q_unigram_logprob/q_naive_bayes
+#                           vocabulary-bounded rows
+#   q_perplexity_bucket     bucket-grid NTILE (documented swap)
+#   q_rfm                   user-grain aggregate NTILE quintiles —
+#                           the ONE conditional entry: fine to ~1e7
+#                           users; at 1e9 swap to the grid-based
+#                           percentile_rank pattern (q_percentile_rank)
+#   q_skyline               dominance-pruned candidate set
+#   q_survival              distinct event-time grid
+#   q_temporal_split        cut-hour summary rows
+#   q_token_budget_trim     partition-summary top level of the
+#                           two-level prefix sum (documented)
+UNPARTITIONED_WINDOW_OK = {
+    "q_auc", "q_benford", "q_changepoint", "q_compaction_plan",
+    "q_corpus_mix", "q_dedup_stats", "q_emd_drift", "q_gini",
+    "q_heaps_law", "q_ks_stat", "q_lift", "q_mannwhitney",
+    "q_naive_bayes", "q_perplexity_bucket", "q_pr_auc", "q_rfm",
+    "q_skew_audit", "q_skyline", "q_stl_lite", "q_survival",
+    "q_temporal_split", "q_token_budget_trim", "q_unigram_logprob",
+    "q_xcorr_lags", "q_zipf_fit",
+}
+
+
+def _window_arg_groups(arg_text: str) -> list[str]:
+    """Top-level [..] group texts of a formatted-plan Arguments line."""
+    out: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for c in arg_text:
+        if c == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                out.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(c)
+    return out
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count Window operators with an ORDER spec but no PARTITION BY
+    (3 Arguments groups = partitioned+ordered; 2 groups is ambiguous —
+    [funcs],[partition] for unordered vs [funcs],[order] for
+    unpartitioned — the ASC/DESC marker disambiguates)."""
+    lines = plan.splitlines()
+    cnt = 0
+    for i, l in enumerate(lines):
+        if re.match(r"^\(\d+\) Window$", l.strip()):
+            for j in range(i + 1, min(i + 6, len(lines))):
+                if lines[j].startswith("Arguments:"):
+                    gs = _window_arg_groups(lines[j][10:])
+                    if len(gs) == 1 or (
+                        len(gs) == 2 and re.search(r"\b(ASC|DESC)\b", gs[1])
+                    ):
+                        cnt += 1
+                    break
+    return cnt
+
+
+def test_unpartitioned_windows_only_on_bounded_domains(spark):
+    # Registry-wide: any query windowing WITHOUT a partition spec must
+    # be in the justified allowlist above.  A future edit that windows
+    # a fact-sized relation unpartitioned fails HERE instead of
+    # shipping a single-partition sort of the corpus; an allowlisted
+    # query that loses its unpartitioned window (e.g. rewritten to the
+    # broadcast-prefix-grid pattern) must be REMOVED from the list so
+    # it cannot silently regress back.
+    found = set()
+    for name in sorted(QUERIES):
+        if name.startswith("q_stream") or name == "q_embed_kmeans":
+            continue
+        if _unpartitioned_windows(_plan(spark, name)):
+            found.add(name)
+    assert found == UNPARTITIONED_WINDOW_OK, (
+        f"unexpected unpartitioned windows: {sorted(found - UNPARTITIONED_WINDOW_OK)}; "
+        f"allowlisted but no longer present: {sorted(UNPARTITIONED_WINDOW_OK - found)}"
+    )
 
 
 def test_real_codec_queries_are_shuffle_free(spark):
