@@ -121,10 +121,18 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # the funnel pair, entity resolution, and the vector-family heavies.
 # Every member pre-flighted green via
 # `python tools/driver_sim.py --window 50`.
-_PRIORITY: tuple[str, ...] = (
-    # plan-drift re-verification (rotate.py)
+# Driver-green names whose plan source drifted since their green row
+# (tools/rotate.py) — deliberately re-windowed ahead of never-verified
+# names so the driver re-confirms them against the CURRENT code.  The
+# rotation tests allow exactly these greens inside the 50-slot window.
+_DRIFT_REVERIFY: tuple[str, ...] = (
     "q_except", "q_schema_evolution", "q_setsim_join",
     "q_dedup_components",
+)
+
+_PRIORITY: tuple[str, ...] = (
+    # plan-drift re-verification (see _DRIFT_REVERIFY)
+    *_DRIFT_REVERIFY,
     # BPE tokenizer training family
     "q_bpe_train", "q_bpe_vocab", "q_bpe_encode",
     # data selection / privacy

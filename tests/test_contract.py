@@ -65,14 +65,28 @@ def test_driver_window_rotation_front_loads_pending():
     so each round's window spends its 50 slots on new evidence."""
     qs = E.queries()
     names = list(qs)
-    pending = [n for n in names if n not in E._DRIVER_GREEN]
-    done = [n for n in names if n in E._DRIVER_GREEN]
-    assert names == pending + done
+    drift = [n for n in names if n in E._DRIFT_REVERIFY]
+    pending = [
+        n for n in names
+        if n not in E._DRIVER_GREEN and n not in E._DRIFT_REVERIFY
+    ]
+    done = [
+        n for n in names
+        if n in E._DRIVER_GREEN and n not in E._DRIFT_REVERIFY
+    ]
+    # drift-reverify slots lead, then every never-green name, then the
+    # already-green tail
+    assert names == drift + pending + done
     # the rotation only matters while ungreen queries remain
-    if len(pending) >= 50:
-        assert all(n not in E._DRIVER_GREEN for n in names[:50])
+    if len(drift) + len(pending) >= 50:
+        assert all(
+            n not in E._DRIVER_GREEN or n in E._DRIFT_REVERIFY
+            for n in names[:50]
+        )
     # _DRIVER_GREEN must only name real queries (no typos going stale)
     assert set(E._DRIVER_GREEN) <= set(qs)
+    # drift slots must be scarce (they spend window slots on re-proof)
+    assert len(E._DRIFT_REVERIFY) <= 8
 
 
 def test_bench_headline_names_are_registered():
@@ -85,3 +99,32 @@ def test_bench_headline_names_are_registered():
     qs = E.queries()
     unknown = sorted(bench.HEADLINE - set(qs))
     assert not unknown, f"HEADLINE names not in registry: {unknown}"
+
+
+def test_scalar_native_matches_pandas_udf_twin(spark, sf_dir):
+    # U1 JVM-side migration (SURVEY §2.9): the built-in F.sin/F.exp
+    # twin must agree with the Arrow pandas_udf kernel row-for-row
+    # AFTER the round-6 freeze (raw JVM Math vs numpy libm differ in
+    # the last ulp on ~9% of fixture rows — the freeze is the
+    # migration-safety contract this test pins).
+    from nfl26_bigdatabowl_prediction_spark.plans.registry import QUERIES
+
+    a = (
+        QUERIES["q_pandas_scalar"](spark, sf_dir)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        QUERIES["q_scalar_native"](spark, sf_dir)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert (a["event_id"] == b["event_id"]).all()
+    # bitwise equality of the frozen doubles
+    import numpy as np
+
+    av = a["osc_score"].to_numpy()
+    bv = b["osc_score"].to_numpy()
+    assert (av.view("int64") == bv.view("int64")).all()
