@@ -410,6 +410,7 @@ HEADLINE = {
     "q_stream_funnel_ttl",
     "q_scalar_native",
     "q_kmeans_iter2",
+    "q_semdedup",
     "q_percentile_rank",
     "q_seasonal_index",
     "q_scan_text",

@@ -819,6 +819,142 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+# deduplication the way production LLM corpora actually run it:
+# cluster the embedding space (here the deterministic K=4 seed
+# assignment shared with q_kmeans_step), then compare pairs ONLY
+# within a cluster and drop every item that has a higher-priority
+# (smaller vec_id) in-cluster neighbor above the cosine threshold.
+# Output: one row per vector — cluster, the max cosine to any
+# smaller-id in-cluster neighbor (shifted +1 and frozen to micros so
+# the integer is always positive; NULL for each cluster's smallest
+# id), and the keep flag.  Scale: the pair space is Σ|cluster|², the
+# SemDeDup contract itself — production scales K with the corpus
+# (K ≈ n/1000) so clusters stay bounded; the join key is the cluster
+# id, and AQE's skew split handles stragglers.  The K-row broadcast
+# NL assignment is the q_kmeans_step shape (allowlisted).
+# --------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.4  # fixture-calibrated: 25 same-cluster pairs above it
+
+
+@q(
+    "q_semdedup",
+    f"""
+    WITH seeds AS (
+        SELECT vec_id AS sid, embedding AS se FROM embeddings WHERE vec_id < 4
+    ), scored AS (
+        SELECT v.vec_id, v.embedding, s.sid,
+               CAST(round(({_dot_duck('v.embedding', 'v.embedding')}
+                           - 2 * {_dot_duck('v.embedding', 's.se')}
+                           + {_dot_duck('s.se', 's.se')}) * 1000000, 0) AS BIGINT)
+                 AS dist_micro
+        FROM embeddings v CROSS JOIN seeds s
+    ), assigned AS MATERIALIZED (
+        SELECT vec_id, embedding, sid FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist_micro ASC, sid ASC) AS rn
+            FROM scored)
+        WHERE rn = 1
+    ), nn AS (
+        SELECT b.vec_id,
+               MAX({_dot_duck('a.embedding', 'b.embedding')}
+                   / (sqrt({_dot_duck('a.embedding', 'a.embedding')})
+                      * sqrt({_dot_duck('b.embedding', 'b.embedding')}))) AS c
+        FROM assigned a JOIN assigned b
+          ON a.sid = b.sid AND a.vec_id < b.vec_id
+        GROUP BY b.vec_id
+    )
+    SELECT x.vec_id, CAST(x.sid AS BIGINT) AS cluster,
+           CAST(round((nn.c + 1.0) * 1000000, 0) AS BIGINT) AS nn_cos1p_micro,
+           CAST(CASE WHEN nn.c IS NULL
+                     OR nn.c <= CAST({_SEMDEDUP_TAU} AS DOUBLE)
+                THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM assigned x LEFT JOIN nn ON nn.vec_id = x.vec_id
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
+    )
+    scored = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "embedding",
+            "sid",
+            F.round(
+                (
+                    F.expr(_dot_spark("embedding", "embedding"))
+                    - 2 * F.expr(_dot_spark("embedding", "se"))
+                    + F.expr(_dot_spark("se", "se"))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("dist_micro"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("dist_micro").asc(), F.col("sid").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "sid")
+    )
+    # the assignment feeds three consumers (both pair sides + the
+    # final keep join) — checkpoint it once instead of re-running the
+    # K·n scoring pass per consumer (the kmeans_iter2 pattern)
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="semdedup_") + "/assigned"
+    assigned.write.mode("overwrite").parquet(ckpt)
+    assigned = spark.read.parquet(ckpt)
+    a = assigned.select(
+        F.col("sid").alias("a_sid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_e"),
+    )
+    b = assigned.select(
+        F.col("sid").alias("b_sid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_e"),
+    )
+    cos = (
+        F.expr(_dot_spark("a_e", "b_e"))
+        / (
+            F.sqrt(F.expr(_dot_spark("a_e", "a_e")))
+            * F.sqrt(F.expr(_dot_spark("b_e", "b_e")))
+        )
+    )
+    nn = (
+        a.join(
+            b,
+            (F.col("a_sid") == F.col("b_sid"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(F.col("b_id").alias("vec_id"), cos.alias("c"))
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("c"))
+    )
+    tau = F.lit(_SEMDEDUP_TAU).cast("double")
+    return assigned.join(nn, "vec_id", "left").select(
+        "vec_id",
+        F.col("sid").cast("bigint").alias("cluster"),
+        F.round((F.col("c") + 1.0) * 1000000, 0)
+        .cast("bigint")
+        .alias("nn_cos1p_micro"),
+        F.when(F.col("c").isNull() | (F.col("c") <= tau), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("kept"),
+    )
+
+
+# --------------------------------------------------------------------------
 # TWO chained Lloyd iterations — proves the q_kmeans_step iteration
 # COMPOSES (round-5 verdict #7): iteration 1 is exactly the
 # q_kmeans_step plan; its 256-row (cluster, dim) centroid table is

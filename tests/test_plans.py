@@ -202,7 +202,7 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
                     "q_kendall_tau", "q_naive_bayes", "q_power_iteration",
                     "q_zonemap_audit", "q_matryoshka_recall",
                     "q_token_budget_trim", "q_temporal_split",
-                    "q_seasonal_index"):
+                    "q_seasonal_index", "q_kmeans_iter2", "q_semdedup"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
@@ -236,7 +236,9 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
             # same O(q·n) contract as q_embed_cosine_topk's kernel.
             # q_token_budget_trim broadcasts its 1-row token budget;
             # q_temporal_split its 1-row cut hour; q_seasonal_index
-            # its 1-row grand total.
+            # its 1-row grand total.  q_kmeans_iter2 and q_semdedup
+            # inherit q_kmeans_step's K=4 broadcast seed/centroid
+            # assignment (O(K·n), the canonical Lloyd plan).
         plan = _plan(spark, name)
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in plan, f"{name} compiles to {bad}"
