@@ -411,6 +411,8 @@ HEADLINE = {
     "q_scalar_native",
     "q_kmeans_iter2",
     "q_semdedup",
+    "q_stream_session_dynamic",
+    "q_python_datasink",
     "q_percentile_rank",
     "q_seasonal_index",
     "q_scan_text",

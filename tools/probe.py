@@ -2,7 +2,7 @@
 data directory (the MEASURED.md protocol, warm session).
 
 Usage:
-    python tools/probe.py <sf_dir> q_name [q_name ...]
+    python tools/probe.py [--passes=N] <sf_dir> q_name [q_name ...]
     python tools/probe.py /tmp/nfl26_sf0.8x q_contrastive_pairs q_knn_classify
 
 Prints one `name  sec` line per query (min of 3 measured passes after
@@ -21,7 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    sf_dir, names = sys.argv[1], sys.argv[2:]
+    args = sys.argv[1:]
+    passes = 3
+    if args and args[0].startswith("--passes="):
+        passes = int(args[0].split("=")[1])
+        args = args[1:]
+    sf_dir, names = args[0], args[1:]
     load1 = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else -1.0
 
     from nfl26_bigdatabowl_prediction_spark.plans.registry import QUERIES
@@ -36,7 +41,7 @@ def main() -> int:
                 "noop"
             ).save()  # warmup: codegen + JIT
             best = None
-            for _ in range(3):
+            for _ in range(passes):
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
                     "noop"
