@@ -128,6 +128,12 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 _DRIFT_REVERIFY: tuple[str, ...] = (
     "q_except", "q_schema_evolution", "q_setsim_join",
     "q_dedup_components",
+    # round-6 in-round edit to an already-green plan (proactive — the
+    # next rotate.py run would flag it anyway): q_embed_components
+    # gained the exact-dup collapse.  (q_rfm also changed in-round —
+    # exact_global_rank — but was never driver-green, so it sits in
+    # the regular window, not a drift slot.)
+    "q_embed_components",
 )
 
 _PRIORITY: tuple[str, ...] = (
@@ -161,8 +167,10 @@ _PRIORITY: tuple[str, ...] = (
     # stats batch
     "q_holt_winters", "q_anova", "q_kendall_tau", "q_mannwhitney",
     "q_chi_square", "q_changepoint",
-    # older stragglers to fill 50
-    "q_variant", "q_sort_nulls",
+    # round-6 in-round rewrite, never driver-green — verify the NEW plan
+    "q_rfm",
+    # older straggler to fill 50 (q_variant/q_sort_nulls displaced to
+    # the round-7 window by the drift slot + q_rfm)
 )
 
 

@@ -416,35 +416,14 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generation, like q_minhash_lsh); embeddings re-enter by key join
 # for the confirm step, so the expensive signature never recomputes.
 # --------------------------------------------------------------------------
-@q(
-    "q_embed_neardup",
-    f"""
-    WITH sigs AS (
-        SELECT vec_id, {_PLANE_DUCK} AS bucket FROM embeddings
-    ), cand AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    )
-    SELECT c.vec_a, c.vec_b,
-           {_dot_duck('ea.embedding', 'eb.embedding')}
-             / (sqrt({_dot_duck('ea.embedding', 'ea.embedding')})
-                * sqrt({_dot_duck('eb.embedding', 'eb.embedding')})) AS cosine
-    FROM cand c
-    JOIN embeddings ea ON c.vec_a = ea.vec_id
-    JOIN embeddings eb ON c.vec_b = eb.vec_id
-    WHERE {_dot_duck('ea.embedding', 'eb.embedding')}
-            / (sqrt({_dot_duck('ea.embedding', 'ea.embedding')})
-               * sqrt({_dot_duck('eb.embedding', 'eb.embedding')})) >= 0.3
-    """,
-)
-def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The vector (and its precomputed norm) ride along in the bucket
-    # shuffle as struct fields, so the confirm step reads them straight
-    # off the exploded pair — ONE scan, ONE exchange, zero joins.  The
-    # former join-back form broadcast the entire embedding table twice,
-    # which is exactly what cannot scale when the corpus is the fact
-    # side; a bucket-keyed shuffle of the corpus can.
-    e = table(spark, sf_dir, "embeddings")
+def _neardup_edges(e: DataFrame) -> DataFrame:
+    """LSH-bucketed near-duplicate edge builder over any (vec_id,
+    embedding) relation — factored out so q_embed_components can run
+    it on the exact-dup-COLLAPSED representative set (round 6: the
+    64x mirror probe showed the raw-graph form melting down when
+    every vector has 63 byte-identical twins; collapsing first is the
+    production ordering and shrinks the candidate join to the
+    distinct corpus)."""
     sigs = e.select(
         F.expr(_PLANE_SPARK).alias("bucket"),
         F.struct(
@@ -476,6 +455,37 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= 0.3)
+
+
+@q(
+    "q_embed_neardup",
+    f"""
+    WITH sigs AS (
+        SELECT vec_id, {_PLANE_DUCK} AS bucket FROM embeddings
+    ), cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           {_dot_duck('ea.embedding', 'eb.embedding')}
+             / (sqrt({_dot_duck('ea.embedding', 'ea.embedding')})
+                * sqrt({_dot_duck('eb.embedding', 'eb.embedding')})) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON c.vec_a = ea.vec_id
+    JOIN embeddings eb ON c.vec_b = eb.vec_id
+    WHERE {_dot_duck('ea.embedding', 'eb.embedding')}
+            / (sqrt({_dot_duck('ea.embedding', 'ea.embedding')})
+               * sqrt({_dot_duck('eb.embedding', 'eb.embedding')})) >= 0.3
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The vector (and its precomputed norm) ride along in the bucket
+    # shuffle as struct fields, so the confirm step reads them straight
+    # off the exploded pair — ONE scan, ONE exchange, zero joins.  The
+    # former join-back form broadcast the entire embedding table twice,
+    # which is exactly what cannot scale when the corpus is the fact
+    # side; a bucket-keyed shuffle of the corpus can.
+    return _neardup_edges(table(spark, sf_dir, "embeddings"))
 
 
 # --------------------------------------------------------------------------
@@ -1528,17 +1538,45 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embed_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 6: exact-duplicate COLLAPSE before the graph.  Byte-equal
+    # vectors always share a component (cos = 1 ≥ every threshold), so
+    # the quotient graph over one representative per distinct vector
+    # has identical components — and it shrinks the LSH candidate join
+    # and the pointer-jumping iteration to the DISTINCT corpus.  The
+    # 64x mirror probe made the raw form melt down (every vector had
+    # 63 byte-identical twins → 4096x candidate pairs, dense
+    # 64-cliques, stage failure in the iteration checkpoint); with the
+    # collapse the residual graph at 64x equals sf0.1's.  One extra
+    # embedding-keyed shuffle on non-duplicated data — the
+    # dedup-before-graph ordering every near-dup family here already
+    # documents.
     from ..operators.components import connected_components
 
     e = table(spark, sf_dir, "embeddings")
-    edges = QUERIES["q_embed_neardup"](spark, sf_dir).select("vec_a", "vec_b")
-    comp = connected_components(
-        e.select("vec_id"), edges, node_col="vec_id", src="vec_a", dst="vec_b"
+    mapping = e.select(
+        "vec_id",
+        "embedding",
+        F.min("vec_id").over(W.partitionBy("embedding")).alias("rep"),
     )
-    return comp.select(
-        F.col("node").alias("vec_id"),
-        F.col("comp").alias("component"),
-        F.count(F.lit(1)).over(W.partitionBy("comp")).alias("cluster_size"),
+    rep_vecs = mapping.filter(F.col("vec_id") == F.col("rep")).select(
+        "vec_id", "embedding"
+    )
+    edges = _neardup_edges(rep_vecs).select("vec_a", "vec_b")
+    comp = connected_components(
+        rep_vecs.select("vec_id"), edges, node_col="vec_id", src="vec_a",
+        dst="vec_b",
+    )
+    return (
+        mapping.select("vec_id", "rep")
+        .join(
+            comp.select(F.col("node").alias("rep"), "comp"),
+            "rep",
+        )
+        .select(
+            "vec_id",
+            F.col("comp").alias("component"),
+            F.count(F.lit(1)).over(W.partitionBy("comp")).alias("cluster_size"),
+        )
     )
 
 
