@@ -844,14 +844,20 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # id, and AQE's skew split handles stragglers.  The K-row broadcast
 # NL assignment is the q_kmeans_step shape (allowlisted).
 # --------------------------------------------------------------------------
-_SEMDEDUP_TAU = 0.4  # fixture-calibrated: 25 same-cluster pairs above it
+_SEMDEDUP_TAU = 0.4  # fixture-calibrated: 13 same-cluster pairs above it at sf0.01
+_SEMDEDUP_K = 32  # clusters SCALE with the corpus (SemDeDup's own knob:
+# K ~ n/60 at fixture scale, production K ~ n/1000 with trained
+# centroids) — the within-cluster pair space is the quadratic term,
+# and K is what bounds it; K=4 left 500-member clusters at sf0.1 and
+# a 500k-pair interpreted-dot stage (measured 10.6 s of the first
+# bench's 8.6 s wall)
 
 
 @q(
     "q_semdedup",
     f"""
     WITH seeds AS (
-        SELECT vec_id AS sid, embedding AS se FROM embeddings WHERE vec_id < 4
+        SELECT vec_id AS sid, embedding AS se FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
     ), scored AS (
         SELECT v.vec_id, v.embedding, s.sid,
                CAST(round(({_dot_duck('v.embedding', 'v.embedding')}
@@ -884,7 +890,7 @@ _SEMDEDUP_TAU = 0.4  # fixture-calibrated: 25 same-cluster pairs above it
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    seeds = e.filter(F.col("vec_id") < 4).select(
+    seeds = e.filter(F.col("vec_id") < _SEMDEDUP_K).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
     )
     scored = (
@@ -913,7 +919,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "sid")
+        .select(
+            "vec_id",
+            "embedding",
+            "sid",
+            # norm frozen INTO the checkpoint: the pair join then does
+            # ONE dot per pair instead of three (the _neardup_edges
+            # rule — the first bench run showed per-pair self-dots
+            # were 2/3 of the 8.6 s FLOP)
+            F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("nrm"),
+        )
     )
     # the assignment feeds three consumers (both pair sides + the
     # final keep join) — checkpoint it once instead of re-running the
@@ -927,19 +942,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sid").alias("a_sid"),
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_e"),
+        F.col("nrm").alias("a_n"),
     )
     b = assigned.select(
         F.col("sid").alias("b_sid"),
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_e"),
+        F.col("nrm").alias("b_n"),
     )
-    cos = (
-        F.expr(_dot_spark("a_e", "b_e"))
-        / (
-            F.sqrt(F.expr(_dot_spark("a_e", "a_e")))
-            * F.sqrt(F.expr(_dot_spark("b_e", "b_e")))
-        )
-    )
+    cos = F.expr(_dot_spark("a_e", "b_e")) / (F.col("a_n") * F.col("b_n"))
     nn = (
         a.join(
             b,
