@@ -49,6 +49,20 @@ def exact_global_rank(
         if partitions
         else df.repartitionByRange(*order)
     ).withColumn("_pid", F.spark_partition_id())
+    # Materialize the range partitioning ONCE.  `local` and `offsets`
+    # both consume `parted`; unmaterialized, each consumer re-runs the
+    # range exchange, and nothing guarantees the two runs sample the
+    # same boundaries (the sampler is seeded per-execution) or that AQE
+    # coalesces the no-`partitions` path identically — diverging `_pid`
+    # assignments between the join sides would produce silently wrong
+    # ranks.  After the round-trip `_pid` is plain column data, so both
+    # branches see the identical assignment by construction.  At
+    # cluster scale this is one columnar staging pass of the already-
+    # shuffled relation — the same cost class as the sort shuffle
+    # itself, and the price of determinism for an exact global rank.
+    from ..scratch import checkpoint_parquet
+
+    parted = checkpoint_parquet(parted, "rank_parted_")
     local = parted.withColumn(
         "_rn", F.row_number().over(W.partitionBy("_pid").orderBy(*order))
     )

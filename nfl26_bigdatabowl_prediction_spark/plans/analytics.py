@@ -1057,9 +1057,8 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..operators.ranking import exact_global_rank, ntile_from_rank
+    from ..scratch import checkpoint_parquet
 
     ev = table(spark, sf_dir, "events")
     vc = F.round(F.col("value") * 100, 0).cast("bigint")
@@ -1070,9 +1069,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # four consumers (three rankings + the output columns): checkpoint
     # the user rollup once instead of re-scanning the fact table
-    ckpt = tempfile.mkdtemp(prefix="rfm_") + "/per_user"
-    per_user.write.mode("overwrite").parquet(ckpt)
-    per_user = spark.read.parquet(ckpt)
+    per_user = checkpoint_parquet(per_user, "rfm_")
 
     def score(order_col: str, name: str) -> DataFrame:
         ranked = exact_global_rank(

@@ -1640,8 +1640,11 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closed-form sequence — proving the plug-in path, not the data.
 # Independent of sf_dir by construction (the source IS the data).
 # --------------------------------------------------------------------------
-SYNTH_ROWS_PER_PART = 1000
-SYNTH_PARTS = 4
+from ..sources.python_ds import (  # noqa: E402 - plan-section import
+    SYNTH_PARTS,
+    SYNTH_ROWS_PER_PART,
+    ensure_python_sources,
+)
 
 
 @q(
@@ -1654,33 +1657,9 @@ SYNTH_PARTS = 4
     """,
 )
 def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.datasource import (
-        DataSource,
-        DataSourceReader,
-        InputPartition,
-    )
-
-    class SynthReader(DataSourceReader):
-        def partitions(self):
-            return [InputPartition(p) for p in range(SYNTH_PARTS)]
-
-        def read(self, partition):
-            lo = partition.value * SYNTH_ROWS_PER_PART
-            for i in range(lo, lo + SYNTH_ROWS_PER_PART):
-                yield (i, i % 7, (i * 2654435761) % 1000000)
-
-    class SynthSource(DataSource):
-        @classmethod
-        def name(cls):
-            return "synth_seq"
-
-        def schema(self):
-            return "id bigint, bucket bigint, payload bigint"
-
-        def reader(self, schema):
-            return SynthReader()
-
-    spark.dataSource.register(SynthSource)
+    # Source classes live in sources/python_ds.py; registration is
+    # once-per-session + locked there (the round-6/7 suite race fix).
+    ensure_python_sources(spark)
     return spark.read.format("synth_seq").load()
 
 
@@ -1707,44 +1686,22 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import json as _json
-    import os
-    import tempfile
-    import uuid
+    from ..scratch import scratch_dir
 
-    from pyspark.sql.datasource import (
-        DataSource,
-        DataSourceWriter,
-        WriterCommitMessage,
-    )
+    from ..sources.python_ds import activate_session
 
-    class JsonlWriter(DataSourceWriter):
-        def __init__(self, options):
-            self.path = options["path"]
-
-        def write(self, iterator):
-            part = f"part-{uuid.uuid4().hex}.jsonl"
-            with open(os.path.join(self.path, part), "w") as fh:
-                for row in iterator:
-                    fh.write(_json.dumps(row.asDict()) + "\n")
-            return WriterCommitMessage()
-
-    class JsonlSink(DataSource):
-        @classmethod
-        def name(cls):
-            return "jsonl_sink"
-
-        def writer(self, schema, overwrite):
-            return JsonlWriter(self.options)
-
-    spark.dataSource.register(JsonlSink)
+    # Sink class lives in sources/python_ds.py; registration is
+    # once-per-session + locked there, and the writer lookup needs the
+    # thread-local active session bound (the round-6/7 suite race fix).
+    ensure_python_sources(spark)
+    activate_session(spark)
     ev = table(spark, sf_dir, "events")
     vc = F.round(F.col("value") * 100, 0).cast("bigint")
     rollup = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(vc).cast("bigint").alias("cents"),
     )
-    out = tempfile.mkdtemp(prefix="pysink_")
+    out = scratch_dir("pysink_")
     rollup.write.format("jsonl_sink").option("path", out).mode("append").save()
     return spark.read.schema("user_id bigint, n bigint, cents bigint").json(
         out

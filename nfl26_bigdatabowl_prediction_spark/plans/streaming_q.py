@@ -274,11 +274,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from ..scratch import scratch_dir
     from ..streaming import incremental_hourly_rollup, read_hourly_rollup
 
-    path = tempfile.mkdtemp(prefix="mv_rollup_") + "/log"
+    path = scratch_dir("mv_rollup_") + "/log"
     incremental_hourly_rollup(events_stream(spark, sf_dir), path)
     return read_hourly_rollup(spark, path)
 
@@ -395,11 +394,10 @@ def q_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from ..scratch import scratch_dir
     from ..streaming import incremental_cdc_table, read_cdc_table
 
-    path = tempfile.mkdtemp(prefix="cdc_upsert_") + "/log"
+    path = scratch_dir("cdc_upsert_") + "/log"
     incremental_cdc_table(events_stream(spark, sf_dir), path)
     return read_cdc_table(spark, path)
 
@@ -425,52 +423,16 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import uuid
 
-    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+    from ..scratch import scratch_dir
+    from ..sources.python_ds import ensure_python_sources
 
-    class SynthStreamReader(SimpleDataSourceStreamReader):
-        BATCHES, ROWS = 2, 1000
-
-        def initialOffset(self):
-            return {"batch": 0}
-
-        def read(self, start):
-            b = start["batch"]
-            if b >= self.BATCHES:
-                return iter([]), start
-            base = b * self.ROWS
-            rows = [
-                (base + i, (base + i) % 7, ((base + i) * 31) % 1000)
-                for i in range(self.ROWS)
-            ]
-            return iter(rows), {"batch": b + 1}
-
-        def readBetweenOffsets(self, start, end):
-            out = []
-            for b in range(start["batch"], end["batch"]):
-                base = b * self.ROWS
-                out += [
-                    (base + i, (base + i) % 7, ((base + i) * 31) % 1000)
-                    for i in range(self.ROWS)
-                ]
-            return iter(out)
-
-    class SynthStreamSource(DataSource):
-        @classmethod
-        def name(cls):
-            return "synth_stream"
-
-        def schema(self):
-            return "id bigint, bucket bigint, payload bigint"
-
-        def simpleStreamReader(self, schema):
-            return SynthStreamReader()
-
-    spark.dataSource.register(SynthStreamSource)
+    # Source class lives in sources/python_ds.py; registration is
+    # once-per-session + locked there (the round-6/7 suite race fix).
+    ensure_python_sources(spark)
     name = "s" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="spark_ckpt_pysrc_")
+    ckpt = scratch_dir("spark_ckpt_pysrc_")
     agg = (
         spark.readStream.format("synth_stream")
         .load()

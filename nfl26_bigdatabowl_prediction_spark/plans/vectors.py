@@ -416,26 +416,80 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generation, like q_minhash_lsh); embeddings re-enter by key join
 # for the confirm step, so the expensive signature never recomputes.
 # --------------------------------------------------------------------------
-def _neardup_edges(e: DataFrame) -> DataFrame:
+# Per-bucket occupancy cap for the LSH candidate join: the
+# collect_list in _neardup_edges materializes one bucket per row, so
+# an over-full bucket is the OOM point at scale (and quadratic pair
+# blowup besides — candidate pairs grow as sum |bucket|^2, measured on
+# the 8x/64x mirror probes).  The cap is deliberately generous for a
+# healthy signature (expected occupancy n / 2^bits) and exists to fail
+# LOUDLY instead of spilling: the remedy is more ``bits``, not a
+# bigger executor (the MAX_BRUTE_QUERIES pattern).
+MAX_LSH_BUCKET = 1 << 13
+
+
+def _neardup_edges(
+    e: DataFrame, bits: int = 8, max_bucket: int = MAX_LSH_BUCKET
+) -> DataFrame:
     """LSH-bucketed near-duplicate edge builder over any (vec_id,
     embedding) relation — factored out so q_embed_components can run
     it on the exact-dup-COLLAPSED representative set (round 6: the
     64x mirror probe showed the raw-graph form melting down when
     every vector has 63 byte-identical twins; collapsing first is the
     production ordering and shrinks the candidate join to the
-    distinct corpus)."""
+    distinct corpus).
+
+    ``bits`` is THE scale knob: expected bucket occupancy is
+    n / 2**bits, so each extra bit halves bucket size (and quarters
+    per-bucket pair work) at the cost of a lower candidate recall per
+    band.  The sf-fixture oracle pins the 8-bit default; a 100 TB run
+    sizes ``bits`` so occupancy stays under ``max_bucket`` and the
+    in-plan guard below turns an undersized signature into an explicit
+    error instead of an executor OOM inside collect_list."""
+    plane = (
+        _PLANE_SPARK if bits == 8 else _plane_spark_unrolled(bits=bits)
+    )
     sigs = e.select(
-        F.expr(_PLANE_SPARK).alias("bucket"),
+        F.expr(plane).alias("bucket"),
         F.struct(
             F.col("vec_id").alias("id"),
             F.col("embedding").alias("emb"),
             F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("nrm"),
         ).alias("v"),
     )
-    buckets = (
+    guard_msg = (
+        f"_neardup_edges: LSH bucket exceeds max_bucket={max_bucket} "
+        f"at bits={bits}; raise the bits knob (each bit halves expected "
+        f"occupancy) or collapse exact duplicates first"
+    )
+    # Count-only pre-guard pass: per-bucket counts partial-aggregate
+    # map-side (the shuffle moves <= tasks * 2**bits tiny rows, and
+    # Catalyst prunes this branch's scan to the embedding column
+    # alone), so an oversized bucket is detected BEFORE any
+    # collect_list materializes it.  assert_true returns NULL when the
+    # predicate holds; the filter keeps every surviving row but cannot
+    # be pruned from the physical plan.  The surviving non-singleton
+    # buckets (at most 2**bits rows) broadcast back as a semi-filter
+    # BELOW the payload shuffle — singleton buckets, i.e. most of a
+    # healthy corpus, never shuffle their struct payload at all.  The
+    # price is a second scan-side signature evaluation (map CPU);
+    # the win is the payload exchange shrinking to actual collisions,
+    # which is the right trade when shuffle IO, not CPU, is the
+    # 100 TB bottleneck.
+    counts = (
         sigs.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_in_bucket"))
+        .filter(
+            F.assert_true(
+                F.col("n_in_bucket") <= F.lit(max_bucket), F.lit(guard_msg)
+            ).isNull()
+        )
+        .filter(F.col("n_in_bucket") > 1)
+        .select("bucket")
+    )
+    buckets = (
+        sigs.join(F.broadcast(counts), "bucket")
+        .groupBy("bucket")
         .agg(F.array_sort(F.collect_list("v")).alias("ds"))  # sorts by id (first field)
-        .filter(F.size("ds") > 1)
     )
     pairs = buckets.select(
         F.explode(
@@ -933,11 +987,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the assignment feeds three consumers (both pair sides + the
     # final keep join) — checkpoint it once instead of re-running the
     # K·n scoring pass per consumer (the kmeans_iter2 pattern)
-    import tempfile
+    from ..scratch import checkpoint_parquet
 
-    ckpt = tempfile.mkdtemp(prefix="semdedup_") + "/assigned"
-    assigned.write.mode("overwrite").parquet(ckpt)
-    assigned = spark.read.parquet(ckpt)
+    assigned = checkpoint_parquet(assigned, "semdedup_")
     a = assigned.select(
         F.col("sid").alias("a_sid"),
         F.col("vec_id").alias("a_id"),
@@ -1052,7 +1104,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from ..scratch import checkpoint_parquet
 
     e = table(spark, sf_dir, "embeddings")
 
@@ -1109,9 +1161,7 @@ def q_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint the 256-row centroid table: it feeds BOTH the
     # iteration-2 broadcast and the shift join, and an unmaterialized
     # subtree re-scans the corpus once per consumer
-    ckpt = tempfile.mkdtemp(prefix="kmeans_iter_") + "/comps1"
-    comps1.write.mode("overwrite").parquet(ckpt)
-    comps1 = spark.read.parquet(ckpt)
+    comps1 = checkpoint_parquet(comps1, "kmeans_iter_")
     c_of = (F.lit(1.0) * F.col("s") / F.col("n")) / 1000000.0
     cent = comps1.groupBy("sid").agg(
         F.transform(

@@ -14,12 +14,13 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-import tempfile
 import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..scratch import scratch_dir
 
 
 def run_available_now(
@@ -37,7 +38,7 @@ def run_available_now(
     drained finite source never advances the watermark further).
     """
     name = "s" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="spark_ckpt_")
+    ckpt = scratch_dir("spark_ckpt_")
     query = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -82,7 +83,7 @@ def run_two_phase(
     from ..sources.io import table
 
     base = table(spark, sf_dir, "events")  # ts normalized to int64 micros
-    root = tempfile.mkdtemp(prefix="spark_twophase_")
+    root = scratch_dir("spark_twophase_")
     src = os.path.join(root, "src")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")

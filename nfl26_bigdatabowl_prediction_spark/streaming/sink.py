@@ -23,7 +23,7 @@ Scale/fault-tolerance design:
 
 from __future__ import annotations
 
-import tempfile
+from ..scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,7 +58,7 @@ def incremental_hourly_rollup(
 ) -> None:
     """Drain the events stream into the partial-aggregate delta log at
     ``path`` (Trigger.AvailableNow)."""
-    ckpt = tempfile.mkdtemp(prefix="spark_ckpt_mv_")
+    ckpt = scratch_dir("spark_ckpt_mv_")
     query = (
         events.writeStream.foreachBatch(
             lambda bdf, bid: write_hourly_partials(bdf, bid, path)
@@ -156,7 +156,7 @@ def incremental_cdc_table(
 ) -> None:
     """Drain the events stream into the per-key upsert delta log at
     ``path`` (Trigger.AvailableNow) — the streaming MERGE INTO."""
-    ckpt = tempfile.mkdtemp(prefix="spark_ckpt_cdc_")
+    ckpt = scratch_dir("spark_ckpt_cdc_")
     query = (
         events.writeStream.foreachBatch(
             lambda bdf, bid: write_key_upserts(bdf, bid, path)

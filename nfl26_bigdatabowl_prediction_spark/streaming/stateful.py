@@ -319,7 +319,13 @@ def _funnel_ttl_fn(
     Measured Spark 4.1 boundary: a timeout fires iff its timestamp is
     STRICTLY below the watermark (ms); timestamps are registered with
     a wm+1 clamp because Spark rejects timeouts at-or-below the
-    current watermark."""
+    current watermark.  The clamp only DELAYS firing, never changes
+    the emitted row (ts = the stored last advance), so it is safe in
+    multi-batch drains too: a natural expiry already behind the
+    watermark re-registers at wm+1 and fires in the next batch whose
+    watermark exceeds it — at the latest the trailing AvailableNow
+    batch (regression:
+    test_funnel_ttl_multibatch_drain_fires_each_expiry_once)."""
     def _row(uid: int, eid: int | None, stage: int, ts: int) -> pd.DataFrame:
         return pd.DataFrame(
             {

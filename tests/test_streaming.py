@@ -506,3 +506,136 @@ def test_stateful_funnel_carries_state_across_microbatches(spark, tmp_path):
         assert (split[c].values == whole[c].values).all(), c
     # no advance may fire twice
     assert not split.duplicated(["user_id", "stage"]).any()
+
+
+def _write_event_chunks(tmp_path, chunks):
+    """Write synthetic events parquet chunks (ts in epoch-NANOS int64,
+    the TIMESTAMP(NANOS)/nanosAsLong physical layout the driver ships;
+    normalize_ts divides to micros).  Chunks are spaced by mtime so
+    maxFilesPerTrigger=1 drains them in order."""
+    import time as _time
+
+    import pandas as pd
+
+    src = tmp_path / "ev_chunks"
+    src.mkdir()
+    for i, rows in enumerate(chunks):
+        pd.DataFrame(
+            {
+                "event_id": pd.Series([r[1] for r in rows], dtype="int64"),
+                "ts": pd.Series(
+                    [r[2] * 1000 for r in rows], dtype="int64"
+                ),  # micros → nanos
+                "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "event_type": [r[3] for r in rows],
+                "value": pd.Series([1.0] * len(rows), dtype="float64"),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(src / f"chunk{i}.parquet", index=False)
+        _time.sleep(0.05)
+    return str(src)
+
+
+def test_funnel_epoch_zero_ts_crosses_microbatches(spark, tmp_path):
+    """Round-6 ADVICE regression: a legitimate ts of exactly 0 us
+    (the epoch) stored as stage-1 state in one micro-batch must still
+    count as "stage reached" in the next batch — the state schema is
+    nullable LongType with NO sentinel, so 0 must round-trip as 0,
+    not as "missing"."""
+    from nfl26_bigdatabowl_prediction_spark.streaming import (
+        events_stream,
+        run_available_now,
+        streaming_funnel,
+    )
+
+    src = _write_event_chunks(
+        tmp_path,
+        [
+            [(7, 1, 0, "view")],  # batch 1: view at the epoch
+            [(7, 2, 1_000_000, "click"), (7, 3, 2_000_000, "purchase")],
+        ],
+    )
+    out = (
+        run_available_now(
+            streaming_funnel(
+                events_stream(
+                    spark, src, max_files_per_trigger=1, glob="chunk*.parquet"
+                )
+            ),
+            output_mode="append",
+        )
+        .toPandas()
+        .sort_values("stage")
+        .reset_index(drop=True)
+    )
+    assert list(out["stage"]) == [1, 2, 3]
+    assert list(out["ts_us"]) == [0, 1_000_000, 2_000_000]
+
+
+def test_funnel_ttl_multibatch_drain_fires_each_expiry_once(spark, tmp_path):
+    """_funnel_ttl_fn's watermark clamp (setTimeoutTimestamp to
+    max(t, wm+1)) under a MULTI-batch drain — the round-6/7 carried
+    ask.  Covers the clamp's live path: a non-advancing event for a
+    user whose natural expiry (last advance + 1 h) is already BEHIND
+    the checkpointed watermark re-registers at wm+1 (Spark rejects
+    at-or-below-wm registrations) and must still emit exactly one
+    expiry row, with ts = the true last advance, in the trailing
+    batch of the same drain."""
+    from nfl26_bigdatabowl_prediction_spark.streaming import (
+        events_stream,
+        run_available_now,
+        streaming_funnel_ttl,
+    )
+
+    T0 = 1_700_000_000_000_000  # epoch-micros anchor
+    H = 3600 * 10**6
+    src = _write_event_chunks(
+        tmp_path,
+        [
+            # batch 1 (watermark during processing: initial 0)
+            [
+                (1, 101, T0, "view"),
+                (2, 102, T0, "view"),
+                (7, 107, T0 - 4 * H, "view"),
+            ],
+            # batch 2 (wm = T0 - 1 h): u2 advances; u7 sends a
+            # NON-advancing view → re-registration hits the clamp
+            # (natural timeout T0-3h < wm); u3 pushes the final wm
+            # to T0 + 4 h so u1/u2/u7 all expire in the trailing batch
+            [
+                (2, 202, T0 + H // 2, "click"),
+                (7, 207, T0 - H // 2, "view"),
+                (3, 203, T0 + 5 * H, "view"),
+            ],
+        ],
+    )
+    out = (
+        run_available_now(
+            streaming_funnel_ttl(
+                events_stream(
+                    spark, src, max_files_per_trigger=1, glob="chunk*.parquet"
+                )
+            ),
+            output_mode="append",
+        )
+        .toPandas()
+        .sort_values(["stage", "user_id"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    got = {
+        (int(r["user_id"]),
+         None if pd.isna(r["event_id"]) else int(r["event_id"]),
+         int(r["stage"]), int(r["ts_us"]))
+        for _, r in out.iterrows()
+    }
+    want = {
+        (1, 101, 1, T0), (2, 102, 1, T0), (7, 107, 1, T0 - 4 * H),
+        (3, 203, 1, T0 + 5 * H), (2, 202, 2, T0 + H // 2),
+        # expiries: exactly once each, ts = true last advance;
+        # u3 is still inside the horizon and must NOT expire
+        (1, None, 0, T0), (2, None, 0, T0 + H // 2),
+        (7, None, 0, T0 - 4 * H),
+    }
+    assert got == want, got.symmetric_difference(want)

@@ -34,7 +34,7 @@ def fully_green(path: str) -> set[str]:
 
 
 def _plan_drift(
-    first_green_round: dict[str, str], queries: dict,
+    last_green_round: dict[str, str], queries: dict,
 ) -> list[tuple[str, str]]:
     """Green names whose query FUNCTION BODY changed since the commit
     that recorded their green row — their driver evidence predates the
@@ -48,16 +48,46 @@ def _plan_drift(
     import subprocess
     import textwrap
 
-    def green_commit(path: str) -> str | None:
-        # Last commit touching the CORRECTNESS file: green rows can be
-        # appended to an existing file in later commits, so the oldest
-        # add-commit would compare against a too-old source revision
-        # (round-5 ADVICE.md).
-        out = subprocess.run(
-            ["git", "log", "-1", "--format=%H", "--", path],
-            capture_output=True, text=True,
-        ).stdout.split()
-        return out[0] if out else None
+    file_commits: dict[str, list[str]] = {}
+    commit_rows: dict[tuple[str, str], set[str]] = {}
+
+    def green_commit(path: str, name: str) -> str | None:
+        # PER-ROW green commit: the OLDEST commit of this CORRECTNESS
+        # file in which THIS name's row is fully green.  Using the
+        # file's single last-touch commit (the round-5..7 behavior)
+        # masks drift whenever the file is re-committed after the row
+        # was recorded — the baseline silently advances past
+        # intervening source changes (round-6/7 ADVICE/VERDICT).
+        # Rows appended in later commits still resolve correctly
+        # because the walk takes the first commit where the row IS
+        # green, not the file's add-commit (round-5 ADVICE.md).
+        if path not in file_commits:
+            file_commits[path] = subprocess.run(
+                ["git", "log", "--reverse", "--format=%H", "--", path],
+                capture_output=True, text=True,
+            ).stdout.split()
+        for commit in file_commits[path]:
+            key = (commit, path)
+            if key not in commit_rows:
+                show = subprocess.run(
+                    ["git", "show", f"{commit}:{path}"],
+                    capture_output=True, text=True,
+                )
+                try:
+                    rows = json.loads(show.stdout) if show.returncode == 0 else {}
+                except json.JSONDecodeError:
+                    rows = {}
+                commit_rows[key] = {
+                    n
+                    for n, r in rows.items()
+                    if r.get("rows_match")
+                    and r.get("schema_match")
+                    and (r.get("hash_match") or r.get("hash_match") is None)
+                    and not r.get("err")
+                }
+            if name in commit_rows[key]:
+                return commit
+        return None
 
     def fn_bodies(source: str) -> dict[str, str]:
         try:
@@ -75,11 +105,11 @@ def _plan_drift(
     # file → name → dumped AST at the green commit (cache per pair)
     old_cache: dict[tuple[str, str], dict[str, str]] = {}
     drifted = []
-    for name, corr_path in sorted(first_green_round.items()):
+    for name, corr_path in sorted(last_green_round.items()):
         fn = queries.get(name)
         if fn is None:
             continue
-        commit = green_commit(corr_path)
+        commit = green_commit(corr_path, name)
         if commit is None:
             continue
         src_path = os.path.relpath(fn.__code__.co_filename, os.getcwd())
@@ -110,12 +140,16 @@ def main() -> int:
     from nfl26_bigdatabowl_prediction_spark.plans.registry import ORACLES, QUERIES
 
     green: set[str] = set()
-    first_green_round: dict[str, str] = {}
+    # LATEST green round per name: a drift-slot re-verification
+    # refreshes the evidence, so the drift baseline must be the newest
+    # green row, not the first (else a name re-proven in r06 keeps
+    # comparing against its r01 source forever).
+    last_green_round: dict[str, str] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         g = fully_green(path)
         print(f"{path}: {len(g)} fully green")
         for n in g:
-            first_green_round.setdefault(n, path)
+            last_green_round[n] = path
         green |= g
     # q_except's round-1 green covered a since-respecified query;
     # membership in the current registry is the real filter.
@@ -141,7 +175,7 @@ def main() -> int:
     for n in pending:
         print(f"    {n}")
     drifted = _plan_drift(
-        {n: p for n, p in first_green_round.items() if n in declared}, QUERIES
+        {n: p for n, p in last_green_round.items() if n in declared}, QUERIES
     )
     if drifted:
         print(
