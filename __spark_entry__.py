@@ -139,11 +139,18 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # (tools/rotate.py) — deliberately re-windowed ahead of never-verified
 # names so the driver re-confirms them against the CURRENT code.  The
 # rotation tests allow exactly these greens inside the 50-slot window.
-# (Empty at round-8 open: rounds 6 and 7 graded the same window on
-# identical code, so every green row matches HEAD.  Re-check with
-# tools/rotate.py before round close and re-add slots if this round's
-# edits touch green plans.)
-_DRIFT_REVERIFY: tuple[str, ...] = ()
+# Round-8 edits behind these: the Python-data-source centralization +
+# thread-affinity fix (q_python_datasource, q_stream_python_source),
+# scratch-routed checkpoints (q_stream_cdc_upsert, q_stream_mv_rollup),
+# the exact_global_rank materialization (q_rfm), and the _neardup_edges
+# bits-knob + bucket guard (q_embed_neardup; q_embed_components added
+# manually — it consumes the same helper, which rotate.py's
+# function-body drift cannot attribute).
+_DRIFT_REVERIFY: tuple[str, ...] = (
+    "q_python_datasource", "q_stream_python_source",
+    "q_stream_cdc_upsert", "q_stream_mv_rollup",
+    "q_rfm", "q_embed_neardup", "q_embed_components",
+)
 
 _PRIORITY: tuple[str, ...] = (
     # plan-drift re-verification (see _DRIFT_REVERIFY)
@@ -167,11 +174,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_top_value_parts", "q_cust_order_dist", "q_wow_growth",
     # multimodal plumbing pair
     "q_multimodal_decode", "q_frame_sample",
-    # corpus-statistics / packing tail
-    "q_heaps_law", "q_zipf_fit", "q_perplexity_bucket", "q_seq_pack",
-    "q_corpus_curate", "q_shard_assign",
-    # set-op / paging completions
-    "q_paginate", "q_except_all", "q_intersect_all", "q_nth_value",
+    # corpus-statistics tail (q_seq_pack/q_corpus_curate/q_shard_assign
+    # and the set-op/paging completions q_paginate/q_except_all/
+    # q_intersect_all/q_nth_value displaced to round 9 by the 7 drift
+    # slots)
+    "q_heaps_law", "q_zipf_fit", "q_perplexity_bucket",
 )
 
 
