@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from nfl26_bigdatabowl_prediction_spark.scratch import scratch_dir
 from nfl26_bigdatabowl_prediction_spark.sources.io import table
 from nfl26_bigdatabowl_prediction_spark.streaming import (
     dedup_within_watermark,
@@ -143,7 +144,6 @@ def test_watermark_drops_late_data(spark, tmp_path):
     Batches: [W0 rows] → [t+2h rows: watermark passes W0] →
     [t+3h row: watermark advances again] → [late row inside W0].
     """
-    import tempfile
     import time as _time
     import uuid
 
@@ -190,7 +190,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="spark_ckpt_"))
+        .option("checkpointLocation", scratch_dir("spark_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
