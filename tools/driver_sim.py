@@ -130,9 +130,15 @@ def main():
     spark = get_spark(app_name="driver-sim", shuffle_partitions=8)
     duck = duckdb.connect()
     for t in TABLES:
-        duck.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
-        )
+        # the /tmp 8x/64x derivatives are Spark-written DIRECTORY
+        # parquet (part files under <table>.parquet/); the driver's
+        # fixtures are single files — glob accordingly
+        path = f"{args.sf}/{t}.parquet"
+        import os as _os
+
+        if _os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        duck.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     n_fail = 0
     for name in names:
