@@ -140,16 +140,22 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # names so the driver re-confirms them against the CURRENT code.  The
 # rotation tests allow exactly these greens inside the 50-slot window.
 # Round-8 edits behind these: the Python-data-source centralization +
-# thread-affinity fix (q_python_datasource, q_stream_python_source),
+# thread-affinity fix (q_stream_python_source; q_python_datasource got
+# the same mechanical relocation but is left out of the capped slots —
+# its ensure/activate path is exercised by the in-window
+# q_python_datasink and by q_stream_python_source here),
 # scratch-routed checkpoints (q_stream_cdc_upsert, q_stream_mv_rollup),
-# the exact_global_rank materialization (q_rfm), and the _neardup_edges
+# the exact_global_rank materialization (q_rfm), the _neardup_edges
 # bits-knob + bucket guard (q_embed_neardup; q_embed_components added
 # manually — it consumes the same helper, which rotate.py's
-# function-body drift cannot attribute).
+# function-body drift cannot attribute), and the Arrow chunk-split
+# ordering fix in the stateful kernels (q_stream_ewm, q_stream_funnel
+# — green queries whose helper changed; same manual attribution).
 _DRIFT_REVERIFY: tuple[str, ...] = (
-    "q_python_datasource", "q_stream_python_source",
+    "q_stream_python_source",
     "q_stream_cdc_upsert", "q_stream_mv_rollup",
     "q_rfm", "q_embed_neardup", "q_embed_components",
+    "q_stream_ewm", "q_stream_funnel",
 )
 
 _PRIORITY: tuple[str, ...] = (
@@ -174,11 +180,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_top_value_parts", "q_cust_order_dist", "q_wow_growth",
     # multimodal plumbing pair
     "q_multimodal_decode", "q_frame_sample",
-    # corpus-statistics tail (q_seq_pack/q_corpus_curate/q_shard_assign
-    # and the set-op/paging completions q_paginate/q_except_all/
-    # q_intersect_all/q_nth_value displaced to round 9 by the 7 drift
-    # slots)
-    "q_heaps_law", "q_zipf_fit", "q_perplexity_bucket",
+    # corpus-statistics tail (q_perplexity_bucket, q_seq_pack,
+    # q_corpus_curate, q_shard_assign and the set-op/paging completions
+    # q_paginate/q_except_all/q_intersect_all/q_nth_value displaced to
+    # round 9 by the 8 drift slots)
+    "q_heaps_law", "q_zipf_fit",
 )
 
 

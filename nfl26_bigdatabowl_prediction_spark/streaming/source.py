@@ -38,6 +38,19 @@ def events_stream(
     → timestamp_ntz), with the same normalize_ts as the batch twin.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Two physical layouts exist: the driver's fixtures are a single
+    # file per table (stream the shared dir, pathGlobFilter selects
+    # the events file), while Spark-written derivatives (the 8x/64x
+    # probes — and any real ingest directory) are a DIRECTORY of part
+    # files named part-*.parquet, which the table-name filter would
+    # exclude entirely (UNABLE_TO_INFER_SCHEMA).  Streaming the table
+    # directory itself is also the production shape: an ingest system
+    # appends files under one table root.
+    import os
+
+    table_dir = os.path.join(sf_dir, glob)
+    if os.path.isdir(table_dir) and "*" not in glob:
+        sf_dir, glob = table_dir, "*.parquet"
     schema = (
         spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     )

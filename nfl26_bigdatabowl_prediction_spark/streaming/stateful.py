@@ -58,7 +58,15 @@ def _make_ewm_fn(alpha: float):
             last, n = state.get
         else:
             last, n = None, 0
-        for pdf in pdf_iter:
+        # Drain the WHOLE group before sorting: a group whose rows span
+        # an Arrow record-batch boundary arrives as multiple chunks in
+        # shuffle (arbitrary) order, so per-chunk sorting silently
+        # processes out of event-time order.  Found by the round-8
+        # 8x-scale differential — at sf0.01 no group ever split, at 8x
+        # ~1-in-150 groups did.  Memory stays bounded by one KEY's
+        # micro-batch rows, the same bound the recurrence itself needs.
+        chunks = [p for p in pdf_iter if len(p)]
+        for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
             pdf = pdf.sort_values(["ts", "event_id"])
             out = []
             for v in pdf["value"]:
@@ -243,7 +251,11 @@ def _funnel_fn(
         t1, t2, t3 = (v if v is not None else None for v in state.get)
     else:
         t1 = t2 = t3 = None
-    for pdf in pdf_iter:
+    # Whole-group drain before sorting: Arrow batch-boundary splits
+    # deliver a group as multiple arbitrary-order chunks (see ewm_fn;
+    # found by the round-8 8x differential).
+    chunks = [p for p in pdf_iter if len(p)]
+    for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
         pdf = pdf.sort_values(["ts", "event_id"])
         out = {"user_id": [], "event_id": [], "stage": [], "ts_us": []}
         for uid, eid, ts, et in zip(
@@ -349,7 +361,11 @@ def _funnel_ttl_fn(
         t1, t2, t3 = (v if v is not None else None for v in state.get)
     else:
         t1 = t2 = t3 = None
-    for pdf in pdf_iter:
+    # Whole-group drain before sorting: Arrow batch-boundary splits
+    # deliver a group as multiple arbitrary-order chunks (see ewm_fn;
+    # found by the round-8 8x differential).
+    chunks = [p for p in pdf_iter if len(p)]
+    for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
         pdf = pdf.sort_values(["ts", "event_id"])
         out = {"user_id": [], "event_id": [], "stage": [], "ts_us": []}
         for uid, eid, ts, et in zip(

@@ -639,3 +639,64 @@ def test_funnel_ttl_multibatch_drain_fires_each_expiry_once(spark, tmp_path):
         (7, None, 0, T0 - 4 * H),
     }
     assert got == want, got.symmetric_difference(want)
+
+
+def test_stateful_kernels_tolerate_arrow_chunk_splits(spark, tmp_path):
+    """Round-8 8x-differential regression: applyInPandasWithState
+    delivers a group as MULTIPLE pandas chunks when its rows span an
+    Arrow record-batch boundary, in shuffle (arbitrary) order — the
+    kernels must drain the whole group before sorting, or a split
+    group processes out of event-time order (at 8x, ~1-in-150 groups
+    split and the funnel picked a LATER view as stage 1).  Forced
+    here with arrow.maxRecordsPerBatch=4 and a 12-row user written in
+    REVERSE time order, so per-chunk sorting would compute the EWM
+    recurrence on a wrong sequence."""
+    import pandas as pd
+
+    from nfl26_bigdatabowl_prediction_spark.streaming import (
+        events_stream,
+        run_available_now,
+    )
+    from nfl26_bigdatabowl_prediction_spark.streaming.stateful import (
+        streaming_ewm,
+    )
+
+    n = 12
+    rows = [(i + 1, (i + 1) * 1_000_000, 7, "view", float(i + 1)) for i in range(n)]
+    src = tmp_path / "split_stream"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": pd.Series([r[0] for r in reversed(rows)], dtype="int64"),
+            "ts": pd.Series([r[1] * 1000 for r in reversed(rows)], dtype="int64"),
+            "user_id": pd.Series([r[2] for r in reversed(rows)], dtype="int64"),
+            "event_type": [r[3] for r in reversed(rows)],
+            "value": pd.Series([r[4] for r in reversed(rows)], dtype="float64"),
+            "props": ["{}"] * n,
+        }
+    ).to_parquet(src / "chunk0.parquet", index=False)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        got = (
+            run_available_now(
+                streaming_ewm(
+                    events_stream(spark, str(src), glob="chunk*.parquet"),
+                    alpha=0.3,
+                ),
+                output_mode="append",
+            )
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # reference recurrence in EVENT-TIME order
+    last, expect = None, {}
+    for eid, _ts, _u, _et, v in rows:
+        last = v if last is None else 0.3 * v + 0.7 * last
+        expect[eid] = last
+    assert len(got) == n
+    assert list(got["ewm03"]) == [expect[e] for e in got["event_id"]]
