@@ -1580,7 +1580,12 @@ def q_scalar_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exchange: mean = cumsum/cumcount, variance from the cumulative
 # power sums (n·Σx² − (Σx)²)/(n(n−1)).  The squared numerator is
 # cast to double before the division (int64 would overflow at
-# corpus scale); guard n ≥ 2 for the std.
+# corpus scale); guard n ≥ 2 for the std.  The mean is rounded in
+# INTEGER arithmetic (half away from zero on s·10⁴/n, then one exact
+# /1e6 conversion): the double path — 1.0·s/n/100 then round(,6) —
+# tie-breaks apart across engines when s/n lands exactly on a 5e-7
+# boundary (measured at 8×: one row of 6.4 M).  Σx² rides
+# DECIMAL(38,0)/int128 per the power-sum head-room rule.
 # --------------------------------------------------------------------------
 @q(
     "q_expanding",
@@ -1596,7 +1601,9 @@ def q_scalar_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS UNBOUNDED PRECEDING)
     )
     SELECT event_id, user_id, CAST(n AS BIGINT) AS n,
-           round(1.0 * s / n / 100.0, 6) AS exp_mean,
+           CAST(CASE WHEN s >= 0 THEN (s * 20000 + n) // (2 * n)
+                     ELSE -(((-s) * 20000 + n) // (2 * n)) END AS DOUBLE)
+             / 1000000.0 AS exp_mean,
            CASE WHEN n >= 2 THEN
                round(sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
                           / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 6)
@@ -1616,18 +1623,25 @@ def q_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.sum(vc).over(w).alias("s"),
-        F.sum(vc * vc).over(w).alias("ss"),
+        F.sum((vc * vc).cast("decimal(38,0)")).over(w).alias("ss"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
     var = (n.cast("double") * ss - s.cast("double") * s) / (
         n.cast("double") * (n - 1)
     )
+    # half-away-from-zero in int64 (|s|·2e4 exact to |s| ≈ 4.6e14
+    # cents per window); DIV truncates toward zero = floor on the
+    # positive operands both branches feed it.
+    r_mean = F.expr(
+        "CASE WHEN s >= 0 THEN (s * 20000 + n) DIV (2 * n) "
+        "ELSE -(((-s) * 20000 + n) DIV (2 * n)) END"
+    )
     return cum.select(
         "event_id",
         "user_id",
         n.cast("bigint").alias("n"),
-        F.round(F.lit(1.0) * s / n / 100.0, 6).alias("exp_mean"),
+        (r_mean.cast("double") / F.lit(1000000.0)).alias("exp_mean"),
         F.when(n >= 2, F.round(F.sqrt(var) / 100.0, 6)).alias("exp_std"),
     )
 
@@ -1640,6 +1654,12 @@ def q_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (value, event_id) total order — deterministic and identical on both
 # engines), then exact Pearson over the integer ranks from power
 # sums.  Two windows + one agg on a single event_type exchange.
+# Rank power sums grow as n³ (Σr² = n(n+1)(2n+1)/6), so they breach
+# int64 near n ≈ 3e6 rows/group — measured at the 8× probe — and
+# therefore accumulate in DECIMAL(38,0) (exact through partial agg;
+# the oracle's SUM(BIGINT) is already int128).  The n·Σxy − Σx·Σy
+# terms are likewise formed exactly in decimal/int128 and converted
+# to double ONCE (SCALING.md "Integer head-room").
 # --------------------------------------------------------------------------
 @q(
     "q_spearman",
@@ -1668,23 +1688,27 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     wx = W.partitionBy("event_type").orderBy("ts", "event_id")
     wy = W.partitionBy("event_type").orderBy("value", "event_id")
+    # row_number() is int32; ranks reach |group|, so products would
+    # overflow int32 per-row near 46k rows/group — widen at the source.
     ranked = ev.select(
         "event_type",
-        F.row_number().over(wx).alias("rx"),
-        F.row_number().over(wy).alias("ry"),
+        F.row_number().over(wx).cast("bigint").alias("rx"),
+        F.row_number().over(wy).cast("bigint").alias("ry"),
     )
     sums = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rx").alias("sx"),
         F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,0)")).alias("syy"),
     )
     n = F.col("n")
-    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - sxd * syd).cast("double")
+    dx = (n * F.col("sxx") - sxd * sxd).cast("double")
+    dy = (n * F.col("syy") - syd * syd).cast("double")
     return sums.filter(n >= 2).select(
         "event_type",
         n.cast("bigint").alias("n"),

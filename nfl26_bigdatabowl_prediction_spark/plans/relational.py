@@ -1508,12 +1508,15 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact grouped correlation — Pearson r from integer power sums.
 # Native corr() is a streaming float aggregate whose partial-merge
 # order is engine- and partition-dependent (never bitwise portable);
-# here every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact int64 sum of
-# scaled integers, so the only float math is the final closed-form
+# here every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact integer sum
+# of scaled integers, so the only float math is the final closed-form
 # division — identical on both engines, rounded once.  One map-side-
-# combined shuffle; the int64 headroom bounds are documented inline
-# (Σ(x_c·y_c) ≈ 5e10/row ⇒ exact to ~10^8 rows/group; production
-# swaps to DECIMAL(38) sums for more).
+# combined shuffle.  The POWER sums (Σxy, Σx², Σy², ≈5e10–1e14/row)
+# accumulate in DECIMAL(38,0) — exact through Spark partial
+# aggregation, matching DuckDB's int128 SUM(BIGINT) — because int64
+# saturates near 10⁵ rows/group for Σy² (measured: the 8× probe
+# breached it; SCALING.md "Integer head-room").  Plain cents sums
+# (Σx, Σy) keep int64 (safe to ~10¹¹ rows/group).
 # --------------------------------------------------------------------------
 @q(
     "q_group_corr",
@@ -1547,9 +1550,9 @@ def q_group_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(xc).alias("sx"),
         F.sum(yc).alias("sy"),
-        F.sum(xc * yc).alias("sxy"),
-        F.sum(xc * xc).alias("sxx"),
-        F.sum(yc * yc).alias("syy"),
+        F.sum((xc * yc).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xc * xc).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((yc * yc).cast("decimal(38,0)")).alias("syy"),
     )
     nd = F.col("n").cast("double")
     num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
