@@ -98,6 +98,12 @@ def run_two_phase(
         shutil.copy(part, os.path.join(dest, f"phase{phase}.parquet"))
         shutil.rmtree(stage)
     schema = spark.read.parquet(os.path.join(src, "phase1.parquet")).schema
+    # Both drains execute on ONE stream-scoped twin session (state
+    # partition count is pinned in the shared checkpoint at drain 1,
+    # so drain 2 must see the same conf) — see source.stream_exec_session.
+    from .source import stream_exec_session
+
+    stream_spark = stream_exec_session(spark)
     for phase in (1, 2):
         if phase == 2:
             os.rename(
@@ -105,7 +111,7 @@ def run_two_phase(
                 os.path.join(src, "phase2.parquet"),
             )
         stream = (
-            spark.readStream.schema(schema)
+            stream_spark.readStream.schema(schema)
             .parquet(src)
             .withColumn("event_time", F.timestamp_micros(F.col("ts")))
         )

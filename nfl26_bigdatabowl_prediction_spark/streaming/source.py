@@ -17,6 +17,33 @@ from pyspark.sql import functions as F
 
 from nfl26_bigdatabowl_prediction_spark.sources.io import normalize_ts
 
+# Streaming state-store instance count is pinned to
+# spark.sql.shuffle.partitions at the stream's FIRST micro-batch and
+# persists in the checkpoint.  The session default is sized to cores
+# for BATCH shuffles (AQE coalesces those at runtime; streaming has no
+# AQE), so a 100k-row test stream would schedule one stateful task and
+# commit one state-store delta per core every micro-batch — pure
+# fixed overhead at this volume.  Streams therefore execute on an
+# isolated-SQLConf twin session sized by this knob; production sizes
+# it to stream volume (state partitions ≈ peak keys / partition
+# budget), which is exactly what "set it at first run, the checkpoint
+# keeps it" supports.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+def stream_exec_session(
+    spark: SparkSession, shuffle_partitions: int = STREAM_SHUFFLE_PARTITIONS
+) -> SparkSession:
+    """Isolated-SQLConf twin of ``spark`` for executing a test-scale
+    stream.  ``newSession()`` shares the SparkContext (and inherits
+    every builder-level conf from session.py via the context
+    SparkConf) but gets its own mutable SQLConf — so right-sizing the
+    stream's state partitioning cannot race the 12-way oracle pool
+    that shares the parent session across threads."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return s
+
 
 def events_stream(
     spark: SparkSession,
@@ -37,6 +64,12 @@ def events_stream(
     (TIMESTAMP(NANOS) via ``nanosAsLong`` → int64; TIMESTAMP(MICROS)
     → timestamp_ntz), with the same normalize_ts as the batch twin.
     """
+    # Execute on the stream-scoped twin session (see
+    # stream_exec_session): everything built downstream of this
+    # reader — stateful ops, sinks, the memory table — binds to it,
+    # so its right-sized shuffle/state partitioning applies to the
+    # whole streaming query without touching the caller's conf.
+    spark = stream_exec_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Two physical layouts exist: the driver's fixtures are a single
     # file per table (stream the shared dir, pathGlobFilter selects

@@ -199,7 +199,10 @@ def test_watermark_drops_late_data(spark, tmp_path):
         (p.get("stateOperators") or [{}])[0].get("numRowsDroppedByWatermark") or 0
         for p in q.recentProgress
     )
-    got = spark.table(name).toPandas()
+    # the memory table registers in the stream's exec session (an
+    # isolated-SQLConf twin — streaming/source.stream_exec_session),
+    # not the main test session
+    got = sdf.sparkSession.table(name).toPandas()
 
     assert dropped == 1  # the two-batches-late row was rejected pre-state
     by_win = dict(zip(got["window_start_us"], got["n_events"]))
