@@ -1516,7 +1516,14 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregation, matching DuckDB's int128 SUM(BIGINT) — because int64
 # saturates near 10⁵ rows/group for Σy² (measured: the 8× probe
 # breached it; SCALING.md "Integer head-room").  Plain cents sums
-# (Σx, Σy) keep int64 (safe to ~10¹¹ rows/group).
+# (Σx, Σy) keep int64 (safe to ~10¹¹ rows/group).  The n·Σxy − ΣxΣy
+# / n·Σx² − (Σx)² / n·Σy² − (Σy)² terms are formed EXACTLY in
+# decimal/int128 and converted to double ONCE: term-wise double
+# conversion cancels catastrophically when a group's variance is
+# tiny relative to its mean (a den that rounds to exactly 0 is an
+# ANSI DIVIDE_BY_ZERO crash on Spark but inf on DuckDB — the
+# engines diverge in FAILURE MODE, not just ulps).  Exact-zero
+# variance (a constant column) yields NULL on both engines.
 # --------------------------------------------------------------------------
 @q(
     "q_group_corr",
@@ -1533,13 +1540,19 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
                    * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syy
         FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+        SELECT l_returnflag, n,
+               n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS dx,
+               n * syy - sy * sy AS dy
+        FROM m
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
-             AS corr_qty_price
-    FROM m
+           CASE WHEN dx > 0 AND dy > 0 THEN
+               round(CAST(num AS DOUBLE)
+                     / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)
+           END AS corr_qty_price
+    FROM d
     """,
 )
 def q_group_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,15 +1567,19 @@ def q_group_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((xc * xc).cast("decimal(38,0)")).alias("sxx"),
         F.sum((yc * yc).cast("decimal(38,0)")).alias("syy"),
     )
-    nd = F.col("n").cast("double")
-    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    den = F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")) * F.sqrt(
-        nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
-    )
+    n = F.col("n")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - sxd * syd).cast("double")
+    dx = (n * F.col("sxx") - sxd * sxd).cast("double")
+    dy = (n * F.col("syy") - syd * syd).cast("double")
     return m.select(
         "l_returnflag",
-        F.col("n").cast("bigint").alias("n"),
-        F.round(num / den, 6).alias("corr_qty_price"),
+        n.cast("bigint").alias("n"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
+        ).alias("corr_qty_price"),
     )
 
 
