@@ -622,10 +622,11 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Welch's unequal-variance t-test — does `value` differ between the
 # two deterministic hash variants?  The continuous-outcome companion
-# of q_ab_test's proportion z-test.  Everything aggregates as int64
-# cents power sums (one fact scan, 2 groups); mean/variance/t/df are
-# closed forms evaluated with ONE shared op sequence then rounded to
-# 6 — no raw-double summation anywhere.
+# of q_ab_test's proportion z-test.  Everything aggregates as exact
+# integer cents power sums (Σx² in DECIMAL(38,0)/int128 — the power-
+# sum head-room rule; one fact scan, 2 groups); mean/variance/t/df
+# are closed forms evaluated with ONE shared op sequence then rounded
+# to 6 — no raw-double summation anywhere.
 # --------------------------------------------------------------------------
 @q(
     "q_welch_ttest",
@@ -649,19 +650,23 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(1.0 * s0 / n0 / 100.0, 6) AS mean0,
            round(1.0 * s1 / n1 / 100.0, 6) AS mean1,
            round((1.0 * s1 / n1 - 1.0 * s0 / n0)
-                 / sqrt((ss0 - 1.0 * s0 * s0 / n0) / (n0 - 1) / n0
-                        + (ss1 - 1.0 * s1 * s1 / n1) / (n1 - 1) / n1), 6) AS t_stat,
-           round(((ss0 - 1.0 * s0 * s0 / n0) / (n0 - 1) / n0
-                  + (ss1 - 1.0 * s1 * s1 / n1) / (n1 - 1) / n1)
-                 * ((ss0 - 1.0 * s0 * s0 / n0) / (n0 - 1) / n0
-                    + (ss1 - 1.0 * s1 * s1 / n1) / (n1 - 1) / n1)
-                 / ((ss0 - 1.0 * s0 * s0 / n0) / (n0 - 1) / n0
-                    * ((ss0 - 1.0 * s0 * s0 / n0) / (n0 - 1) / n0) / (n0 - 1)
-                    + (ss1 - 1.0 * s1 * s1 / n1) / (n1 - 1) / n1
-                      * ((ss1 - 1.0 * s1 * s1 / n1) / (n1 - 1) / n1) / (n1 - 1)),
+                 / sqrt(CAST(n0 * ss0 - s0 * s0 AS DOUBLE) / n0 / (n0 - 1) / n0
+                        + CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / n1 / (n1 - 1) / n1),
+                 6) AS t_stat,
+           round((CAST(n0 * ss0 - s0 * s0 AS DOUBLE) / n0 / (n0 - 1) / n0
+                  + CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / n1 / (n1 - 1) / n1)
+                 * (CAST(n0 * ss0 - s0 * s0 AS DOUBLE) / n0 / (n0 - 1) / n0
+                    + CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / n1 / (n1 - 1) / n1)
+                 / (CAST(n0 * ss0 - s0 * s0 AS DOUBLE) / n0 / (n0 - 1) / n0
+                    * (CAST(n0 * ss0 - s0 * s0 AS DOUBLE) / n0 / (n0 - 1) / n0)
+                    / (n0 - 1)
+                    + CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / n1 / (n1 - 1) / n1
+                      * (CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / n1 / (n1 - 1) / n1)
+                      / (n1 - 1)),
                  6) AS df
     FROM wide
     WHERE n0 > 1 AND n1 > 1
+      AND (n0 * ss0 - s0 * s0 > 0 OR n1 * ss1 - s1 * s1 > 0)
     """,
 )
 def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,7 +675,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.groupBy((F.col("user_id") % 2).alias("variant")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(vc).alias("s"),
-        F.sum(vc * vc).alias("ss"),
+        F.sum((vc * vc).cast("decimal(38,0)")).alias("ss"),
     )
     wide = v.agg(
         *[
@@ -681,12 +686,20 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n0, s0, ss0 = F.col("n0"), F.col("s0"), F.col("ss0")
     n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
-    # per-variant squared standard error, cents²: vi = s²/(n-1)/n
-    v0 = (ss0 - F.lit(1.0) * s0 * s0 / n0) / (n0 - 1) / n0
-    v1 = (ss1 - F.lit(1.0) * s1 * s1 / n1) / (n1 - 1) / n1
+    # per-variant squared standard error, cents²: vi = s²/(n-1)/n.
+    # The n·Σx² − (Σx)² numerator is formed EXACTLY in decimal/int128
+    # then converted to double ONCE (term-wise double subtraction
+    # cancels catastrophically when variance is tiny vs the mean —
+    # the q_group_corr failure-mode-divergence lesson), and the n³
+    # denominator stays double (it breaches int64 at 64×).
+    s0d, s1d = s0.cast("decimal(38,0)"), s1.cast("decimal(38,0)")
+    q0, q1 = n0 * ss0 - s0d * s0d, n1 * ss1 - s1d * s1d
+    v0 = q0.cast("double") / n0 / (n0 - 1) / n0
+    v1 = q1.cast("double") / n1 / (n1 - 1) / n1
     # n=1 variants make (n-1)=0 — DuckDB and Spark disagree on the
-    # zero-denominator result, so exclude identically on both sides.
-    return wide.filter((n0 > 1) & (n1 > 1)).select(
+    # zero-denominator result, so exclude identically on both sides;
+    # both-variances-zero makes t/df 0/0 — exclude identically too.
+    return wide.filter((n0 > 1) & (n1 > 1) & ((q0 > 0) | (q1 > 0))).select(
         n0.cast("bigint").alias("n0"),
         n1.cast("bigint").alias("n1"),
         F.round(F.lit(1.0) * s0 / n0 / 100.0, 6).alias("mean0"),
@@ -702,12 +715,13 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Grouped OLS — per event type, regress value on hour-of-day via the
-# closed-form normal equations over int64 power sums (n, Σx, Σy, Σxy,
+# closed-form normal equations over exact power sums (n, Σx, Σy, Σxy,
 # Σx², Σy²): ONE fact scan, map-side combined into |event_type|
-# groups.  Slope/intercept/r² are evaluated double-side with a shared
-# op sequence (r²'s squared numerator would overflow int64, so it is
-# cast to double first).  The distributed-regression shape MLlib's
-# LinearRegression iterates for, done exactly in one pass.
+# groups.  Power sums accumulate in DECIMAL(38,0)/int128 and the
+# n·Σxy − ΣxΣy normal-equation terms are formed exactly before ONE
+# double conversion each (int64 saturates at 64× row counts —
+# SCALING.md "Integer head-room").  The distributed-regression shape
+# MLlib's LinearRegression iterates for, done exactly in one pass.
 # --------------------------------------------------------------------------
 @q(
     "q_ols_by_group",
@@ -725,10 +739,11 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           round(1.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0, 6)
-             AS slope,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope,
            round((1.0 * sy / n
-                  - 1.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
                     * (1.0 * sx / n)) / 100.0, 6) AS intercept,
            round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
                  / (CAST(n * sxx - sx * sx AS DOUBLE)
@@ -741,20 +756,25 @@ def q_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     x = (F.expr("ts div 3600000000") % 24).cast("bigint")
     y = F.round(F.col("value") * 100, 0).cast("bigint")
+    # POWER sums ride DECIMAL(38,0) (DuckDB's SUM(BIGINT) is already
+    # int128) and the n·Σxy − ΣxΣy terms are formed EXACTLY before the
+    # single double conversion: at 64× row counts n·Σxy breaches int64
+    # (SCALING.md "Integer head-room").
     sums = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
-        F.sum(x * x).alias("sxx"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
         F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(y * y).alias("syy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
     )
-    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
-    num = n * sxy - sx * sy
-    den = n * sxx - sx * sx
-    deny = n * F.col("syy") - sy * sy
-    slope_raw = F.lit(1.0) * num / den
+    n = F.col("n")
+    sx = F.col("sx").cast("decimal(38,0)")
+    sy = F.col("sy").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    deny = (n * F.col("syy") - sy * sy).cast("double")
+    slope_raw = num / den
     # degenerate groups (constant x or constant y) diverge across
     # engines on the zero-denominator division — exclude identically
     # on both sides (the q_zscore_outliers rule).
@@ -763,13 +783,11 @@ def q_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         F.round(slope_raw / 100.0, 6).alias("slope"),
         F.round(
-            (F.lit(1.0) * sy / n - slope_raw * (F.lit(1.0) * sx / n)) / 100.0, 6
-        ).alias("intercept"),
-        F.round(
-            num.cast("double") * num.cast("double")
-            / (den.cast("double") * deny.cast("double")),
+            (F.lit(1.0) * F.col("sy") / n - slope_raw * (F.lit(1.0) * F.col("sx") / n))
+            / 100.0,
             6,
-        ).alias("r2"),
+        ).alias("intercept"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
     )
 
 
@@ -777,8 +795,9 @@ def q_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lag-1 autocorrelation per user — the serial-dependence diagnostic
 # over each user's time-ordered value series.  One user-keyed window
 # (the suite's shared trajectory exchange) pairs each value with its
-# predecessor; Pearson r then comes from int64 cents power sums per
-# user — the same exact-corr recipe as q_group_corr, here over
+# predecessor; Pearson r then comes from exact cents power sums per
+# user (DECIMAL(38,0)/int128, exact closed-form terms, one double
+# conversion) — the same exact-corr recipe as q_group_corr, here over
 # (prev, cur) pairs.  Users with < 10 pairs or a constant side are
 # excluded identically on both engines.
 # --------------------------------------------------------------------------
@@ -812,18 +831,23 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ev.select(
         "user_id", F.lag(vc).over(w).alias("x"), vc.alias("y")
     ).filter(F.col("x").isNotNull())
+    # power sums and the n·Σxy − ΣxΣy terms ride DECIMAL(38,0)/int128
+    # (per-user series reach 1e6+ events at corpus scale, past the
+    # int64 power-sum bound — SCALING.md "Integer head-room")
     sums = pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
     )
     n = F.col("n")
-    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    num = n * F.col("sxy") - sxd * syd
+    dx = n * F.col("sxx") - sxd * sxd
+    dy = n * F.col("syy") - syd * syd
     return (
         sums.filter((n >= 10) & (dx > 0) & (dy > 0))
         .select(
@@ -1494,7 +1518,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), scored AS (
         SELECT e.event_id, e.user_id, e.value,
                round(1.0 * p.s / p.n / 100.0, 6) AS seasonal_mean,
-               round(sqrt((CAST(p.n AS DOUBLE) * p.ss - CAST(p.s AS DOUBLE) * p.s)
+               round(sqrt(CAST(p.n * p.ss - p.s * p.s AS DOUBLE)
                           / (CAST(p.n AS DOUBLE) * (p.n - 1))) / 100.0, 6)
                  AS seasonal_std
         FROM events e
@@ -1513,23 +1537,25 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = F.round(F.col("value") * 100, 0).cast("bigint")
     hh = (F.expr("ts div 3600000000") % 24).alias("hh")
     dw = (F.expr("ts div 86400000000") % 7).alias("dw")
+    # Σcents² rides DECIMAL(38,0)/int128 and the n·Σx² − (Σx)²
+    # numerator forms exactly before ONE double conversion (the 168
+    # seasonal cells hold corpus-sized groups — SCALING.md power-sum
+    # head-room + the q_group_corr cancellation lesson)
     prof = ev.groupBy(hh, dw).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(vc).alias("s"),
-        F.sum(vc * vc).alias("ss"),
+        F.sum((vc * vc).cast("decimal(38,0)")).alias("ss"),
     ).filter(F.col("n") >= 2)
     n, s_, ss = F.col("n"), F.col("s"), F.col("ss")
+    qvar = (n * ss - s_.cast("decimal(38,0)") * s_.cast("decimal(38,0)")).cast(
+        "double"
+    )
     prof = prof.select(
         "hh",
         "dw",
         F.round(F.lit(1.0) * s_ / n / 100.0, 6).alias("seasonal_mean"),
         F.round(
-            F.sqrt(
-                (n.cast("double") * ss - s_.cast("double") * s_)
-                / (n.cast("double") * (n - 1))
-            )
-            / 100.0,
-            6,
+            F.sqrt(qvar / (n.cast("double") * (n - 1))) / 100.0, 6
         ).alias("seasonal_std"),
     )
     return (
@@ -1697,7 +1723,10 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", month.alias("ship_month"))
         .agg(
             (
-                F.sum(pc * qc).cast("double")
+                # Σ(price_cents·qty_cents) ≈ 5e10/row breaches int64
+                # near 2e8 rows/group — DECIMAL(38,0)/int128 per the
+                # power-sum head-room rule, one double conversion
+                F.sum((pc * qc).cast("decimal(38,0)")).cast("double")
                 / F.sum(qc).cast("bigint")
                 / 100.0
             ).alias("vwap"),
@@ -1782,10 +1811,11 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recipe extended past variance.  Spark's skewness()/kurtosis()
 # builtins merge float partials in nondeterministic order and never
 # hash-stable; the power sums are exact, and the closed forms
-# evaluate once per group with one shared op tree.  Σx⁴ of cents
-# (≤10⁴) bounds groups at ~10⁶ rows in int64 — per SCALING.md, the
-# DECIMAL(38) swap extends that; at this table's scale (≤10⁵ rows
-# per type at sf0.1) the margin is 10×.
+# evaluate once per group with one shared op tree.  The power sums
+# (Σx²..Σx⁴) accumulate in DECIMAL(38,0) — int64 saturates near 1e8
+# rows/group for Σx⁴ of whole units; the oracle's int128 SUM(BIGINT)
+# matches (SCALING.md "Integer head-room").  Per-row x⁴ ≤ 9.8e10
+# stays comfortably inside int64 before the widening cast.
 # --------------------------------------------------------------------------
 @q(
     "q_moments",
@@ -1830,9 +1860,9 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("s1"),
-        F.sum(x * x).alias("s2"),
-        F.sum(x * x * x).alias("s3"),
-        F.sum(x * x * x * x).alias("s4"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("s2"),
+        F.sum((x * x * x).cast("decimal(38,0)")).alias("s3"),
+        F.sum((x * x * x * x).cast("decimal(38,0)")).alias("s4"),
     )
     n = F.col("n")
     m1 = F.lit(1.0) * F.col("s1") / n
@@ -2296,11 +2326,12 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stacked GROUP BY lag_h
     )
     SELECT CAST(lag_h AS BIGINT) AS lag_h, CAST(n AS BIGINT) AS n,
-           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
                  6) AS xcorr
     FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
     """,
 )
 def q_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2325,25 +2356,30 @@ def q_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c2").alias("y"),
         )
         stacked = part if stacked is None else stacked.unionAll(part)
+    # power sums in DECIMAL(38,0)/int128, closed-form terms formed
+    # exactly, ONE double conversion each (hourly counts square past
+    # int64 at corpus scale, and term-wise double conversion cancels
+    # catastrophically — SCALING.md "Integer head-room"); degenerate
+    # constant-side lags excluded identically on both engines.
     m = stacked.groupBy("lag_h").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    return m.select(
+    n = F.col("n")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    num = n * F.col("sxy") - sxd * syd
+    dx = n * F.col("sxx") - sxd * sxd
+    dy = n * F.col("syy") - syd * syd
+    return m.filter((dx > 0) & (dy > 0)).select(
         F.col("lag_h").cast("bigint").alias("lag_h"),
         n.cast("bigint").alias("n"),
         F.round(
-            (n.cast("double") * sxy - sx.cast("double") * sy)
-            / (
-                F.sqrt(n.cast("double") * sxx - sx.cast("double") * sx)
-                * F.sqrt(n.cast("double") * syy - sy.cast("double") * sy)
-            ),
+            num.cast("double") / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
             6,
         ).alias("xcorr"),
     )
@@ -2382,7 +2418,8 @@ def q_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g
     )
     SELECT t.n0, t.n1,
-           round(CAST(SUM(CAST(abs(c.cum0 * t.n1 - c.cum1 * t.n0)
+           round(CAST(SUM(CAST(abs(CAST(c.cum0 AS HUGEINT) * t.n1
+                                   - CAST(c.cum1 AS HUGEINT) * t.n0)
                               * (c.v_next - c.v) AS DECIMAL(38, 0)))
                       AS DOUBLE)
                  / t.n0 / t.n1 / 100.0, 6) AS w1_distance
@@ -2415,8 +2452,13 @@ def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c0").cast("bigint").alias("n0"),
         F.sum("c1").cast("bigint").alias("n1"),
     )
+    # cum·n is the breach point (≈n² per row, past int64 near 3e9 rows
+    # per variant) — widen BEFORE the multiply, not after
     term = (
-        F.abs(F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0"))
+        F.abs(
+            F.col("cum0").cast("decimal(38,0)") * F.col("n1")
+            - F.col("cum1").cast("decimal(38,0)") * F.col("n0")
+        )
         * (F.col("v_next") - F.col("v"))
     ).cast("decimal(38,0)")
     return (
@@ -2780,12 +2822,14 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((sum_sq_over_n_u
                   - round(CAST(CAST(s_tot AS DECIMAL(38, 0)) * s_tot AS DOUBLE)
                           * 100 / n_tot, 0)) / 1000000.0, 6) AS ss_between,
-           round((ss_tot * 100 - sum_sq_over_n_u) / 1000000.0, 6) AS ss_within,
+           round((CAST(ss_tot AS HUGEINT) * 100 - sum_sq_over_n_u)
+                 / 1000000.0, 6) AS ss_within,
            round(CAST(sum_sq_over_n_u
                       - round(CAST(CAST(s_tot AS DECIMAL(38, 0)) * s_tot
                                    AS DOUBLE) * 100 / n_tot, 0) AS DOUBLE)
                  / (k - 1)
-                 / ((ss_tot * 100 - sum_sq_over_n_u) * 1.0 / (n_tot - k)), 6)
+                 / ((CAST(ss_tot AS HUGEINT) * 100 - sum_sq_over_n_u) * 1.0
+                    / (n_tot - k)), 6)
              AS f_stat
     FROM terms
     """,
@@ -2818,7 +2862,9 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     )
     ssb_u = F.col("sum_sq_over_n_u") - grand
-    ssw_u = F.col("ss_tot") * 100 - F.col("sum_sq_over_n_u")
+    # Σcents²·100 breaches int64 at 64× row counts — ride DECIMAL(38,0)
+    # (HUGEINT on the oracle side; SCALING.md "Integer head-room")
+    ssw_u = F.col("ss_tot").cast("decimal(38,0)") * 100 - F.col("sum_sq_over_n_u")
     return terms.select(
         "k",
         "n_tot",

@@ -1605,7 +1605,7 @@ def q_scalar_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE -(((-s) * 20000 + n) // (2 * n)) END AS DOUBLE)
              / 1000000.0 AS exp_mean,
            CASE WHEN n >= 2 THEN
-               round(sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+               round(sqrt(CAST(n * ss - s * s AS DOUBLE)
                           / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 6)
            END AS exp_std
     FROM cum
@@ -1627,9 +1627,13 @@ def q_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n"),
     )
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
-    var = (n.cast("double") * ss - s.cast("double") * s) / (
-        n.cast("double") * (n - 1)
-    )
+    # n·Σx² − (Σx)² formed EXACTLY (decimal/int128) before ONE double
+    # conversion: a constant-value prefix has exact-zero variance, but
+    # the term-wise double form leaves a ± cancellation residue whose
+    # sqrt(-ε) is NaN — and the residue differs per engine.
+    var = (n * ss - s.cast("decimal(38,0)") * s.cast("decimal(38,0)")).cast(
+        "double"
+    ) / (n.cast("double") * (n - 1))
     # half-away-from-zero in int64 (|s|·2e4 exact to |s| ≈ 4.6e14
     # cents per window); DIV truncates toward zero = floor on the
     # positive operands both branches feed it.

@@ -4100,15 +4100,23 @@ def q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("train").alias("a"), cnt("val").alias("b"), cnt("test").alias("c")
     )
     a, b, c = F.col("a"), F.col("b"), F.col("c")
-    within = lambda x: F.sum(F.expr(f"{x} * ({x} - 1) div 2")).cast("bigint")  # noqa: E731
+    # per-digest count products accumulate in DECIMAL(38,0)/int128 —
+    # a hot duplicate cluster's a·b is ~count² and the SUM breaches
+    # int64 at corpus scale; the final bigint cast keeps the output
+    # contract and fails LOUDLY (ANSI, both engines) if the pair
+    # count itself ever exceeds int64.
+    dec = "decimal(38,0)"
+    within = lambda x: F.sum(  # noqa: E731
+        F.expr(f"cast({x} * ({x} - 1) div 2 as {dec})")
+    ).cast("bigint")
     return per_digest.agg(
         within("a").alias("pairs_train_train"),
         within("b").alias("pairs_val_val"),
         within("c").alias("pairs_test_test"),
-        F.sum(a * b).cast("bigint").alias("pairs_train_val"),
-        F.sum(a * c).cast("bigint").alias("pairs_train_test"),
-        F.sum(b * c).cast("bigint").alias("pairs_val_test"),
-        F.sum(a * b + a * c + b * c).cast("bigint").alias("leaky_pairs"),
+        F.sum((a * b).cast(dec)).cast("bigint").alias("pairs_train_val"),
+        F.sum((a * c).cast(dec)).cast("bigint").alias("pairs_train_test"),
+        F.sum((b * c).cast(dec)).cast("bigint").alias("pairs_val_test"),
+        F.sum((a * b + a * c + b * c).cast(dec)).cast("bigint").alias("leaky_pairs"),
     )
 
 

@@ -90,6 +90,31 @@ def test_spearman_rank_products_survive_int32(spark, tmp_path):
     _differential(spark, "q_spearman", sf, ["events"])
 
 
+def test_ols_power_sums_survive_int64(spark, tmp_path):
+    """10k events of ~2.5e9 cents in one type: each y² (~6.3e18) fits
+    int64 per-row but Σy² does not, and n·Σxy-scale terms stress the
+    exact decimal normal-equation path.  Values vary linearly with
+    the hour regressor so slope/r² are non-degenerate."""
+    import pandas as pd
+
+    n = 10_000
+    hours = [(i % 24) for i in range(n)]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(1, n + 1),
+            "user_id": [i % 5 for i in range(n)],  # both parity variants
+            "event_type": ["click"] * n,
+            "ts": pd.to_datetime([h * 3600 for h in hours], unit="s"),
+            "value": [25_000_000.0 + 7.0 * h + (i % 3) for i, h in enumerate(hours)],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    _differential(spark, "q_ols_by_group", str(tmp_path), ["events"])
+    _differential(spark, "q_welch_ttest", str(tmp_path), ["events"])
+
+
 def test_expanding_mean_rounds_half_away_on_exact_tie(spark, tmp_path):
     """One user, 32 events summing to an ODD 65 cents: the expanding
     mean at row 32 is 65e4/32 = 20312.5 micro-dollars — an EXACT .5
