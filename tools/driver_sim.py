@@ -129,6 +129,11 @@ def main():
 
     spark = get_spark(app_name="driver-sim", shuffle_partitions=8)
     duck = duckdb.connect()
+    # Cap the in-process oracle: an unbounded DuckDB buffer pool ran
+    # the whole host to a 125 GB OOM kill on a 64x-scale window oracle
+    # (q_ohlc) — with a limit + temp dir it spills to disk instead.
+    duck.execute("SET memory_limit='40GB'")
+    duck.execute("SET temp_directory='/tmp/duckdb_sim_spill'")
     for t in TABLES:
         # the /tmp 8x/64x derivatives are Spark-written DIRECTORY
         # parquet (part files under <table>.parquet/); the driver's
