@@ -2288,19 +2288,26 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lexicographic struct comparison makes first/last BY TIME a plain
 # hash-aggregate member, so the whole query is ONE map-side-combined
 # aggregation: no window, no sort, no second shuffle.  event_id
-# breaks equal-timestamp ties identically on both engines.
+# breaks equal-timestamp ties identically on both engines.  The
+# ORACLE spells the same semantics as arg_min/arg_max over the
+# scalar key ts·10¹² + event_id (event_id < 10¹², so the encoding is
+# exactly the (ts, id) lexicographic order): DuckDB 1.0's grouped
+# MIN/MAX over a STRUCT allocates outside its memory_limit and OOMed
+# the host at the 64× probe — measured, MEASURED.md round-8.
 # --------------------------------------------------------------------------
 @q(
     "q_ohlc",
     """
     SELECT user_id,
            CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
-           (min(struct_pack(t := epoch_us(ts), id := event_id,
-                            v := CAST(round(value * 100, 0) AS BIGINT)))).v / 100.0 AS open,
+           arg_min(CAST(round(value * 100, 0) AS BIGINT),
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id)
+             / 100.0 AS open,
            MAX(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS high,
            MIN(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS low,
-           (max(struct_pack(t := epoch_us(ts), id := event_id,
-                            v := CAST(round(value * 100, 0) AS BIGINT)))).v / 100.0 AS close,
+           arg_max(CAST(round(value * 100, 0) AS BIGINT),
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id)
+             / 100.0 AS close,
            COUNT(*) AS volume
     FROM events
     GROUP BY 1, 2
