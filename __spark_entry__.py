@@ -119,72 +119,81 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "q_hll_audit", "q_bloom_audit", "q_label_propagation", "q_kcore",
     "q_modularity", "q_holt_winters", "q_anova", "q_kendall_tau",
     "q_mannwhitney", "q_chi_square", "q_changepoint", "q_rfm",
+    # round 8 (CORRECTNESS_r08.json, 49/50 fully green — the sole red
+    # row, q_embed_quantize, is re-windowed below post-fix)
+    "q_cluster_quality", "q_cust_order_dist", "q_embed_centroid",
+    "q_embed_lsh_bucket", "q_embed_norm", "q_embed_project",
+    "q_emd_drift", "q_frame_sample", "q_heaps_law", "q_idle_customers",
+    "q_kmeans_iter2", "q_kmeans_step", "q_late_supplier", "q_listagg",
+    "q_market_share", "q_min_cost_supp", "q_multimodal_decode",
+    "q_neardup_threshold_sweep", "q_or_pushdown", "q_pending_priority",
+    "q_power_iteration", "q_product_profit", "q_python_datasink",
+    "q_range_frame", "q_scalar_native", "q_semdedup", "q_seq_pattern",
+    "q_small_qty_revenue", "q_sort_nulls", "q_stream_funnel_late",
+    "q_stream_funnel_ttl", "q_stream_session_dynamic",
+    "q_stream_tumbling_late", "q_supplier_audit", "q_table_checksum",
+    "q_top_value_parts", "q_twap", "q_union_drift", "q_variant",
+    "q_wow_growth", "q_zipf_fit",
     # rows-only by declared contract (no value oracle): the driver row
     # cannot improve, so don't let them occupy front-window slots.
     "q_approx_distinct", "q_quantile_approx", "q_embed_kmeans",
     "q_image_resize",
 })
 
-# Round-8 window (first 50 of queries()): 75 oracle-backed names have
-# never had a driver row; this window takes the 50 carrying the newest
-# / riskiest code (round-6 additions first: the post-fix Python data
-# sink, SemDeDup, the second Lloyd iteration, the JVM-twin scalar
-# query, the late-data streaming trio + dynamic session gap), then the
-# vector-family tail, the old stragglers the round-7 verdict names
-# (q_variant/q_sort_nulls/q_listagg/...), and the TPC-H analytic tail.
-# The remaining 25 (regex/text utilities, small analytics) rotate into
-# round 9.  Every member pre-flighted green via
-# `python tools/driver_sim.py --window 50`.
+# Round-9 window (first 47 of queries()): the FINAL rotation — all 34
+# names that have never had a driver row (including q_embed_quantize,
+# whose round-8 red was the raw ARRAY<INT> output, now serialized via
+# the array_join house pattern), plus the 13 greens whose plan source
+# drifted since their green row (tools/rotate.py): the round-8
+# DECIMAL-widening edits to the exact-stats family
+# (q_group_corr/q_spearman and the analytics.py hosts), the
+# q_expanding int-path rounding, the q_ohlc arg_min/arg_max oracle
+# re-encode + round-9 domain guard, the q_leakage_audit pre-multiply
+# decimal cast (round-9 ADVICE), and the python_ds.py centralization
+# behind q_python_datasource.  Every member pre-flighted green via
+# `python tools/driver_sim.py --window 47`.
 # Driver-green names whose plan source drifted since their green row
 # (tools/rotate.py) — deliberately re-windowed ahead of never-verified
 # names so the driver re-confirms them against the CURRENT code.  The
 # rotation tests allow exactly these greens inside the 50-slot window.
-# Round-8 edits behind these: the Python-data-source centralization +
-# thread-affinity fix (q_stream_python_source; q_python_datasource got
-# the same mechanical relocation but is left out of the capped slots —
-# its ensure/activate path is exercised by the in-window
-# q_python_datasink and by q_stream_python_source here),
-# scratch-routed checkpoints (q_stream_cdc_upsert, q_stream_mv_rollup),
-# the exact_global_rank materialization (q_rfm), the _neardup_edges
-# bits-knob + bucket guard (q_embed_neardup; q_embed_components added
-# manually — it consumes the same helper, which rotate.py's
-# function-body drift cannot attribute), and the Arrow chunk-split
-# ordering fix in the stateful kernels (q_stream_ewm, q_stream_funnel
-# — green queries whose helper changed; same manual attribution).
+# Round-9 drift slots (rotate.py function-body drift over the round-8
+# diff): the DECIMAL(38,0) exact-stats widening (q_group_corr,
+# q_spearman, and the analytics.py hosts q_anova/q_autocorr/q_moments/
+# q_ols_by_group/q_seasonal_anomaly/q_vwap/q_welch_ttest), the
+# q_expanding int-path rounding, the q_ohlc oracle re-encode (plus
+# this round's event_id domain guard), the q_leakage_audit
+# pre-multiply decimal cast (this round, ADVICE), and the
+# sources/python_ds.py centralization behind q_python_datasource.
+# ... plus three manual attributions rotate.py's function-body drift
+# cannot see: streaming/source.py's twin session became memoized per
+# parent this round (round-9 ADVICE), a helper change under EVERY
+# streaming query — re-confirm one windowed agg, one stateful TTL
+# machine, and the two-phase restart path against the shared-twin
+# code (they also fill window slots 48–50, which would otherwise
+# leak already-green names).
 _DRIFT_REVERIFY: tuple[str, ...] = (
-    "q_stream_python_source",
-    "q_stream_cdc_upsert", "q_stream_mv_rollup",
-    "q_rfm", "q_embed_neardup", "q_embed_components",
-    "q_stream_ewm", "q_stream_funnel",
+    "q_anova", "q_autocorr", "q_expanding", "q_group_corr",
+    "q_leakage_audit", "q_moments", "q_ohlc", "q_ols_by_group",
+    "q_python_datasource", "q_seasonal_anomaly", "q_spearman",
+    "q_vwap", "q_welch_ttest",
+    "q_stream_tumbling", "q_stream_funnel_ttl", "q_stream_cdc_upsert",
 )
 
 _PRIORITY: tuple[str, ...] = (
     # plan-drift re-verification (see _DRIFT_REVERIFY)
     *_DRIFT_REVERIFY,
-    # round-6 additions, never driver-sampled (verify the NEW code)
-    "q_python_datasink", "q_semdedup", "q_kmeans_iter2",
-    "q_scalar_native", "q_stream_tumbling_late", "q_stream_funnel_late",
-    "q_stream_funnel_ttl", "q_stream_session_dynamic",
-    # vector-family tail
-    "q_kmeans_step", "q_embed_centroid", "q_embed_lsh_bucket",
-    "q_embed_norm", "q_embed_project", "q_embed_quantize",
-    "q_neardup_threshold_sweep", "q_power_iteration", "q_cluster_quality",
-    # old stragglers called out by the round-7 verdict
-    "q_variant", "q_sort_nulls", "q_listagg", "q_union_drift",
-    "q_range_frame", "q_seq_pattern", "q_table_checksum", "q_twap",
-    "q_emd_drift",
-    # TPC-H analytic tail
-    "q_market_share", "q_min_cost_supp", "q_late_supplier",
-    "q_idle_customers", "q_or_pushdown", "q_pending_priority",
-    "q_product_profit", "q_small_qty_revenue", "q_supplier_audit",
-    "q_top_value_parts", "q_cust_order_dist", "q_wow_growth",
-    # multimodal plumbing pair
-    "q_multimodal_decode", "q_frame_sample",
-    # corpus-statistics tail (q_perplexity_bucket, q_seq_pack,
-    # q_corpus_curate, q_shard_assign and the set-op/paging completions
-    # q_paginate/q_except_all/q_intersect_all/q_nth_value displaced to
-    # round 9 by the 8 drift slots)
-    "q_heaps_law", "q_zipf_fit",
+    # the final 34 never-driver-verified names — coverage closes at
+    # 365/365 when this window lands green
+    "q_embed_quantize",  # round-8 red, array output now serialized
+    "q_array_hof", "q_audience_overlap", "q_bigram_topn",
+    "q_cohens_kappa", "q_cohort_ltv", "q_corpus_curate", "q_did",
+    "q_doc_chunk", "q_except_all", "q_explode_outer", "q_histogram_2d",
+    "q_intersect_all", "q_interval_merge", "q_item_similarity",
+    "q_label_horizon", "q_log_histogram", "q_macro_f1", "q_nth_value",
+    "q_paginate", "q_path_topn", "q_perplexity_bucket", "q_redact",
+    "q_regex_scan", "q_ri_audit", "q_rsi", "q_scan_binary",
+    "q_scan_text", "q_seq_pack", "q_shard_assign", "q_skew_audit",
+    "q_text_normalize", "q_xcorr_lags", "q_zonemap_audit",
 )
 
 

@@ -2291,9 +2291,15 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # breaks equal-timestamp ties identically on both engines.  The
 # ORACLE spells the same semantics as arg_min/arg_max over the
 # scalar key ts·10¹² + event_id (event_id < 10¹², so the encoding is
-# exactly the (ts, id) lexicographic order): DuckDB 1.0's grouped
+# exactly the (ts, id) lexicographic order — the derivative tooling
+# asserts this domain, tools/make_8x.py): DuckDB 1.0's grouped
 # MIN/MAX over a STRUCT allocates outside its memory_limit and OOMed
 # the host at the 64× probe — measured, MEASURED.md round-8.
+# Both engines drop NULL-value rows up front: DuckDB's arg_min/
+# arg_max silently skip NULL arguments while Spark's struct MIN/MAX
+# would propagate them, so the filter (a no-op on the generated data,
+# where value is never NULL) pins identical semantics by construction
+# instead of by data accident (round-9 ADVICE).
 # --------------------------------------------------------------------------
 @q(
     "q_ohlc",
@@ -2310,12 +2316,13 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 100.0 AS close,
            COUNT(*) AS volume
     FROM events
+    WHERE value IS NOT NULL
     GROUP BY 1, 2
     """,
 )
 def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_us = 86400 * 10**6
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vc = F.round(F.col("value") * 100, 0).cast("bigint")
     st = F.struct(
         F.col("ts").alias("t"), F.col("event_id").alias("id"), vc.alias("v")

@@ -4073,9 +4073,9 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), per_digest AS (
         SELECT digest,
-               CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS a,
-               CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS b,
-               CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS c
+               CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+               CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+               CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS HUGEINT) AS c
         FROM tagged GROUP BY digest
     )
     SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) AS pairs_train_train,
@@ -4099,24 +4099,33 @@ def q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_digest = tagged.groupBy("digest").agg(
         cnt("train").alias("a"), cnt("val").alias("b"), cnt("test").alias("c")
     )
-    a, b, c = F.col("a"), F.col("b"), F.col("c")
-    # per-digest count products accumulate in DECIMAL(38,0)/int128 —
-    # a hot duplicate cluster's a·b is ~count² and the SUM breaches
-    # int64 at corpus scale; the final bigint cast keeps the output
-    # contract and fails LOUDLY (ANSI, both engines) if the pair
-    # count itself ever exceeds int64.
+    # per-digest count PRODUCTS are computed in DECIMAL(38,0)/int128
+    # from the first multiply — a hot duplicate cluster's a·b is
+    # ~count², so casting only the finished int64 product (the round-8
+    # form) still overflowed per-row at ~3e9 rows per split in one
+    # digest; the operands widen BEFORE multiplying, mirroring the
+    # oracle's HUGEINT products (round-9 ADVICE).  The final bigint
+    # cast keeps the output contract and fails LOUDLY (ANSI, both
+    # engines) if a pair count itself ever exceeds int64.
     dec = "decimal(38,0)"
+    a, b, c = (F.col(x).cast(dec) for x in ("a", "b", "c"))
+    # NOT `div`: Spark's IntegralDivide returns LONG even on decimal
+    # operands and silently wraps past int64 (measured: 5e9·(5e9−1)
+    # div 2 → −5.9e18) — true decimal division plus an exact cast
+    # (the product is always even) keeps the whole pipeline int128.
     within = lambda x: F.sum(  # noqa: E731
-        F.expr(f"cast({x} * ({x} - 1) div 2 as {dec})")
+        F.expr(
+            f"cast(cast({x} as {dec}) * (cast({x} as {dec}) - 1) / 2 as {dec})"
+        )
     ).cast("bigint")
     return per_digest.agg(
         within("a").alias("pairs_train_train"),
         within("b").alias("pairs_val_val"),
         within("c").alias("pairs_test_test"),
-        F.sum((a * b).cast(dec)).cast("bigint").alias("pairs_train_val"),
-        F.sum((a * c).cast(dec)).cast("bigint").alias("pairs_train_test"),
-        F.sum((b * c).cast(dec)).cast("bigint").alias("pairs_val_test"),
-        F.sum((a * b + a * c + b * c).cast(dec)).cast("bigint").alias("leaky_pairs"),
+        F.sum(a * b).cast("bigint").alias("pairs_train_val"),
+        F.sum(a * c).cast("bigint").alias("pairs_train_test"),
+        F.sum(b * c).cast("bigint").alias("pairs_val_test"),
+        F.sum(a * b + a * c + b * c).cast("bigint").alias("leaky_pairs"),
     )
 
 

@@ -584,14 +584,21 @@ QUERIES["q_embed_kmeans"] = q_embed_kmeans
     """
     SELECT vec_id,
            round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS scale,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE)
                                / round(list_max(list_transform(embedding,
-                                       y -> abs(CAST(y AS DOUBLE)))), 6) * 127, 0) AS INT)) AS q
+                                       y -> abs(CAST(y AS DOUBLE)))), 6) * 127, 0) AS INT)), ',') AS q_c
     FROM embeddings
     """,
 )
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The quantized vector is emitted as a comma-joined STRING (the
+    # q_collect_traj house pattern): the driver canonicalizes output
+    # with a pandas lexsort that crashes on list cells (`unhashable
+    # type: 'list'`), so a top-level ARRAY column is
+    # contract-incompatible even when values match.  The join is
+    # exact — every cell is an INT — and a consumer reassembles with
+    # split(q_c, ',') at zero information loss.
     e = table(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id",
@@ -604,8 +611,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "scale",
         F.expr(
-            "transform(embedding, x -> cast(round(cast(x as double) / scale * 127, 0) as int))"
-        ).alias("q"),
+            "array_join(transform(embedding, "
+            "x -> cast(round(cast(x as double) / scale * 127, 0) as int)), ',')"
+        ).alias("q_c"),
     )
 
 

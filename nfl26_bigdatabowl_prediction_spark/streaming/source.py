@@ -31,6 +31,16 @@ from nfl26_bigdatabowl_prediction_spark.sources.io import normalize_ts
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
+# One twin per (parent session, shuffle_partitions): creating a fresh
+# never-stopped newSession() per events_stream call leaked a session
+# each stream AND scattered memory-sink registrations across twins —
+# callers resolving spark.table(queryName) need every stream of one
+# parent to land in one catalog (round-9 ADVICE).  Keyed on id() with
+# the session object held in the value; sessions live for the process
+# in this engine, so the map cannot grow past the handful of parents.
+_TWINS: dict[tuple[int, int], SparkSession] = {}
+
+
 def stream_exec_session(
     spark: SparkSession, shuffle_partitions: int = STREAM_SHUFFLE_PARTITIONS
 ) -> SparkSession:
@@ -39,10 +49,16 @@ def stream_exec_session(
     every builder-level conf from session.py via the context
     SparkConf) but gets its own mutable SQLConf — so right-sizing the
     stream's state partitioning cannot race the 12-way oracle pool
-    that shares the parent session across threads."""
-    s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    return s
+    that shares the parent session across threads.  Memoized per
+    parent: every stream of one caller session executes (and registers
+    its memory-sink table) in the SAME twin catalog."""
+    key = (id(spark), shuffle_partitions)
+    twin = _TWINS.get(key)
+    if twin is None:
+        twin = spark.newSession()
+        twin.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        _TWINS[key] = twin
+    return twin
 
 
 def events_stream(
@@ -52,6 +68,14 @@ def events_stream(
     glob: str = "events.parquet",
 ) -> DataFrame:
     """``readStream`` over the events parquet with event-time column.
+
+    SESSION SWAP: the returned stream is bound to the memoized
+    stream-scoped twin of ``spark`` (see ``stream_exec_session``), not
+    to ``spark`` itself — a memory-sink ``queryName`` registers in the
+    twin's catalog, so resolve result tables via
+    ``stream_exec_session(spark).table(name)`` (or keep a handle on
+    the returned DataFrame's ``sparkSession``), not the session you
+    passed in.
 
     Emits the batch-identical columns (``ts`` int64 epoch-micros, the
     engine's canonical exact time) plus ``event_time`` TIMESTAMP for

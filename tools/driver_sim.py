@@ -18,7 +18,8 @@ canonical representation of raw collect()/fetchall() rows:
     Decimal      -> ("d", str)             (flags DECIMAL-typed oracles)
     None         -> ("0",)
     date/ts      -> ("t", isoformat)
-    list/array   -> recursively tagged
+    list/array/map -> DriverIncompatibleType (the driver's pandas
+                   lexsort crashes on these — round-8 q_embed_quantize)
 
 Usage:
     python tools/driver_sim.py [--window N] [--sf DIR] [name ...]
@@ -42,16 +43,29 @@ TABLES = (
 )
 
 
+class DriverIncompatibleType(Exception):
+    """A top-level output cell the REAL driver cannot canonicalize.
+
+    The driver lexsorts the collected frame with ``pandas.sort_values``
+    over all columns, which throws ``unhashable type`` on list/array/
+    map cells — q_embed_quantize shipped seven rounds of local greens
+    and then crashed the first driver sample exactly this way (round-8
+    verdict).  The contract checker must be at least as strict as the
+    contract: tuple-tagging nested values (the pre-round-9 behavior)
+    was strictly MORE permissive, so array outputs are now a loud
+    failure here too.  Serialize arrays with the array_join house
+    pattern (q_collect_traj) instead.
+    """
+
+
 def tag(v):
     if v is None:
         return ("0",)
-    if isinstance(v, np.ndarray):
-        v = v.tolist()
-    if isinstance(v, (list, tuple)):
-        return ("l",) + tuple(tag(x) for x in v)
-    if isinstance(v, dict):
-        return ("m",) + tuple(
-            (k, tag(x)) for k, x in sorted(v.items())
+    if isinstance(v, (np.ndarray, list, tuple, dict)):
+        raise DriverIncompatibleType(
+            f"top-level {type(v).__name__} cell — the driver's pandas "
+            f"sort_values canonicalization crashes on this; serialize "
+            f"with array_join (q_collect_traj pattern)"
         )
     if isinstance(v, np.generic):
         v = v.item()
@@ -133,7 +147,16 @@ def main():
     # the whole host to a 125 GB OOM kill on a 64x-scale window oracle
     # (q_ohlc) — with a limit + temp dir it spills to disk instead.
     duck.execute("SET memory_limit='40GB'")
-    duck.execute("SET temp_directory='/tmp/duckdb_sim_spill'")
+    # Per-process spill dir: a fixed shared path risks temp-file
+    # collisions between concurrent driver_sim runs and orphans spill
+    # files after a crash (round-9 ADVICE).
+    import atexit
+    import shutil
+    import tempfile
+
+    spill = tempfile.mkdtemp(prefix="duckdb_sim_spill_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    duck.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         # the /tmp 8x/64x derivatives are Spark-written DIRECTORY
         # parquet (part files under <table>.parquet/); the driver's

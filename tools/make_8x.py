@@ -83,7 +83,22 @@ def main(out_dir: str = "/tmp/nfl26_sf0.8x", copies: int = COPIES) -> None:
         out.repartition(nfiles).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
-        n = spark.read.parquet(os.path.join(out_dir, f"{name}.parquet")).count()
+        written = spark.read.parquet(os.path.join(out_dir, f"{name}.parquet"))
+        n = written.count()
+        if name == "events":
+            # q_ohlc's oracle encodes (ts, event_id) ordering as the
+            # scalar ts*10^12 + event_id, which is lexicographic ONLY
+            # while 0 <= event_id < 10^12 — enforce the precondition on
+            # every derivative rather than documenting it (round-9
+            # ADVICE: at some copy count the offset walk would cross
+            # the bound silently and corrupt the oracle's tiebreak).
+            lo, hi = written.agg(
+                F.min("event_id"), F.max("event_id")
+            ).first()
+            assert 0 <= lo and hi < 10**12, (
+                f"event_id domain [{lo}, {hi}] breaks the q_ohlc oracle "
+                f"encoding precondition 0 <= event_id < 10^12"
+            )
         print(f"{name}: {n} rows x{copies}", flush=True)
     spark.stop()
 
