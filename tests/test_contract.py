@@ -86,7 +86,10 @@ def test_driver_window_rotation_front_loads_pending():
     # _DRIVER_GREEN must only name real queries (no typos going stale)
     assert set(E._DRIVER_GREEN) <= set(qs)
     # drift slots must be scarce (they spend window slots on re-proof)
-    assert len(E._DRIFT_REVERIFY) <= 8
+    # — UNLESS every never-green name still fits alongside them, in
+    # which case re-proof slots displace nothing (the round-9 final
+    # rotation: 34 pending + 16 drift = 50)
+    assert len(E._DRIFT_REVERIFY) <= 8 or len(drift) + len(pending) <= 50
 
 
 def test_bench_headline_names_are_registered():

@@ -1,0 +1,105 @@
+"""Rebuild the ts-shifted / de-mirrored "honest" 8x derivative.
+
+tools/make_8x.py unions sf0.1 N times with key offsets only — a
+MIRROR: every copy's events occupy the SAME hours and every copy's
+documents are byte-identical to copy 0's.  That is the right probe
+for key-offset queries, but it manufactures pathological shapes for
+two families (measured, MEASURED.md round-8 close):
+
+- frame-bucketed pair joins: hour buckets coincide across copies, so
+  per-frame groups grow ×N and candidate pairs ×N² — q_pairwise's
+  unshifted 64× row ran 480× wall, and q_pairwise_kernel's DuckDB
+  oracle exceeded 79 GB of spill at 8×;
+- duplicate-graph closures: the corpus becomes 98.4 % duplicates, a
+  shape real growth never has — q_dedup_components' oracle recursive
+  closure ran past 30 min.
+
+This twin reproduces HONEST growth — more frames of the same size,
+more documents at the same duplication rate:
+
+- events: copy i shifted +i·366 days, so frame/hour/day buckets are
+  disjoint across copies (event_id/user_id offsets as in make_8x);
+- documents: copy i>0's text gets a per-copy suffix, so each copy
+  keeps sf0.1's internal duplicates but copies never collide;
+- all other tables: identical to make_8x (key offsets preserve join
+  fanout exactly).
+
+The q_ohlc oracle's event_id < 10^12 encoding precondition is
+asserted the same way as in make_8x.
+
+Usage:  python tools/make_8x_honest.py [out_dir] [copies]
+        (default /tmp/nfl26_sf0.8x_honest, 8)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tools.make_8x import COPY_ONCE, FILES, OFFSETS, SRC
+
+
+def main(out_dir: str = "/tmp/nfl26_sf0.8x_honest", copies: int = 8) -> None:
+    from nfl26_bigdatabowl_prediction_spark.session import get_spark
+
+    spark = get_spark(app_name="make-8x-honest", shuffle_partitions=32)
+    for name in COPY_ONCE:
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{name}.parquet"))
+        print(f"{name}: copied 1x", flush=True)
+    for name, offs in OFFSETS.items():
+        base = spark.read.parquet(f"{SRC}/{name}.parquet")
+        out = None
+        for i in range(copies):
+            c = base
+            for col, step in offs.items():
+                c = c.withColumn(col, (F.col(col) + F.lit(i * step)).cast("long"))
+            if name == "events":
+                # ts is timestamp at rest (the loader normalizes on
+                # read); shift whole copies into disjoint years so
+                # every time-bucketed group keeps its sf0.1 size
+                c = c.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 366} DAYS"))
+            if name == "documents" and i > 0:
+                # per-copy content salt on EVERY word: copies are
+                # corpora of NEW documents (sf0.1's internal dup rate
+                # preserved — within-copy duplicates stay duplicates),
+                # with per-copy-DISJOINT shingle sets.  A tail-only
+                # suffix (the round-8 ad-hoc build) left copies
+                # near-duplicates of each other — shingles 99 % shared
+                # — which DENSIFIED the LSH graph 66× per copy
+                # (2.83 M candidate edges vs 8×42.7 k ≈ 341 k honest;
+                # measured round-9) instead of de-mirroring it.
+                c = c.withColumn(
+                    "text",
+                    F.expr(
+                        f"array_join(transform(split(text, ' '), "
+                        f"w -> concat(w, '{i}')), ' ')"
+                    ),
+                )
+            out = c if out is None else out.unionByName(c)
+        nfiles = max(1, FILES[name] * copies // 8)
+        out.repartition(nfiles).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+        written = spark.read.parquet(os.path.join(out_dir, f"{name}.parquet"))
+        n = written.count()
+        if name == "events":
+            lo, hi = written.agg(F.min("event_id"), F.max("event_id")).first()
+            assert 0 <= lo and hi < 10**12, (
+                f"event_id domain [{lo}, {hi}] breaks the q_ohlc oracle "
+                f"encoding precondition 0 <= event_id < 10^12"
+            )
+        print(f"{name}: {n} rows x{copies}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/nfl26_sf0.8x_honest",
+        int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+    )
