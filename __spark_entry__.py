@@ -140,18 +140,18 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "q_image_resize",
 })
 
-# Round-9 window (first 47 of queries()): the FINAL rotation — all 34
+# Round-9 window (first 50 of queries()): the FINAL rotation — all 34
 # names that have never had a driver row (including q_embed_quantize,
 # whose round-8 red was the raw ARRAY<INT> output, now serialized via
-# the array_join house pattern), plus the 13 greens whose plan source
-# drifted since their green row (tools/rotate.py): the round-8
+# the array_join house pattern), plus 16 drift-reverify greens (13
+# from tools/rotate.py + 3 manual streaming slots): the round-8
 # DECIMAL-widening edits to the exact-stats family
 # (q_group_corr/q_spearman and the analytics.py hosts), the
 # q_expanding int-path rounding, the q_ohlc arg_min/arg_max oracle
 # re-encode + round-9 domain guard, the q_leakage_audit pre-multiply
 # decimal cast (round-9 ADVICE), and the python_ds.py centralization
 # behind q_python_datasource.  Every member pre-flighted green via
-# `python tools/driver_sim.py --window 47`.
+# `python tools/driver_sim.py --window 50` (strict checker).
 # Driver-green names whose plan source drifted since their green row
 # (tools/rotate.py) — deliberately re-windowed ahead of never-verified
 # names so the driver re-confirms them against the CURRENT code.  The
