@@ -164,27 +164,28 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # this round's event_id domain guard), the q_leakage_audit
 # pre-multiply decimal cast (this round, ADVICE), and the
 # sources/python_ds.py centralization behind q_python_datasource.
-# ... plus three manual attributions rotate.py's function-body drift
+# ... plus one manual attribution rotate.py's function-body drift
 # cannot see: streaming/source.py's twin session became memoized per
 # parent this round (round-9 ADVICE), a helper change under EVERY
-# streaming query — re-confirm one windowed agg, one stateful TTL
-# machine, and the two-phase restart path against the shared-twin
-# code (they also fill window slots 48–50, which would otherwise
-# leak already-green names).
+# streaming query — q_stream_cdc_upsert is the sharpest single probe
+# (run_two_phase calls stream_exec_session directly AND resolves a
+# memory-sink table across a checkpoint restart).
 _DRIFT_REVERIFY: tuple[str, ...] = (
     "q_anova", "q_autocorr", "q_expanding", "q_group_corr",
     "q_leakage_audit", "q_moments", "q_ohlc", "q_ols_by_group",
     "q_python_datasource", "q_seasonal_anomaly", "q_spearman",
     "q_vwap", "q_welch_ttest",
-    "q_stream_tumbling", "q_stream_funnel_ttl", "q_stream_cdc_upsert",
+    "q_stream_cdc_upsert",
 )
 
 _PRIORITY: tuple[str, ...] = (
     # plan-drift re-verification (see _DRIFT_REVERIFY)
     *_DRIFT_REVERIFY,
-    # the final 34 never-driver-verified names — coverage closes at
-    # 365/365 when this window lands green
+    # the final 34 never-driver-verified names (coverage closes at
+    # 365/365 SURVEY ids when this window lands green) + the two
+    # round-9 additions, newest code first
     "q_embed_quantize",  # round-8 red, array output now serialized
+    "q_substring_dup", "q_dedup_canonical",  # round-9 additions
     "q_array_hof", "q_audience_overlap", "q_bigram_topn",
     "q_cohens_kappa", "q_cohort_ltv", "q_corpus_curate", "q_did",
     "q_doc_chunk", "q_except_all", "q_explode_outer", "q_histogram_2d",

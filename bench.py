@@ -474,6 +474,8 @@ HEADLINE = {
     "q_naive_bayes",
     "q_power_iteration",
     "q_zonemap_audit",
+    "q_substring_dup",
+    "q_dedup_canonical",
     "q_asof_nearest",
     "q_winnowing_fingerprint",
     "q_matryoshka_recall",

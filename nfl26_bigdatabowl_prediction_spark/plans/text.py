@@ -718,6 +718,197 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact substring-duplication score — the signal behind substring-
+# level training-data dedup (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better"): for every document, the fraction of
+# its 5-token windows that occur MORE THAN ONCE anywhere in the
+# corpus (other docs or a repeat within the same doc).  Fingerprints
+# are md5 of the window text (engine-portable, collision-negligible);
+# multiplicity counts — a window repeated inside one boilerplate doc
+# is duplication.  Scale shape: window extraction is scan-side
+# (O(len·k) per doc), then ONE fingerprint-keyed exchange where a
+# COUNT() OVER (PARTITION BY fp) attaches each window's corpus-wide
+# occurrence count in place — NOT groupBy-plus-join-back, which
+# would recompute the whole extraction subtree for the second
+# reference (Spark has no auto-CSE across DataFrame reuse; measured
+# as a doubled scan in the first cut of this query) — then one
+# doc-keyed aggregation.  Output micros kept integer so the ranking
+# is exact.  Docs shorter than 5 tokens have zero windows and score
+# 0 by definition (emitted via the UNION branch identically on both
+# engines — an inner aggregation alone would silently drop them).
+# --------------------------------------------------------------------------
+_WIN5_FROM_WORDS = """
+    CASE WHEN size(words) < 5 THEN cast(array() as array<string>)
+    ELSE transform(
+        sequence(1, size(words) - 4),
+        i -> md5(concat_ws(' ', element_at(words, i),
+                            element_at(words, i + 1),
+                            element_at(words, i + 2),
+                            element_at(words, i + 3),
+                            element_at(words, i + 4))))
+    END
+"""
+
+_WIN5_DUCK = f"""
+    CASE WHEN len({_WORDS_DUCK}) < 5 THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(
+        range(1, len({_WORDS_DUCK}) - 3),
+        i -> md5({_WORDS_DUCK}[i] || ' ' || {_WORDS_DUCK}[i + 1] || ' '
+                 || {_WORDS_DUCK}[i + 2] || ' ' || {_WORDS_DUCK}[i + 3]
+                 || ' ' || {_WORDS_DUCK}[i + 4]))
+    END
+"""
+
+
+@q(
+    "q_substring_dup",
+    f"""
+    WITH per AS (
+        SELECT doc_id, unnest({_WIN5_DUCK}) AS fp FROM documents
+    ), cnt AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS c FROM per
+    ), agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup
+        FROM cnt
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_windows, n_dup,
+           CAST(1000000 * n_dup // n_windows AS BIGINT) AS dup_micros
+    FROM agg
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM documents WHERE len({_WORDS_DUCK}) < 5
+    """,
+)
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = _with_words(d, "doc_id")
+    per = w.select(
+        "doc_id", F.explode(F.expr(_WIN5_FROM_WORDS)).alias("fp")
+    )
+    cnt = per.withColumn(
+        "c", F.count(F.lit(1)).over(W.partitionBy("fp"))
+    )
+    agg = (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id", "n_windows", "n_dup",
+            # quotient <= 1e6, so integral `div` is safe here (the
+            # SCALING.md div rule: bounded quotient only)
+            F.expr("cast(1000000 * n_dup div n_windows as bigint)").alias(
+                "dup_micros"
+            ),
+        )
+    )
+    empties = w.filter(F.expr("size(words) < 5")).select(
+        "doc_id",
+        F.lit(0).cast("bigint").alias("n_windows"),
+        F.lit(0).cast("bigint").alias("n_dup"),
+        F.lit(0).cast("bigint").alias("dup_micros"),
+    )
+    return agg.unionByName(empties)
+
+
+# --------------------------------------------------------------------------
+# Dedup-cluster canonical selection — the step AFTER clustering that
+# every curation pipeline actually ships: within each near-dup
+# component (same LSH graph as q_dedup_components), keep the highest-
+# quality member (stopword-ratio micros, the q_token_budget_trim
+# score — any model score drops in), ties broken by min doc_id.  The
+# canonical pick is a per-component MIN over the struct
+# (1e6 − score, doc_id) — exact integer ordering, no floats — so both
+# engines agree bitwise; the oracle encodes the same composite key as
+# the scalar (1e6 − score)·10¹² + doc_id (doc_id < 10¹², the q_ohlc
+# encoding precondition asserted by the derivative tooling).  Scale:
+# components + one doc-keyed score join + one component-keyed window
+# — all shuffles are on keys that already exist in the dedup plan.
+# --------------------------------------------------------------------------
+@q(
+    "q_dedup_canonical",
+    f"""
+    WITH RECURSIVE shingled AS (
+        SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+    ), hashed AS (
+        SELECT doc_id, list_transform(shingles, s -> md5(s)) AS mds
+        FROM shingled WHERE len(shingles) > 0
+    ), sigs AS (
+        SELECT doc_id, band,
+               list_min(list_transform(mds, m -> substring(m, band * 8 + 1, 8))) AS sig
+        FROM hashed, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ), cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), edges_sym AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION SELECT doc_b, doc_a FROM cand
+    ), reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges_sym e ON reach.r = e.a
+    ), comp AS (
+        SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    ), scored AS (
+        SELECT doc_id,
+               1000000 * len(list_filter({_WORDS_DUCK}, w -> w IN ({_STOP_SQL})))
+                 // greatest(len(list_filter({_WORDS_DUCK}, w -> w <> '')), 1)
+                 AS score_u
+        FROM documents
+    ), canon AS (
+        SELECT c.component,
+               arg_min(c.doc_id,
+                       (1000000 - s.score_u) * 1000000000000 + c.doc_id)
+                 AS canonical_doc
+        FROM comp c JOIN scored s ON c.doc_id = s.doc_id
+        GROUP BY c.component
+    )
+    SELECT c.doc_id, c.component, canon.canonical_doc,
+           CAST(c.doc_id = canon.canonical_doc AS INT) AS keep
+    FROM comp c JOIN canon ON c.component = canon.component
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    w = _with_words(d, "doc_id")
+    nz = "filter(words, w -> w != '')"
+    scored = w.select(
+        "doc_id",
+        F.expr(
+            f"cast(1000000 * size(filter(words, w -> w IN ({stop_arr}))) "
+            f"div greatest(size({nz}), 1) as bigint)"
+        ).alias("score_u"),
+    )
+    edges = QUERIES["q_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(
+        d.select("doc_id"), edges, node_col="doc_id", src="doc_a", dst="doc_b"
+    ).select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+    joined = comp.join(scored, "doc_id")
+    pick = F.min(
+        F.struct(
+            (F.lit(1000000) - F.col("score_u")).alias("ns"),
+            F.col("doc_id").alias("id"),
+        )
+    ).over(W.partitionBy("component"))
+    return joined.select(
+        "doc_id",
+        "component",
+        pick["id"].alias("canonical_doc"),
+        (F.col("doc_id") == pick["id"]).cast("int").alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic stratified sampling — training-data curation: keep 10%
 # of the majority 'en' stratum and 50% of every other language, with
 # a portable hash as the coin (reproducible across engines and runs,

@@ -157,6 +157,22 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert ops.count("SortMergeJoin") + ops.count("ShuffledHashJoin") == 0, plan
 
 
+def test_substring_dup_has_no_join(spark):
+    # occurrence counts attach via COUNT() OVER (PARTITION BY fp) on
+    # the single exploded stream — a groupBy+join-back would recompute
+    # the whole window-extraction subtree (no CSE across DataFrame
+    # reuse) and double the corpus scan.
+    plan = _plan(spark, "q_substring_dup")
+    ops = _ops(plan)
+    assert (
+        ops.count("SortMergeJoin")
+        + ops.count("ShuffledHashJoin")
+        + ops.count("BroadcastHashJoin")
+        == 0
+    ), plan
+    assert "Window" in plan, plan
+
+
 def test_quantize_is_shuffle_free(spark):
     # per-vector scan-side arithmetic: zero exchanges.
     plan = _plan(spark, "q_embed_quantize")
