@@ -53,7 +53,10 @@ MIRROR_NAMES = (
     "q_stream_mv_rollup",
     # dedup / components / near-dup
     "q_dedup_exact", "q_embed_components", "q_embed_neardup",
-    "q_minhash_lsh",
+    "q_minhash_lsh", "q_substring_dup",
+    # (q_dedup_canonical has its 8x row recorded in MEASURED.md round-9
+    # but stays out of the lane: its oracle re-runs the ~19-min
+    # 196M-pair recursive closure, which would triple the lane wall)
     # global ranking
     "q_rfm",
     # exact integer statistics (headroom class)
