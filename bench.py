@@ -476,6 +476,7 @@ HEADLINE = {
     "q_zonemap_audit",
     "q_substring_dup",
     "q_dedup_canonical",
+    "q_semdedup_ivf",
     "q_asof_nearest",
     "q_winnowing_fingerprint",
     "q_matryoshka_recall",
