@@ -134,67 +134,80 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "q_stream_tumbling_late", "q_supplier_audit", "q_table_checksum",
     "q_top_value_parts", "q_twap", "q_union_drift", "q_variant",
     "q_wow_growth", "q_zipf_fit",
+    # round 9 (CORRECTNESS_r09.json, 50/50 fully green — the final
+    # coverage rotation: all 34 carried never-verified names, the
+    # fixed q_embed_quantize, and the round-9 additions landed)
+    "q_array_hof", "q_audience_overlap", "q_bigram_topn",
+    "q_cohens_kappa", "q_cohort_ltv", "q_corpus_curate",
+    "q_dedup_canonical", "q_did", "q_doc_chunk", "q_embed_quantize",
+    "q_except_all", "q_explode_outer", "q_histogram_2d",
+    "q_intersect_all", "q_interval_merge", "q_item_similarity",
+    "q_label_horizon", "q_log_histogram", "q_macro_f1", "q_nth_value",
+    "q_paginate", "q_path_topn", "q_perplexity_bucket", "q_redact",
+    "q_regex_scan", "q_ri_audit", "q_rsi", "q_scan_binary",
+    "q_scan_text", "q_seq_pack", "q_shard_assign", "q_skew_audit",
+    "q_substring_dup", "q_text_normalize", "q_xcorr_lags",
+    "q_zonemap_audit",
     # rows-only by declared contract (no value oracle): the driver row
     # cannot improve, so don't let them occupy front-window slots.
     "q_approx_distinct", "q_quantile_approx", "q_embed_kmeans",
     "q_image_resize",
 })
 
-# Round-9 window (first 50 of queries()): the FINAL rotation — all 34
-# names that have never had a driver row (including q_embed_quantize,
-# whose round-8 red was the raw ARRAY<INT> output, now serialized via
-# the array_join house pattern), plus 16 drift-reverify greens (13
-# from tools/rotate.py + 3 manual streaming slots): the round-8
-# DECIMAL-widening edits to the exact-stats family
-# (q_group_corr/q_spearman and the analytics.py hosts), the
-# q_expanding int-path rounding, the q_ohlc arg_min/arg_max oracle
-# re-encode + round-9 domain guard, the q_leakage_audit pre-multiply
-# decimal cast (round-9 ADVICE), and the python_ds.py centralization
-# behind q_python_datasource.  Every member pre-flighted green via
-# `python tools/driver_sim.py --window 50` (strict checker).
-# Driver-green names whose plan source drifted since their green row
-# (tools/rotate.py) — deliberately re-windowed ahead of never-verified
-# names so the driver re-confirms them against the CURRENT code.  The
-# rotation tests allow exactly these greens inside the 50-slot window.
-# Round-9 drift slots (rotate.py function-body drift over the round-8
-# diff): the DECIMAL(38,0) exact-stats widening (q_group_corr,
-# q_spearman, and the analytics.py hosts q_anova/q_autocorr/q_moments/
-# q_ols_by_group/q_seasonal_anomaly/q_vwap/q_welch_ttest), the
-# q_expanding int-path rounding, the q_ohlc oracle re-encode (plus
-# this round's event_id domain guard), the q_leakage_audit
-# pre-multiply decimal cast (this round, ADVICE), and the
-# sources/python_ds.py centralization behind q_python_datasource.
-# ... plus one manual attribution rotate.py's function-body drift
-# cannot see: streaming/source.py's twin session became memoized per
-# parent this round (round-9 ADVICE), a helper change under EVERY
-# streaming query — q_stream_cdc_upsert is the sharpest single probe
-# (run_two_phase calls stream_exec_session directly AND resolves a
-# memory-sink table across a checkpoint restart).
+# Round-10 window (first 50 of queries()): coverage closed at 371/372
+# last round, so this window spends its slots on drift re-proof of the
+# three highest-churn families plus the one remaining never-verified
+# name.  49 drift-reverify greens + q_semdedup_ivf = 50.
+#
+# Why these drift slots (round-9 VERDICT "Next round" item 5 — with
+# coverage closed, re-verify the families rounds 8-10 touched):
+# - STREAMING (17): streaming/source.py's twin-session memoization
+#   landed round 9 and is rewritten THIS round from an id(spark)-keyed
+#   dict to a WeakKeyDictionary (round-9 ADVICE: id() reuse after GC
+#   could alias two parents) — a helper change under every streaming
+#   query, so the whole family re-proves against the current helper.
+# - VECTORS (19): plans/vectors.py gains the round-10 cell-occupancy
+#   guard on q_semdedup_ivf's pairwise confirm (the MAX_BRUTE_QUERIES
+#   house pattern) — module churn adjacent to every embedding query,
+#   plus q_embed_quantize's round-9 serialization fix deserves a
+#   second independent green row.
+# - DEDUP/TEXT (13): plans/text.py churned round 9 (q_substring_dup,
+#   q_dedup_canonical, q_leakage_audit decimal pre-multiply) and its
+#   oracle-side closure form is trimmed this round (q_dedup_canonical
+#   8x-lane cost, VERDICT item 7).
 _DRIFT_REVERIFY: tuple[str, ...] = (
-    "q_anova", "q_autocorr", "q_expanding", "q_group_corr",
-    "q_leakage_audit", "q_moments", "q_ohlc", "q_ols_by_group",
-    "q_python_datasource", "q_seasonal_anomaly", "q_spearman",
-    "q_vwap", "q_welch_ttest",
-    "q_stream_cdc_upsert",
+    # streaming
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_dedup", "q_stream_ewm", "q_stream_join",
+    "q_stream_join_left", "q_stream_static_join", "q_stream_mv_rollup",
+    "q_stream_running_stats", "q_stream_python_source",
+    "q_stream_tumbling_late", "q_stream_funnel_late",
+    "q_stream_funnel_ttl", "q_stream_cdc_upsert", "q_stream_funnel",
+    "q_stream_session_dynamic",
+    # vectors
+    "q_embed_neardup", "q_embed_cosine_topk", "q_embed_ivf_topk",
+    "q_ann_recall", "q_pq_quantize", "q_pq_search", "q_kmeans_step",
+    "q_kmeans_iter2", "q_semdedup", "q_knn_classify",
+    "q_matryoshka_recall", "q_contrastive_pairs",
+    "q_neardup_threshold_sweep", "q_embed_components",
+    "q_embed_quantize", "q_embed_centroid", "q_embed_lsh_bucket",
+    "q_embed_norm", "q_embed_project",
+    # dedup / text
+    "q_dedup_exact", "q_dedup_apply", "q_dedup_stats",
+    "q_dedup_canonical", "q_substring_dup", "q_minhash_lsh",
+    "q_minhash_error", "q_minhash_containment", "q_simhash",
+    "q_ngram_jaccard", "q_setsim_join", "q_dedup_components",
+    "q_leakage_audit",
 )
 
 _PRIORITY: tuple[str, ...] = (
     # plan-drift re-verification (see _DRIFT_REVERIFY)
     *_DRIFT_REVERIFY,
-    # the final 34 never-driver-verified names (coverage closes at
-    # 365/365 SURVEY ids when this window lands green) + the two
-    # round-9 additions, newest code first
-    "q_embed_quantize",  # round-8 red, array output now serialized
-    "q_substring_dup", "q_dedup_canonical",  # round-9 additions
-    "q_array_hof", "q_audience_overlap", "q_bigram_topn",
-    "q_cohens_kappa", "q_cohort_ltv", "q_corpus_curate", "q_did",
-    "q_doc_chunk", "q_except_all", "q_explode_outer", "q_histogram_2d",
-    "q_intersect_all", "q_interval_merge", "q_item_similarity",
-    "q_label_horizon", "q_log_histogram", "q_macro_f1", "q_nth_value",
-    "q_paginate", "q_path_topn", "q_perplexity_bucket", "q_redact",
-    "q_regex_scan", "q_ri_audit", "q_rsi", "q_scan_binary",
-    "q_scan_text", "q_seq_pack", "q_shard_assign", "q_skew_audit",
-    "q_text_normalize", "q_xcorr_lags", "q_zonemap_audit",
+    # the ONE remaining never-driver-verified name: landed in the
+    # round-9 end-of-round snapshot after that round's strict sweep
+    # ran (round-9 VERDICT "What's wrong" #2) — its evidence package
+    # (semantics test, driver_sim row, 8x honest row) lands this round
+    "q_semdedup_ivf",
 )
 
 

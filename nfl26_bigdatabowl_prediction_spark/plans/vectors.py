@@ -1063,6 +1063,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plan shape and its cross-engine semantics, not to win the fixture.
 # --------------------------------------------------------------------------
 _IVF_COARSE = 8  # C = √K·√2 at the fixture's K=32; production C = √K
+# Hard ceiling on within-cluster pairwise-confirm fan-out: a cell of
+# this size contributes ~2·10⁹ candidate pairs — past the point where
+# the right fix is more centroids, not a bigger shuffle.
+MAX_SEMDEDUP_CELL = 1 << 16
 
 
 @q(
@@ -1183,6 +1187,26 @@ def q_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scratch import checkpoint_parquet
 
     assigned = checkpoint_parquet(assigned, "semdedup_ivf_")
+    # Cell-occupancy guard (round-9 VERDICT watch item): the confirm
+    # join below is O(Σ|cell|²) — linear when cells track n/K, but a
+    # skewed coarse cell (all vectors collapsing onto one fine
+    # centroid) would go quadratic SILENTLY.  Audit the max occupancy
+    # on the already-checkpointed parquet (one dimension-sized agg
+    # over a column-pruned scan — the MAX_BRUTE_QUERIES house pattern
+    # at q_embed_cosine_topk) and refuse rather than degrade.
+    occ = (
+        assigned.groupBy("sid")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if occ is not None and occ > MAX_SEMDEDUP_CELL:
+        raise ValueError(
+            f"q_semdedup_ivf: max cluster occupancy {occ} exceeds "
+            f"MAX_SEMDEDUP_CELL={MAX_SEMDEDUP_CELL}; the pairwise "
+            "confirm is quadratic in cell size — re-run with more "
+            "fine centroids (K) so cells stay near n/K"
+        )
     a = assigned.select(
         F.col("sid").alias("a_sid"), F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_e"), F.col("nrm").alias("a_n"),

@@ -35,10 +35,17 @@ STREAM_SHUFFLE_PARTITIONS = 8
 # never-stopped newSession() per events_stream call leaked a session
 # each stream AND scattered memory-sink registrations across twins —
 # callers resolving spark.table(queryName) need every stream of one
-# parent to land in one catalog (round-9 ADVICE).  Keyed on id() with
-# the session object held in the value; sessions live for the process
-# in this engine, so the map cannot grow past the handful of parents.
-_TWINS: dict[tuple[int, int], SparkSession] = {}
+# parent to land in one catalog (round-9 ADVICE).  Keyed on the parent
+# session itself via WeakKeyDictionary, NOT id(spark): CPython reuses
+# a collected object's id, so an id-keyed map could silently hand a
+# new, unrelated session the dead parent's twin (stale catalog, wrong
+# conf lineage) — and the weak key means a collected parent's twins
+# drop out of the map instead of accumulating (round-10 ADVICE).
+import weakref
+
+_TWINS: "weakref.WeakKeyDictionary[SparkSession, dict[int, SparkSession]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def stream_exec_session(
@@ -52,12 +59,12 @@ def stream_exec_session(
     that shares the parent session across threads.  Memoized per
     parent: every stream of one caller session executes (and registers
     its memory-sink table) in the SAME twin catalog."""
-    key = (id(spark), shuffle_partitions)
-    twin = _TWINS.get(key)
+    per_parent = _TWINS.setdefault(spark, {})
+    twin = per_parent.get(shuffle_partitions)
     if twin is None:
         twin = spark.newSession()
         twin.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        _TWINS[key] = twin
+        per_parent[shuffle_partitions] = twin
     return twin
 
 

@@ -99,6 +99,17 @@ def main(out_dir: str = "/tmp/nfl26_sf0.8x", copies: int = COPIES) -> None:
                 f"event_id domain [{lo}, {hi}] breaks the q_ohlc oracle "
                 f"encoding precondition 0 <= event_id < 10^12"
             )
+        if name == "documents":
+            # q_dedup_canonical's oracle encodes its canonical pick as
+            # (1e6 - score)*10^12 + doc_id, lexicographic ONLY while
+            # 0 <= doc_id < 10^12 — same enforcement as event_id
+            # (round-10 ADVICE: the text.py comment claimed this was
+            # asserted by the derivative tooling; now it is).
+            lo, hi = written.agg(F.min("doc_id"), F.max("doc_id")).first()
+            assert 0 <= lo and hi < 10**12, (
+                f"doc_id domain [{lo}, {hi}] breaks the q_dedup_canonical "
+                f"oracle encoding precondition 0 <= doc_id < 10^12"
+            )
         print(f"{name}: {n} rows x{copies}", flush=True)
     spark.stop()
 

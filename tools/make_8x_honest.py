@@ -94,6 +94,14 @@ def main(out_dir: str = "/tmp/nfl26_sf0.8x_honest", copies: int = 8) -> None:
                 f"event_id domain [{lo}, {hi}] breaks the q_ohlc oracle "
                 f"encoding precondition 0 <= event_id < 10^12"
             )
+        if name == "documents":
+            # q_dedup_canonical oracle precondition (see make_8x.py):
+            # the canonical pick encodes (1e6 - score)*10^12 + doc_id
+            lo, hi = written.agg(F.min("doc_id"), F.max("doc_id")).first()
+            assert 0 <= lo and hi < 10**12, (
+                f"doc_id domain [{lo}, {hi}] breaks the q_dedup_canonical "
+                f"oracle encoding precondition 0 <= doc_id < 10^12"
+            )
         print(f"{name}: {n} rows x{copies}", flush=True)
     spark.stop()
 
