@@ -15,9 +15,12 @@ clusters are near-cliques, so 2-3 rounds in practice.
 Scale notes:
 * each round is one self-contained shuffle (join on node id +
   min-aggregate) — the same cost profile as one GROUP BY round;
-* ``localCheckpoint`` truncates the lineage every round — without it
-  the plan doubles per iteration and the DAG scheduler, not the
-  data, becomes the bottleneck;
+* each round's state truncates through a scratch-parquet round-trip
+  — without truncation the plan doubles per iteration and the DAG
+  scheduler becomes the bottleneck; parquet (not localCheckpoint)
+  because Dataset.checkpoint PRESERVES plan statistics, whose
+  sizeInBytes quadruples per join round until BigInteger overflows
+  (see the in-loop comment);
 * the result is DETERMINISTIC (min node id per component), so the
   driver's value-hash check applies despite the iteration — the
   DuckDB oracle is a recursive-CTE transitive closure
@@ -28,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from nfl26_bigdatabowl_prediction_spark.scratch import checkpoint_parquet
 
 
 def _driver_union_find(edges_pdf) -> dict:
@@ -127,7 +132,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
-    prev_ckpt: DataFrame | None = labels
+    init_labels = labels  # unpersisted after the result materializes
     for _ in range(max_iter):
         # min over neighbor labels, pre-aggregated before the join back
         # so the per-round state join is labels⋈(one row per node).
@@ -151,22 +156,29 @@ def connected_components(
         # convergence signal: the fixpoint check is a shuffle-free
         # filter-count over the checkpointed rows, not a second
         # labels⋈labels join job per round.
-        joined = (
-            upd.join(hop, "c1", "left")
-            .select(
+        #
+        # The round state truncates through a PARQUET round-trip, NOT
+        # localCheckpoint: Dataset.checkpoint preserves the logical
+        # plan's statistics (LogicalRDD.rewriteStatsAndConstraints),
+        # and SizeInBytesOnlyStatsPlanVisitor multiplies join children
+        # — so a checkpointed iterative join loop QUADRUPLES its
+        # sizeInBytes bit-length every round (three joins per round
+        # here) until java.math.BigInteger overflows.  Measured: the
+        # 64x honest derivative (2.7 M edges, the first real input to
+        # cross driver_edge_threshold) died at round ~7 with
+        # "BigInteger would overflow supported range" thrown from the
+        # in-loop checkpoint's stats rewrite.  A parquet re-read
+        # carries file-based stats instead — bounded per round — and
+        # is what a 1000-executor job would do with per-round staging
+        # state anyway (the checkpoint_parquet rationale).
+        joined = checkpoint_parquet(
+            upd.join(hop, "c1", "left").select(
                 "node",
                 "comp",
                 F.least("c1", F.coalesce("c2", "c1")).alias("new_comp"),
-            )
-            .localCheckpoint()
+            ),
+            "cc_round_",
         )
-        # The superseded round's blocks are dead the moment the new
-        # checkpoint exists; without explicit unpersist they pile up in
-        # executor storage memory across rounds (and across calls in a
-        # long-lived session), degrading every later job.
-        if prev_ckpt is not None:
-            prev_ckpt.unpersist()
-        prev_ckpt = joined
         changed = joined.filter(F.col("new_comp") < F.col("comp")).count()
         labels = joined.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
@@ -177,6 +189,5 @@ def connected_components(
     # the returned frame must not depend on blocks we are about to free.
     out = out.localCheckpoint()
     sym.unpersist()
-    if prev_ckpt is not None:
-        prev_ckpt.unpersist()
+    init_labels.unpersist()
     return out

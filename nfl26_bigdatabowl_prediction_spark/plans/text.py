@@ -658,7 +658,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minlabel_cc_sql(rounds: int = 16) -> tuple[str, str, str]:
+def _minlabel_cc_sql(rounds: int = 32) -> tuple[str, str, str]:
     """Oracle-side connected components WITHOUT the quadratic closure.
 
     The original oracle form was a recursive-CTE transitive closure —
@@ -683,12 +683,16 @@ def _minlabel_cc_sql(rounds: int = 16) -> tuple[str, str, str]:
     returned audit fragment makes an unconverged run inject sentinel
     rows — a LOUD row-count/hash mismatch in the differential instead
     of a silently wrong component table; bump ``rounds`` if it ever
-    fires.  Measured need: 12 rounds at both sf0.01 and sf0.1 (the
-    giant boilerplate component is bucket-dense, so label distance
-    grows with log of cluster size, not corpus size; honest
-    derivatives replicate per-copy structure and need no more).  The
-    default 16 carries a 4-round margin; extra rounds are one n-row
-    join each — round cost is noise next to the shingle pipeline.
+    fires — which it DID, exactly as designed, on the 64x honest
+    derivative.  Measured need: 12 rounds at sf0.01 and sf0.1, but
+    21-24 at 64x honest: the 32-bit band signatures collide at
+    birthday rate across the 1.28 M (band, sig) population (750
+    cross-copy edges measured), and those random bridges chain the
+    per-copy giant components into one mega-component whose label
+    distance grows with corpus size.  The default 32 carries an
+    8-round margin over the 64x need; extra rounds are one n-row join
+    each (~1.5 s/round even at 64x) — noise next to the shingle
+    pipeline.
 
     Returns (cte_chain, final_label_cte_name, audit_predicate) where
     cte_chain expects an ``edges_sym(a, b)`` CTE and the ``documents``
