@@ -175,6 +175,11 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 #   q_dedup_canonical, q_leakage_audit decimal pre-multiply) and its
 #   oracle-side closure form is trimmed this round (q_dedup_canonical
 #   8x-lane cost, VERDICT item 7).
+#
+# Pre-flighted at HEAD after every round-10 change: the full-registry
+# strict sweep (`python tools/driver_sim.py`) ran 0 failures / 372
+# checked, which covers all 50 window members (MEASURED.md round-10
+# close); the window-only sweep earlier in the round was also 0/50.
 _DRIFT_REVERIFY: tuple[str, ...] = (
     # streaming
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
