@@ -658,7 +658,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minlabel_cc_sql(rounds: int = 32) -> tuple[str, str, str]:
+def _minlabel_cc_sql(
+    rounds: int = 32,
+    node_table: str = "documents",
+    node_col: str = "doc_id",
+) -> tuple[str, str, str]:
     """Oracle-side connected components WITHOUT the quadratic closure.
 
     The original oracle form was a recursive-CTE transitive closure —
@@ -695,15 +699,16 @@ def _minlabel_cc_sql(rounds: int = 32) -> tuple[str, str, str]:
     pipeline.
 
     Returns (cte_chain, final_label_cte_name, audit_predicate) where
-    cte_chain expects an ``edges_sym(a, b)`` CTE and the ``documents``
-    view in scope.
+    cte_chain expects an ``edges_sym(a, b)`` CTE and the node table
+    (default ``documents``/``doc_id``; pass e.g. ``embeddings``/
+    ``vec_id`` for the vector twin) in scope.
     """
     parts = [
         "l0 AS MATERIALIZED (\n"
-        "        SELECT d.doc_id AS node,\n"
-        "               least(d.doc_id, coalesce(MIN(e.b), d.doc_id)) AS lbl\n"
-        "        FROM documents d LEFT JOIN edges_sym e ON e.a = d.doc_id\n"
-        "        GROUP BY d.doc_id)"
+        f"        SELECT d.{node_col} AS node,\n"
+        f"               least(d.{node_col}, coalesce(MIN(e.b), d.{node_col})) AS lbl\n"
+        f"        FROM {node_table} d LEFT JOIN edges_sym e ON e.a = d.{node_col}\n"
+        f"        GROUP BY d.{node_col})"
     ]
     prev = "l0"
     for k in range(1, rounds + 1):

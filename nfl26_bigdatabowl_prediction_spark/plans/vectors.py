@@ -1776,14 +1776,22 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under 2M edges, distributed hash-to-min pointer jumping above)
 # assign every vector its cluster and canonical representative
 # (= min vec_id).  Vectors sharing no confirmed edge stay singleton.
-# The oracle walks the same edges with a recursive CTE over
-# MATERIALIZED candidates (the DuckDB-1.0 CTE-inlining trap — see
-# q_dedup_components).
+# The oracle walks the same edges with the hook+compress min-label
+# form (text._minlabel_cc_sql — linear per round, convergence-audited
+# via loud sentinel rows), not a Σ|comp|² transitive closure: the
+# round-10 SCALING.md rule, same as q_dedup_components.
 # --------------------------------------------------------------------------
+from .text import _minlabel_cc_sql as _cc_sql
+
+_VCC_CTES, _VCC_FINAL, _VCC_AUDIT = _cc_sql(
+    node_table="embeddings", node_col="vec_id"
+)
+
+
 @q(
     "q_embed_components",
     f"""
-    WITH RECURSIVE sigs AS MATERIALIZED (
+    WITH sigs AS MATERIALIZED (
         SELECT vec_id, {_PLANE_DUCK} AS bucket FROM embeddings
     ), cand AS MATERIALIZED (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -1799,16 +1807,14 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), edges_sym AS MATERIALIZED (
         SELECT vec_a AS a, vec_b AS b FROM conf
         UNION SELECT vec_b, vec_a FROM conf
-    ), reach AS (
-        SELECT vec_id AS node, vec_id AS r FROM embeddings
-        UNION
-        SELECT reach.node, e.b FROM reach JOIN edges_sym e ON reach.r = e.a
-    ), comp AS (
-        SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node
+    ), {_VCC_CTES}, comp AS (
+        SELECT node AS vec_id, lbl AS component FROM {_VCC_FINAL}
     )
     SELECT vec_id, component,
            COUNT(*) OVER (PARTITION BY component) AS cluster_size
     FROM comp
+    UNION ALL
+    SELECT -1, -1, -1 WHERE {_VCC_AUDIT}
     """,
 )
 def q_embed_components(spark: SparkSession, sf_dir: str) -> DataFrame:

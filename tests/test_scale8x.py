@@ -67,6 +67,15 @@ HONEST_NAMES = (
     # unrolled hook+compress min-label form (_minlabel_cc_sql, linear
     # per round, convergence-audited), so the row is now affordable
     "q_dedup_canonical",
+    # vector family on HONEST growth (round 10): make_8x_honest now
+    # rotates embedding components per copy — within-copy geometry is
+    # bit-identical to sf0.1, cross-copy pairs decorrelate to the
+    # corpus's own baseline near-dup rate (2.7e-4 cross vs 2.8e-4
+    # within at cos ≥ 0.3), so the derivative behaves like a true
+    # i.i.d. 8x sample: 551 → 34 874 confirmed edges, the C(n,2)
+    # pair-rate shape a fixed-τ similarity graph really has — instead
+    # of byte-identical copies the exact-dup collapse silently absorbs
+    "q_embed_components", "q_embed_neardup",
     # round-10 evidence ask (VERDICT r09): the two-level IVF semantic
     # dedup on honestly grown embeddings — copies share copy-0's
     # centroid ids (vec_id offsets push theirs past the K cut), so

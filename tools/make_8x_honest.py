@@ -21,6 +21,19 @@ more documents at the same duplication rate:
   disjoint across copies (event_id/user_id offsets as in make_8x);
 - documents: copy i>0's text gets a per-copy suffix, so each copy
   keeps sf0.1's internal duplicates but copies never collide;
+- embeddings: copy i>0's vector components are ROTATED by i
+  positions.  A common permutation preserves every within-copy dot
+  product exactly (all sf0.1 cosines, norms, clusters, and LSH
+  relationships survive bit-for-bit), while cross-copy pairs
+  decorrelate to the corpus's own baseline near-dup rate (measured:
+  2.7e-4 cross-copy vs 2.8e-4 within-copy at cos ≥ 0.3) — i.e. the
+  derivative behaves like a true i.i.d. sample of the same
+  distribution, unlike the pre-round-10 byte-identical copies that
+  made it a MIRROR for the vector family.  Note the honest shape for
+  a FIXED-τ similarity graph on a homogeneous corpus is pair-RATE
+  times C(n,2): edges grow ~quadratically in corpus size (551 →
+  34 874 at 8x), which is exactly why production raises τ / LSH bits
+  with scale (SCALING.md's bits sizing rule);
 - all other tables: identical to make_8x (key offsets preserve join
   fanout exactly).
 
@@ -64,6 +77,17 @@ def main(out_dir: str = "/tmp/nfl26_sf0.8x_honest", copies: int = 8) -> None:
                 # read); shift whole copies into disjoint years so
                 # every time-bucketed group keeps its sf0.1 size
                 c = c.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 366} DAYS"))
+            if name == "embeddings" and i > 0:
+                # per-copy component rotation: within-copy geometry is
+                # bit-identical to sf0.1 (common permutation preserves
+                # every dot product); cross-copy cosines decorrelate
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(sequence(0, 63), "
+                        f"j -> element_at(embedding, ((j + {i}) % 64) + 1))"
+                    ),
+                )
             if name == "documents" and i > 0:
                 # per-copy content salt on EVERY word: copies are
                 # corpora of NEW documents (sf0.1's internal dup rate
