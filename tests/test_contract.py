@@ -85,15 +85,29 @@ def test_driver_window_rotation_front_loads_pending():
         )
     # _DRIVER_GREEN must only name real queries (no typos going stale)
     assert set(E._DRIVER_GREEN) <= set(qs)
-    # drift slots must be scarce (they spend window slots on re-proof)
-    # — UNLESS never-green names remain AND every one of them still
-    # fits alongside the drift slots, in which case re-proof displaces
-    # nothing (round 9: 34 pending + 16 drift; round 10: 1 + 49).
-    # Once pending hits zero the escape hatch closes and the <= 8 cap
-    # binds again (round-9 ADVICE: don't let the hatch go vacuous).
+    # Steady state (pending = 0, reached round 11): the escape hatch is
+    # closed and the <= 8 drift cap binds unconditionally.  While
+    # never-green names remained, the hatch allowed a wider drift slate
+    # as long as nothing pending was displaced (round 9: 34 pending +
+    # 16 drift; round 10: 1 + 49).
     assert len(E._DRIFT_REVERIFY) <= 8 or (
         0 < len(pending) and len(drift) + len(pending) <= 50
     )
+    # Steady-state rotation contract: the green tail is ordered oldest
+    # green round first (name tie-break), so the ~42 non-drift window
+    # slots automatically re-prove the stalest names each round and the
+    # whole surface cycles on a ~9-round cadence (SURVEY §7).
+    rotation = [n for n in done if n in E._GREEN_ROUND]
+    keys = [(E._GREEN_ROUND[n], n) for n in rotation]
+    assert keys == sorted(keys)
+    # rows-only names never occupy window slots
+    for n in E._ROWS_ONLY:
+        if n in names:
+            assert names.index(n) >= len(names) - len(E._ROWS_ONLY)
+    # the green history may only name real queries, and every green
+    # name needs a round stamp or a rows-only declaration
+    assert set(E._GREEN_ROUND) <= set(qs)
+    assert set(E._DRIVER_GREEN) == set(E._GREEN_ROUND) | set(E._ROWS_ONLY)
 
 
 def test_bench_headline_names_are_registered():
