@@ -23,8 +23,11 @@ Scale notes:
   (see the in-loop comment);
 * the result is DETERMINISTIC (min node id per component), so the
   driver's value-hash check applies despite the iteration — the
-  DuckDB oracle is a recursive-CTE transitive closure
-  (plans/text.py::q_dedup_components).
+  DuckDB oracle runs the SAME hook+compress min-label algorithm,
+  unrolled to a fixed round budget with a convergence-audit sentinel
+  (plans/text.py::_minlabel_cc_sql; it replaced the original
+  recursive-CTE transitive closure, whose Σ|comp|² row count melted
+  down at the 8x honest derivative).
 """
 
 from __future__ import annotations

@@ -721,10 +721,16 @@ def _minlabel_cc_sql(
             f"        LEFT JOIN {prev} nl ON nl.node = e.b\n"
             f"        GROUP BY l.node, l.lbl)"
         )
+        # LEFT join: an inner join here would silently DROP a node
+        # whose label references an id absent from the node table
+        # (possible only if edges_sym ⊄ nodes — not true of current
+        # call sites, but the helper is parameterized for reuse, and a
+        # vanishing node would dodge the convergence audit entirely).
         parts.append(
             f"l{k} AS MATERIALIZED (\n"
-            f"        SELECT h.node, least(h.lbl, p.lbl) AS lbl\n"
-            f"        FROM h{k} h JOIN h{k} p ON p.node = h.lbl)"
+            f"        SELECT h.node,\n"
+            f"               least(h.lbl, coalesce(p.lbl, h.lbl)) AS lbl\n"
+            f"        FROM h{k} h LEFT JOIN h{k} p ON p.node = h.lbl)"
         )
         prev = f"l{k}"
     audit = (

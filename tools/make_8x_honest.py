@@ -22,14 +22,20 @@ more documents at the same duplication rate:
 - documents: copy i>0's text gets a per-copy suffix, so each copy
   keeps sf0.1's internal duplicates but copies never collide;
 - embeddings: copy i>0's vector components are ROTATED by i
-  positions.  A common permutation preserves every within-copy dot
-  product exactly (all sf0.1 cosines, norms, clusters, and LSH
-  relationships survive bit-for-bit), while cross-copy pairs
-  decorrelate to the corpus's own baseline near-dup rate (measured:
-  2.7e-4 cross-copy vs 2.8e-4 within-copy at cos ≥ 0.3) — i.e. the
-  derivative behaves like a true i.i.d. sample of the same
-  distribution, unlike the pre-round-10 byte-identical copies that
-  made it a MIRROR for the vector family.  Note the honest shape for
+  positions.  A common permutation preserves every within-copy DOT
+  PRODUCT exactly — cosines, norms, and confirmed-edge geometry
+  survive bit-for-bit — while cross-copy pairs decorrelate to the
+  corpus's own baseline near-dup rate (measured: 2.7e-4 cross-copy
+  vs 2.8e-4 within-copy at cos ≥ 0.3) — i.e. the derivative behaves
+  like a true i.i.d. sample of the same distribution, unlike the
+  pre-round-10 byte-identical copies that made it a MIRROR for the
+  vector family.  NOT permutation-invariant: fixed-coefficient LSH
+  plane signatures (and any other hash of component ORDER) are
+  re-drawn per copy, so within-copy bucket co-membership — hence
+  candidate-pair generation — differs from sf0.1 for copies i>0;
+  both engines see the same rotated data, so differential
+  correctness is unaffected, but per-copy candidate counts are a new
+  draw, not sf0.1's.  Note the honest shape for
   a FIXED-τ similarity graph on a homogeneous corpus is pair-RATE
   times C(n,2): edges grow ~quadratically in corpus size (551 →
   34 874 at 8x), which is exactly why production raises τ / LSH bits
@@ -78,14 +84,21 @@ def main(out_dir: str = "/tmp/nfl26_sf0.8x_honest", copies: int = 8) -> None:
                 # every time-bucketed group keeps its sf0.1 size
                 c = c.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 366} DAYS"))
             if name == "embeddings" and i > 0:
-                # per-copy component rotation: within-copy geometry is
-                # bit-identical to sf0.1 (common permutation preserves
-                # every dot product); cross-copy cosines decorrelate
+                # per-copy component rotation: within-copy dot
+                # products are bit-identical to sf0.1 (a common
+                # permutation preserves them; order-sensitive hashes
+                # like LSH plane signatures are re-drawn — see module
+                # docstring); cross-copy cosines decorrelate.  The
+                # dimension comes from the DATA (size(embedding)), so
+                # a future dim change can't silently truncate to NULL
+                # components the way a hardcoded 64 would under
+                # non-ANSI element_at.
                 c = c.withColumn(
                     "embedding",
                     F.expr(
-                        f"transform(sequence(0, 63), "
-                        f"j -> element_at(embedding, ((j + {i}) % 64) + 1))"
+                        f"transform(sequence(0, size(embedding) - 1), "
+                        f"j -> element_at(embedding, "
+                        f"((j + {i}) % size(embedding)) + 1))"
                     ),
                 )
             if name == "documents" and i > 0:
