@@ -430,6 +430,15 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Source class lives in sources/python_ds.py; registration is
     # once-per-session + locked there (the round-6/7 suite race fix).
+    # This is the ONE streaming query pinned to the PARENT session:
+    # Python data sources cannot be resolved from a newSession() twin
+    # in Spark 4.1 (lookup is bound to the registering session while
+    # the duplicate check is shared — measured round 11: registering
+    # on the twin raises DATA_SOURCE_ALREADY_EXISTS, loading raises
+    # DATA_SOURCE_NOT_FOUND, in either registration order), so the
+    # right-sized state partitioning the twin provides is unavailable
+    # here; the parent's batch-sized 32 state partitions are priced
+    # into this query's documented harness cost.
     ensure_python_sources(spark)
     name = "s" + uuid.uuid4().hex[:12]
     ckpt = scratch_dir("spark_ckpt_pysrc_")

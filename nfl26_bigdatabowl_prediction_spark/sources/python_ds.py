@@ -133,13 +133,30 @@ _REGISTERED: weakref.WeakSet = weakref.WeakSet()
 
 
 def ensure_python_sources(spark: SparkSession) -> None:
-    """Register all Python data sources on ``spark``, once, thread-safe."""
+    """Register all Python data sources on ``spark``, once, thread-safe.
+
+    Spark 4.1 scoping quirk (measured round 11): the DUPLICATE check
+    is context-shared — a ``newSession()`` twin's re-register raises
+    DATA_SOURCE_ALREADY_EXISTS — but LOOKUP is bound to the session
+    that registered, so the twin still cannot ``load()`` the source
+    in either registration order.  Net: Python data sources are
+    usable only from the first session that registers them; the
+    already-exists swallow below keeps a second session's attempt
+    from crashing (it could never use them anyway), and callers that
+    need these sources must run on the registering (parent) session
+    — see plans/streaming_q.q_stream_python_source."""
+    from pyspark.sql.utils import AnalysisException
+
     with _LOCK:
         if spark in _REGISTERED:
             return
-        spark.dataSource.register(SynthSource)
-        spark.dataSource.register(JsonlSink)
-        spark.dataSource.register(SynthStreamSource)
+        try:
+            spark.dataSource.register(SynthSource)
+            spark.dataSource.register(JsonlSink)
+            spark.dataSource.register(SynthStreamSource)
+        except AnalysisException as ex:
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):
+                raise
         _REGISTERED.add(spark)
 
 

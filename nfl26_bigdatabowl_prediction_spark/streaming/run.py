@@ -54,6 +54,42 @@ def run_available_now(
     return sdf.sparkSession.table(name)
 
 
+# (sf_dir, delayed_mod, delayed_rem) → (pristine parts dir, schema).
+# The phase split is a pure function of its key (event_id % mod ==
+# rem over an immutable fixture table), but building it costs two
+# Spark write jobs + a footer probe (~1 s) — and the bench/driver
+# call each two-phase query 4x.  The pristine files are never mutated
+# (each run HARDLINKS them into its own scratch layout, so the
+# mid-run rename that moves phase 2 into the source dir touches only
+# the run's links) and live under the atexit-cleaned scratch root.
+_TWO_PHASE_PARTS: dict[tuple[str, int, int], tuple[str, object]] = {}
+
+
+def _two_phase_parts(
+    spark: SparkSession, sf_dir: str, delayed_mod: int, delayed_rem: int
+) -> tuple[str, object]:
+    key = (sf_dir, delayed_mod, delayed_rem)
+    hit = _TWO_PHASE_PARTS.get(key)
+    if hit is not None:
+        return hit
+    from ..sources.io import table
+
+    base = table(spark, sf_dir, "events")  # ts normalized to int64 micros
+    parts_dir = scratch_dir("spark_twophase_parts_")
+    delayed = (F.col("event_id") % delayed_mod) == delayed_rem
+    for phase, pred in ((1, ~delayed), (2, delayed)):
+        stage = os.path.join(parts_dir, f"stage{phase}")
+        base.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(parts_dir, f"phase{phase}.parquet"))
+        shutil.rmtree(stage)
+    schema = spark.read.parquet(
+        os.path.join(parts_dir, "phase1.parquet")
+    ).schema
+    _TWO_PHASE_PARTS[key] = (parts_dir, schema)
+    return parts_dir, schema
+
+
 def run_two_phase(
     spark: SparkSession,
     sf_dir: str,
@@ -80,24 +116,24 @@ def run_two_phase(
     update mode that is the per-phase CHANGELOG, the thing a
     downstream upsert sink would consume.
     """
-    from ..sources.io import table
-
-    base = table(spark, sf_dir, "events")  # ts normalized to int64 micros
+    parts_dir, schema = _two_phase_parts(
+        spark, sf_dir, delayed_mod, delayed_rem
+    )
     root = scratch_dir("spark_twophase_")
     src = os.path.join(root, "src")
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(src)
-    delayed = (F.col("event_id") % delayed_mod) == delayed_rem
-    for phase, pred in ((1, ~delayed), (2, delayed)):
-        stage = os.path.join(root, f"stage{phase}")
-        base.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        # phase 2 parks OUTSIDE the source dir until drain 1 finishes
-        dest = src if phase == 1 else root
-        shutil.copy(part, os.path.join(dest, f"phase{phase}.parquet"))
-        shutil.rmtree(stage)
-    schema = spark.read.parquet(os.path.join(src, "phase1.parquet")).schema
+    # hardlink the memoized phase files into this run's layout:
+    # phase 2 parks OUTSIDE the source dir until drain 1 finishes
+    os.link(
+        os.path.join(parts_dir, "phase1.parquet"),
+        os.path.join(src, "phase1.parquet"),
+    )
+    os.link(
+        os.path.join(parts_dir, "phase2.parquet"),
+        os.path.join(root, "phase2.parquet"),
+    )
     # Both drains execute on ONE stream-scoped twin session (state
     # partition count is pinned in the shared checkpoint at drain 1,
     # so drain 2 must see the same conf) — see source.stream_exec_session.
