@@ -1124,11 +1124,59 @@ MAX_SEMDEDUP_CELL = 1 << 16
     """,
 )
 def q_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixture-frozen knobs (K=32, C=8) so the DuckDB oracle above and
+    # every prior driver row stay bit-identical; the parameterized
+    # operator below is the production entry point.
+    return semdedup_ivf(spark, sf_dir, k=_SEMDEDUP_K, c=_IVF_COARSE)
+
+
+# Production cell budget for the scaled-K path: K = ceil(n / cell).
+# SemDeDup (arXiv:2303.09540) scales cluster count with corpus size so
+# the within-cluster confirm stays ~n·cell/2 pairs — LINEAR in n at a
+# fixed cell budget (the quadratic lives inside the bounded cell).
+# The two-level nprobe=1 assignment is 2n·√K dots at C=√K — n^1.5/√cell
+# growth, the classic flat-IVF boundary; production corpora past ~10⁸
+# vectors move to trained coarse quantizers / multi-level probes, which
+# swap into the same frame below without touching the confirm contract.
+SEMDEDUP_TARGET_CELL = 256
+
+
+def semdedup_ivf_scaled(
+    spark: SparkSession, sf_dir: str, target_cell: int = SEMDEDUP_TARGET_CELL
+) -> DataFrame:
+    """SemDeDup with corpus-scaled K — the production default the
+    fixture-frozen q_semdedup_ivf documents: K = ceil(n/target_cell)
+    (never below the fixture's 32) and C = √K, so cells track the
+    target budget and the occupancy guard's refuse-don't-degrade
+    threshold stays meaningful at any n.  The corpus count is one
+    parquet metadata scan — the K-sizing pass a production job reads
+    from table stats."""
+    import math
+
+    n = table(spark, sf_dir, "embeddings").count()
+    k = max(_SEMDEDUP_K, math.ceil(n / max(1, target_cell)))
+    c = max(2, math.isqrt(k))
+    return semdedup_ivf(spark, sf_dir, k=k, c=c)
+
+
+def semdedup_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _SEMDEDUP_K,
+    c: int = _IVF_COARSE,
+    tau: float = _SEMDEDUP_TAU,
+) -> DataFrame:
+    """Two-level (nprobe=1) IVF SemDeDup over the embeddings table;
+    ``k`` fine centroids / ``c`` coarse cells are the first k (resp.
+    c) vec_ids — deterministic fixture seeds standing in for trained
+    centroids, which is what makes the DuckDB differential possible.
+    See q_semdedup_ivf's block comment for the plan-shape rationale
+    and the measured fixture-vs-production trade."""
     e = table(spark, sf_dir, "embeddings")
-    coarse = e.filter(F.col("vec_id") < _IVF_COARSE).select(
+    coarse = e.filter(F.col("vec_id") < c).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    fine = e.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+    fine = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
     )
 
@@ -1226,14 +1274,14 @@ def q_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.max("c").alias("c"))
     )
-    tau = F.lit(_SEMDEDUP_TAU).cast("double")
+    tau_c = F.lit(tau).cast("double")
     return assigned.join(nn, "vec_id", "left").select(
         "vec_id",
         F.col("sid").cast("bigint").alias("cluster"),
         F.round((F.col("c") + 1.0) * 1000000, 0)
         .cast("bigint")
         .alias("nn_cos1p_micro"),
-        F.when(F.col("c").isNull() | (F.col("c") <= tau), F.lit(1))
+        F.when(F.col("c").isNull() | (F.col("c") <= tau_c), F.lit(1))
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("kept"),

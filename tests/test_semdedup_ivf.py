@@ -101,6 +101,44 @@ def test_semdedup_ivf_semantics(spark, ivf_corpus_dir):
     assert out[40]["kept"] == 0
 
 
+def test_semdedup_ivf_operator_is_the_registered_query(spark, ivf_corpus_dir):
+    """The round-11 K-parameterization refactor must leave the
+    registered fixture query bit-identical: q_semdedup_ivf ==
+    semdedup_ivf(k=32, c=8) row for row (one shared implementation,
+    frozen knobs)."""
+    a = sorted(
+        QUERIES["q_semdedup_ivf"](spark, ivf_corpus_dir).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    b = sorted(
+        vectors.semdedup_ivf(spark, ivf_corpus_dir, k=32, c=8).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    assert a == b
+
+
+def test_semdedup_ivf_scaled_k_tracks_corpus(spark):
+    """The production scaled-K path: K = ceil(n/target_cell) must
+    actually take effect (more clusters than the fixture's frozen 32)
+    while preserving the SemDeDup output contract — every vector
+    assigned exactly once, each cluster's smallest id kept with a
+    NULL neighbor cosine, kept ∈ {0, 1}."""
+    sf_dir = "/root/testdata/sf0.001"
+    out = vectors.semdedup_ivf_scaled(spark, sf_dir, target_cell=4).collect()
+    n = len(out)
+    assert n == len({r["vec_id"] for r in out})  # one row per vector
+    clusters = {}
+    for r in out:
+        assert r["kept"] in (0, 1)
+        clusters.setdefault(r["cluster"], []).append(r)
+    # K scaled: ceil(n/4) clusters available; far more than 32 used
+    assert len(clusters) > 32
+    for members in clusters.values():
+        lead = min(members, key=lambda r: r["vec_id"])
+        assert lead["nn_cos1p_micro"] is None
+        assert lead["kept"] == 1
+
+
 def test_semdedup_ivf_cell_guard(spark, monkeypatch):
     """A skewed corpus (every vector identical -> one giant cluster)
     must REFUSE with the occupancy message, not silently run the
