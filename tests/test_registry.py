@@ -31,16 +31,32 @@ def test_driver_entry_window_is_unverified_first():
 
     names = list(e.queries())
     assert set(names) == set(QUERIES)
-    # the first 50 (the driver's verification window) must contain no
-    # already-driver-green name — window slots are too scarce to waste.
-    # Exception: the declared _DRIFT_REVERIFY slots, greens whose plan
-    # source changed since their row was recorded (tools/rotate.py).
+    # Window slots are too scarce to waste.  While never-green names
+    # remained (rounds 1-10), the window had to contain only
+    # _DRIFT_REVERIFY slots and pending names.  In the steady state
+    # (pending = 0, reached round 11) the remaining slots rotate
+    # through the STALEST greens — oldest green round first, name as
+    # tie-break (SURVEY §7.1) — so a green name in the window is only
+    # "wasted" if a staler one was skipped over.
     window = names[:50]
-    wasted = [
+    pending = [n for n in names if n not in e._DRIVER_GREEN]
+    misplaced = [
         n for n in window
-        if n in e._DRIVER_GREEN and n not in e._DRIFT_REVERIFY
+        if n in e._DRIVER_GREEN
+        and n not in e._DRIFT_REVERIFY
+        and pending
     ]
-    assert wasted == [], wasted
+    assert misplaced == [], misplaced
+    rotation_in_window = [
+        n for n in window
+        if n in e._GREEN_ROUND and n not in e._DRIFT_REVERIFY
+    ]
+    stalest_first = sorted(
+        (n for n in QUERIES
+         if n in e._GREEN_ROUND and n not in e._DRIFT_REVERIFY),
+        key=lambda n: (e._GREEN_ROUND[n], n),
+    )
+    assert rotation_in_window == stalest_first[: len(rotation_in_window)]
 
 
 def test_priority_names_exist():
