@@ -45,20 +45,37 @@ EMBED_DIM = 64  # every testdata embedding is a fixed 64-dim array<float>
 
 
 def _dot_spark(a: str, b: str, dim: int = EMBED_DIM) -> str:
-    """Unrolled left-associative dot product.
+    """Left-fold dot product as a compact higher-order expression.
 
     Bitwise-identical to the strict left fold the DuckDB oracle
-    computes (the leading ``0.0 +`` reproduces the fold's seed, and
-    SQL ``+`` is left-associative), but it is a flat expression tree
-    that whole-stage codegen compiles — the HOF form
-    (``aggregate(zip_with(...))``) is evaluated as an interpreted
-    lambda per element and was ~40× slower on the sf0.1 bench.
+    computes: ``aggregate`` folds the products left-to-right from the
+    ``0.0`` seed, exactly like the oracle's ``list_reduce`` (and like
+    the fully unrolled ``0.0 + t1 + t2 + …`` this replaces).
+
+    Round-11 re-measurement reversed the old unrolled-vs-HOF verdict:
+    a 64-term dot unrolls to ~6 KB of expression tree, and every
+    consumer plan stacks several of them (a cosine is 3 dots; the
+    confirm steps compute cosines per candidate pair), which pushed
+    the generated code past whole-stage-codegen's limits — the
+    executed stages ran INTERPRETED over the giant trees, plus
+    ~100 KB of plan text churned through Catalyst/codegen every
+    bench pass.  The HOF form is a ~40-node tree with per-element
+    lambda evaluation; isolated family A/B (min-of-3 per query,
+    15 vector queries): 38.3 s unrolled → 28.6 s HOF, outputs
+    bitwise-identical (OPTIMIZATION_r11.md).
     """
-    terms = " + ".join(
-        f"cast(element_at({a}, {i}) as double) * cast(element_at({b}, {i}) as double)"
-        for i in range(1, dim + 1)
-    )
-    return f"(cast(0.0 as double) + {terms})"
+    if dim == EMBED_DIM:
+        pairs = (
+            f"zip_with({a}, {b}, "
+            f"(x, y) -> cast(x as double) * cast(y as double))"
+        )
+    else:  # truncated-dim dot (matryoshka): index the prefix explicitly
+        pairs = (
+            f"transform(sequence(1, {dim}), i -> "
+            f"cast(element_at({a}, i) as double) "
+            f"* cast(element_at({b}, i) as double))"
+        )
+    return f"aggregate({pairs}, cast(0.0 as double), (acc, v) -> acc + v)"
 
 
 def _dot_duck(a: str, b: str) -> str:
@@ -201,25 +218,25 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate generation: bucket is the equi-join key.
 # --------------------------------------------------------------------------
 def _plane_spark_unrolled(col: str = "embedding", dim: int = EMBED_DIM, bits: int = 8) -> str:
-    """8-bit hyperplane signature, fully unrolled for codegen.
+    """``bits``-bit hyperplane signature as one nested HOF expression.
 
     The lattice coefficients ``((j*31 + (i-1)*17) % 13) - 6`` are
-    compile-time constants (Python, Java and DuckDB agree on ``%`` of
-    non-negative ints), and each plane's dot keeps the oracle's exact
-    left-fold shape — same bitwise sign decisions as the HOF form.
+    computed inline per element (all operands non-negative, so Spark,
+    Java, Python and DuckDB agree on ``%``), and each plane's dot
+    keeps the oracle's exact left-fold shape — same bitwise sign
+    decisions as the old fully-unrolled spelling, which at 8 planes ×
+    64 dims was a 512-term tree that blew past codegen limits and ran
+    interpreted (see _dot_spark's round-11 note; same A/B evidence).
     """
-    cases = []
-    for j in range(bits):
-        terms = " + ".join(
-            f"cast(element_at({col}, {i}) as double) "
-            f"* cast({((j * 31 + (i - 1) * 17) % 13) - 6} as double)"
-            for i in range(1, dim + 1)
-        )
-        cases.append(
-            f"CASE WHEN (cast(0.0 as double) + {terms}) > 0 "
-            f"THEN cast({1 << j} as bigint) ELSE cast(0 as bigint) END"
-        )
-    return "(cast(0 as bigint) + " + " + ".join(cases) + ")"
+    return (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
+        f"(acc, j) -> acc + CASE WHEN "
+        f"aggregate(transform(sequence(1, {dim}), i -> "
+        f"cast(element_at({col}, i) as double) "
+        f"* cast(((j * 31 + (i - 1) * 17) % 13) - 6 as double)), "
+        f"cast(0.0 as double), (a2, v2) -> a2 + v2) > 0 "
+        f"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
+    )
 
 
 _PLANE_SPARK = _plane_spark_unrolled()
@@ -670,8 +687,8 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape): 64 → 8 dims through a deterministic integer lattice matrix
 # (same coefficient family as the LSH hyperplanes, so the oracle can
 # recompute it; production broadcasts a seeded gaussian matrix — same
-# plan).  Each output dim is an unrolled left-fold dot product —
-# whole-stage-codegen'd, bitwise-equal to the DuckDB list_reduce fold,
+# plan).  Each output dim is a compact HOF left-fold dot product —
+# bitwise-equal to the DuckDB list_reduce fold,
 # no rounding needed (pure IEEE products/sums in fixed order).
 # Scan-side map: zero shuffles; at 100 TB this is the cheap first
 # stage before IVF/kmeans on the reduced space.
@@ -685,11 +702,15 @@ def _proj_coef(j: int, i: int) -> int:
 
 
 def _proj_spark(j: int, dim: int = EMBED_DIM) -> str:
-    terms = " + ".join(
-        f"cast(element_at(embedding, {i}) as double) * cast({_proj_coef(j, i)} as double)"
-        for i in range(1, dim + 1)
+    # compact HOF left-fold (see _dot_spark's round-11 note); the
+    # coefficient recurrence is evaluated inline per element and
+    # matches _proj_coef / _proj_duck exactly on non-negative operands
+    return (
+        f"aggregate(transform(sequence(1, {dim}), i -> "
+        f"cast(element_at(embedding, i) as double) "
+        f"* cast((({j} * 29 + (i - 1) * 23) % 15) - 7 as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
     )
-    return f"(cast(0.0 as double) + {terms})"
 
 
 def _proj_duck(j: int) -> str:
@@ -2048,10 +2069,12 @@ _PI_SUM_DUCK = (
     "list_transform(embedding, e -> CAST(e AS DOUBLE) * 0.125)), "
     "(acc, v) -> acc + v)"
 )
-_PI_SUM_SPARK = "(cast(0.0 as double) + " + " + ".join(
-    f"cast(element_at(embedding, {i}) as double) * 0.125"
-    for i in range(1, EMBED_DIM + 1)
-) + ")"
+# compact HOF left-fold (round-11; see _dot_spark) — same seed, same
+# left-to-right order as the unrolled sum and the DuckDB list_reduce
+_PI_SUM_SPARK = (
+    "aggregate(transform(embedding, e -> cast(e as double) * 0.125), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
 
 
 @q(
