@@ -2344,11 +2344,19 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Column profiling (ANALYZE TABLE analog) — null count, exact
 # distinct count, min/max/mean for each numeric lineitem measure, as
-# one row per column.  The Spark plan computes all four columns'
-# stats in ONE scan (multi-distinct → Expand ×4, each branch
-# map-side-combined) and unpivots the wide row with stack();
-# the oracle spells the same stats as four scans UNION ALL'd —
-# correctness twin only, the single-scan shape is the engine's.
+# one row per column.  One scan: stack() unpivots each row into four
+# (col_name, value) pairs, a (col, value) histogram aggregates them
+# (map-side combine collapses to the per-column distinct-value count
+# per task), and every profile stat derives exactly from the
+# histogram — n_rows = Σcnt, n_distinct = COUNT(v), mean from the
+# exact int Σ(v·cnt).  Round 11 replaced the previous 4-way
+# multi-distinct aggregate: its Expand ×5 pushed 5 copies of every
+# row through the hash aggregate (measured min-of-4 at sf0.1: 4.00 s
+# → 1.86 s, outputs bitwise-identical), and at 100 TB the histogram
+# shuffle is bounded by distinct values per column per task instead
+# of 5× the fact rows.  The oracle spells the same stats as four
+# scans UNION ALL'd — correctness twin only, the single-scan shape
+# is the engine's.
 # --------------------------------------------------------------------------
 _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
@@ -2372,32 +2380,31 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 )
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
-    aggs = []
-    for c in _PROFILE_COLS:
-        vc = F.round(F.col(c) * 100, 0).cast("bigint")
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n_rows"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"{c}__n_null"),
-            F.countDistinct(vc).cast("bigint").alias(f"{c}__n_distinct"),
-            (F.min(vc) / 100.0).alias(f"{c}__min_v"),
-            (F.max(vc) / 100.0).alias(f"{c}__max_v"),
-            F.round(
-                F.sum(vc).cast("double") / F.count(F.col(c)) / 100.0, 6
-            ).alias(f"{c}__mean_v"),
-        ]
-    wide = li.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', `{c}__n_rows`, `{c}__n_null`, `{c}__n_distinct`, "
-        f"`{c}__min_v`, `{c}__max_v`, `{c}__mean_v`"
-        for c in _PROFILE_COLS
+        f"'{c}', CAST(round(`{c}` * 100, 0) AS BIGINT)" for c in _PROFILE_COLS
     )
-    return wide.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-            "(col_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"
-        )
+    pairs = li.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, v)")
+    )
+    hist = pairs.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    # a NULL column value survives as the v IS NULL histogram row, so
+    # n_null and the non-null divisor of the mean stay exact; the mean
+    # keeps the old op order bitwise (int64 Σ(v·cnt) == Σvc, then the
+    # same double divisions in the same order)
+    return hist.groupBy("col_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.count("v").cast("bigint").alias("n_distinct"),
+        (F.min("v") / 100.0).alias("min_v"),
+        (F.max("v") / 100.0).alias("max_v"),
+        F.round(
+            F.sum(F.col("v") * F.col("cnt")).cast("double")
+            / F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0))
+            / 100.0,
+            6,
+        ).alias("mean_v"),
     )
 
 
