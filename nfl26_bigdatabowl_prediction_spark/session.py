@@ -31,6 +31,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite a sort-merge join to a shuffled-hash join at
+        # RUNTIME when every post-shuffle partition of the build side
+        # measures under the advisory partition size (64 MB) — the
+        # per-partition sorts disappear and the build side is a hash
+        # map that provably fits, because the gate reads MEASURED
+        # shuffle sizes, not planner estimates.  Scale-adaptive by
+        # construction: at 100 TB, AQE first coalesces partitions to
+        # the same advisory size, so the gate means "one partition's
+        # hash map ≤ advisory" there too (and a partition that stays
+        # bigger — e.g. a single giant key — keeps sort-merge and its
+        # graceful spill).  Round-11 A/B over 20 join-heavy queries at
+        # sf0.1 (min-of-3 each, fresh sessions): 39.1 s → 25.9 s with
+        # no query slower than 1.03×; full-registry differential
+        # unchanged (OPTIMIZATION_r11.md).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         # Broadcast only on explicit hints.  The size estimator reads
         # compressed on-disk bytes, so a 600k-row snappy parquet table
         # slips under the default 10 MB threshold; the resulting
