@@ -131,12 +131,28 @@ def sample_frames(
 # Payload synthesis and decode are SEPARATE mapInPandas kernels so the
 # bytes crossing between them are genuine format streams (RIFF chunks,
 # BMP row padding, zlib'd PNG scanlines) — the decode side re-derives
-# every feature by parsing, never by peeking at the generator.  Both
-# kernels are scan-side (no shuffle); chaining two mapInPandas stages
-# fuses into one python-runner pass per partition.
+# every feature by parsing, never by peeking at the generator.  The
+# chained mapInPandas stages fuse into one python-runner pass per
+# partition.  Round-11: the id feed is REPARTITIONED to the context's
+# default parallelism before the kernel (guide §2.5 "repartition
+# immediately after the read") — a single-row-group parquet scans as
+# exactly ONE split no matter the core count (maxSplitBytes ≥ the
+# file), which serialized every encode+decode kernel onto one Python
+# worker; the shuffle moves only the 8-byte ids, and the fused kernel
+# chain then runs on every core (q_gif_decode min-of-3 at sf0.1:
+# 2.81 s → 1.64 s, outputs identical).
 # ---------------------------------------------------------------------------
 
 AUDIO_RATE = 8000
+
+
+def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Project to the id column and spread it across the cluster's
+    default parallelism — the scale-adaptive scan fix for CPU-heavy
+    per-row kernels over few/small input files."""
+    return df.select(id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
 
 
 def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -158,7 +174,9 @@ def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_wav(samples, AUDIO_RATE))
             yield pd.DataFrame({id_col: b[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(gen, f"{id_col} bigint, payload binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        gen, f"{id_col} bigint, payload binary"
+    )
 
 
 WAV_FEATURES_SCHEMA = (
@@ -218,7 +236,9 @@ def synth_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_bmp(w, h, rows))
             yield pd.DataFrame({id_col: b[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(gen, f"{id_col} bigint, payload binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        gen, f"{id_col} bigint, payload binary"
+    )
 
 
 BMP_FEATURES_SCHEMA = (
@@ -264,7 +284,9 @@ def synth_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_png(w, h, rows))
             yield pd.DataFrame({id_col: b[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(gen, f"{id_col} bigint, payload binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        gen, f"{id_col} bigint, payload binary"
+    )
 
 
 PNG_FEATURES_SCHEMA = (
@@ -310,7 +332,9 @@ def synth_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_gif(w, h, rows))
             yield pd.DataFrame({id_col: b[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(gen, f"{id_col} bigint, payload binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        gen, f"{id_col} bigint, payload binary"
+    )
 
 
 GIF_FEATURES_SCHEMA = (
@@ -391,7 +415,9 @@ def synth_pgm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_pgm(w, h, rows, plain=bool(d % 2)))
             yield pd.DataFrame({id_col: b[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(gen, f"{id_col} bigint, payload binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        gen, f"{id_col} bigint, payload binary"
+    )
 
 
 PGM_FEATURES_SCHEMA = (
@@ -447,7 +473,9 @@ def synth_qoi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(encode_qoi(w, h, rows))
             yield pd.DataFrame({id_col: b[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(gen, f"{id_col} bigint, payload binary")
+    return _spread_ids(df, id_col).mapInPandas(
+        gen, f"{id_col} bigint, payload binary"
+    )
 
 
 QOI_FEATURES_SCHEMA = (

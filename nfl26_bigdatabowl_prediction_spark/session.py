@@ -41,9 +41,14 @@ def get_spark(
         # the same advisory size, so the gate means "one partition's
         # hash map ≤ advisory" there too (and a partition that stays
         # bigger — e.g. a single giant key — keeps sort-merge and its
-        # graceful spill).  Round-11 A/B over 20 join-heavy queries at
-        # sf0.1 (min-of-3 each, fresh sessions): 39.1 s → 25.9 s with
-        # no query slower than 1.03×; full-registry differential
+        # graceful spill).  Round-11 measurement: a fresh-session
+        # sweep suggested a large win, but the honest INTERLEAVED
+        # same-session on/off A/B (host-drift-proof) measured a ~4%
+        # median improvement across 8 join-heavy queries at sf0.1
+        # (q_trade_volume 0.83×, q_market_share 0.90×, q_naive_bayes
+        # 0.93×; worst q_setsim_join 1.10×, inside the noise band) —
+        # kept for the direction plus the removed per-partition sorts
+        # visible in the final plans; full-registry differential
         # unchanged (OPTIMIZATION_r11.md).
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
