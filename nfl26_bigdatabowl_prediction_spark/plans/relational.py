@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from ..functions.scalar import cents, clip, dummy, make_id
-from ..sources.io import table
+from ..sources.io import spread_scan, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -3241,7 +3241,9 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "documents").select("text").write.mode(
         "overwrite"
     ).format("text").save(path)
-    lines = spark.read.text(path)  # one column: value
+    # the read-back text file is a single split; the per-character
+    # hash fold below dominates -> spread (no-op at cluster scale)
+    lines = spread_scan(spark.read.text(path))  # one column: value
     return lines.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum(F.length("value")).cast("bigint").alias("total_chars"),

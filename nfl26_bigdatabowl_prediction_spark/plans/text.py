@@ -31,7 +31,7 @@ from ..functions.portable import (
     portable_hash_sql_duckdb,
     portable_hash_sql_spark,
 )
-from ..sources.io import table
+from ..sources.io import spread_scan, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -451,7 +451,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # per-character hash folds dominate: spread the one-split scan
+    # (sources.io.spread_scan; no-op at cluster scale) — round-11
+    # interleaved A/B 2.16 s -> 0.75 s at sf0.1
+    d = spread_scan(table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.expr(portable_hash_sql_spark("text")).alias("fp"),
@@ -641,7 +644,8 @@ def _simhash_sql(h: str, engine: str) -> tuple[str, str]:
     """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # per-token hash folds run scan-side: spread the one-split scan
+    d = spread_scan(table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("w"))
     hashed = toks.select("doc_id", F.expr(portable_hash_sql_spark("w")).alias("h"))
     votes_sql, recombine_sql = _simhash_sql("h", "spark")
@@ -4287,7 +4291,8 @@ _WINNOW_B = 10000  # position bound inside the packed argmin key
     """,
 )
 def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # per-word hash folds run scan-side: spread the one-split scan
+    d = spread_scan(table(spark, sf_dir, "documents"))
     w = _with_words(d, "doc_id").filter(F.size("words") >= 3)
     wh = w.select(
         "doc_id", F.size("words").alias("n_words"),
