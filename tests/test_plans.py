@@ -365,13 +365,41 @@ def test_unpartitioned_windows_only_on_bounded_domains(spark):
     )
 
 
-def test_real_codec_queries_are_shuffle_free(spark):
+def test_real_codec_queries_shuffle_only_the_id_feed(spark):
     # synth-payload and parse kernels are two chained mapInPandas
-    # stages — decode is embarrassingly parallel, so the whole path
-    # must stay scan-side: zero exchanges.
+    # stages — decode is embarrassingly parallel, so no payload byte
+    # may ever cross a shuffle.  Round-11: the id feed (8 bytes/row)
+    # IS round-robin-spread before the kernel chain so the CPU-heavy
+    # Python codecs use every core even when the input is one parquet
+    # split (operators/multimodal._spread_ids) — so the contract is
+    # now: exactly one exchange, it is RoundRobin, and it sits BELOW
+    # the first python kernel (only ids cross it, never payloads).
     for name in ("q_audio_features", "q_image_decode", "q_png_decode"):
         plan = _plan(spark, name)
-        assert _ops(plan).count("Exchange") == 0, f"{name}: {plan}"
+        ops = _ops(plan)
+        assert ops.count("Exchange") == 1, f"{name}: {plan}"
+        assert "roundrobin" in plan.lower(), f"{name}: {plan}"
+        assert "hashpartitioning" not in plan.lower(), f"{name}: {plan}"
+        # the exchange must feed the kernel chain, not consume its
+        # output.  In the tree section (consumers print above their
+        # inputs; these plans are linear chains) every python kernel
+        # line must sit ABOVE the exchange line — i.e. only ids ever
+        # cross the wire, payload bytes are born after it.
+        tree = [
+            l
+            for l in plan.splitlines()
+            if not re.match(r"^\(\d+\) ", l)
+        ]
+        exch_at = next(i for i, l in enumerate(tree) if "Exchange" in l)
+        py_at = [
+            i
+            for i, l in enumerate(tree)
+            if any(m in l for m in ("MapInPandas", "EvalPython"))
+        ]
+        assert py_at, f"{name}: no python kernel in plan\n{plan}"
+        assert max(py_at) < exch_at, (
+            f"{name}: exchange consumes a python kernel's output\n{plan}"
+        )
 
 
 def test_frame_sample_is_shuffle_free(spark):
