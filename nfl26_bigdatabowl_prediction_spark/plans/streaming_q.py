@@ -211,7 +211,16 @@ HORIZON_US = 60 * 60 * 1_000_000
     """,
 )
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_stream(spark, sf_dir)
+    # no_data_batches=False: after the data batch drains, the default
+    # conf runs ONE more empty micro-batch purely to let the join evict
+    # state behind the advanced watermark (verified: commits [0, 1] vs
+    # [0]).  An INNER interval join emits only on data arrival, so that
+    # batch can never add an output row — skipping it is result-
+    # identical (oracle-checked) and removes a full plan+state+commit
+    # cycle.  The left-outer twin below MUST keep the default: its
+    # eviction batch is what emits the null-padded rows.  Round-11
+    # interleaved A/B (3 reps, min per arm): 2.96 s -> 2.25 s.
+    ev = events_stream(spark, sf_dir, no_data_batches=False)
     joined = stream_stream_interval_join(
         ev, left_type="click", right_type="purchase", horizon="1 hour"
     )

@@ -69,13 +69,22 @@ def _dot_spark(a: str, b: str, dim: int = EMBED_DIM) -> str:
             f"zip_with({a}, {b}, "
             f"(x, y) -> cast(x as double) * cast(y as double))"
         )
-    else:  # truncated-dim dot (matryoshka): index the prefix explicitly
-        pairs = (
-            f"transform(sequence(1, {dim}), i -> "
-            f"cast(element_at({a}, i) as double) "
-            f"* cast(element_at({b}, i) as double))"
-        )
-    return f"aggregate({pairs}, cast(0.0 as double), (acc, v) -> acc + v)"
+        return f"aggregate({pairs}, cast(0.0 as double), (acc, v) -> acc + v)"
+    # Truncated-dim dot (matryoshka prefixes): the HOF spelling here is
+    # transform(sequence(1, dim)) + element_at per element — an index
+    # array materialized per row and an interpreted lambda per element.
+    # Interleaved same-session A/B (4 reps, min per arm, sf0.1):
+    # q_matryoshka_recall 2.35 s HOF vs 1.54 s unrolled (0.65×), while
+    # the full-dim zip_with consumers are flat-to-better as HOF
+    # (q_ann_recall 1.91 HOF vs 2.54 unrolled).  So: zip_with fold for
+    # full vectors, unrolled left-sum for short prefixes.  Both are the
+    # exact left fold the DuckDB oracle computes.
+    terms = " + ".join(
+        f"cast(element_at({a}, {i}) as double)"
+        f" * cast(element_at({b}, {i}) as double)"
+        for i in range(1, dim + 1)
+    )
+    return f"(cast(0.0 as double) + {terms})"
 
 
 def _dot_duck(a: str, b: str) -> str:

@@ -43,7 +43,7 @@ STREAM_SHUFFLE_PARTITIONS = 8
 # drop out of the map instead of accumulating (round-10 ADVICE).
 import weakref
 
-_TWINS: "weakref.WeakKeyDictionary[SparkSession, dict[int, SparkSession]]" = (
+_TWINS: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, SparkSession]]" = (
     weakref.WeakKeyDictionary()
 )
 
@@ -54,7 +54,9 @@ _SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
 
 
 def stream_exec_session(
-    spark: SparkSession, shuffle_partitions: int = STREAM_SHUFFLE_PARTITIONS
+    spark: SparkSession,
+    shuffle_partitions: int = STREAM_SHUFFLE_PARTITIONS,
+    no_data_batches: bool = True,
 ) -> SparkSession:
     """Isolated-SQLConf twin of ``spark`` for executing a test-scale
     stream.  ``newSession()`` shares the SparkContext (and inherits
@@ -63,13 +65,34 @@ def stream_exec_session(
     stream's state partitioning cannot race the 12-way oracle pool
     that shares the parent session across threads.  Memoized per
     parent: every stream of one caller session executes (and registers
-    its memory-sink table) in the SAME twin catalog."""
+    its memory-sink table) in the SAME twin catalog (one twin per conf
+    variant — the variant key only changes which catalog a query's
+    memory sink lands in, and callers always resolve through the
+    returned DataFrame's own session).
+
+    ``no_data_batches=False`` selects a twin with
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false``: after
+    the last data batch Spark normally runs one extra empty batch to
+    advance the watermark (state eviction, outer-join null emission,
+    event-time timeouts, watermark persistence for a later resume).
+    Queries whose OUTPUT provably never depends on that batch — inner
+    joins, NoTimeout stateful ops, complete-mode aggregations, exact
+    dedup — skip it and save a full plan+state+commit cycle per run.
+    Queries that DO emit on watermark advance (left-outer join,
+    event-time TTL) or resume a checkpoint whose watermark must
+    reflect the previous drain (the two-phase late-data harness) must
+    keep the default."""
     per_parent = _TWINS.setdefault(spark, {})
-    twin = per_parent.get(shuffle_partitions)
+    key = (shuffle_partitions, no_data_batches)
+    twin = per_parent.get(key)
     if twin is None:
         twin = spark.newSession()
         twin.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        per_parent[shuffle_partitions] = twin
+        if not no_data_batches:
+            twin.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+            )
+        per_parent[key] = twin
     return twin
 
 
@@ -78,6 +101,7 @@ def events_stream(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
     glob: str = "events.parquet",
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """``readStream`` over the events parquet with event-time column.
 
@@ -105,7 +129,7 @@ def events_stream(
     # reader — stateful ops, sinks, the memory table — binds to it,
     # so its right-sized shuffle/state partitioning applies to the
     # whole streaming query without touching the caller's conf.
-    spark = stream_exec_session(spark)
+    spark = stream_exec_session(spark, no_data_batches=no_data_batches)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Two physical layouts exist: the driver's fixtures are a single
     # file per table (stream the shared dir, pathGlobFilter selects
