@@ -495,7 +495,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread_scan(table(spark, sf_dir, "documents"))
     # Filter on the cheap words count, NOT on size(shingles): a filter
     # on the shingle column gets predicate-pushed below the words
     # projection with the whole shingle expression inlined — which
@@ -793,7 +793,7 @@ _CC_CTES, _CC_FINAL, _CC_AUDIT = _minlabel_cc_sql()
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
-    d = table(spark, sf_dir, "documents")
+    d = spread_scan(table(spark, sf_dir, "documents"))
     edges = QUERIES["q_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(
         d.select("doc_id"), edges, node_col="doc_id", src="doc_a", dst="doc_b"
@@ -2732,7 +2732,9 @@ _DSIR_ORACLE = f"""
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scratch import scratch_dir
 
-    d = table(spark, sf_dir, "documents")
+    # per-character hash fold over every word of every doc — the
+    # heavy-scan-side shape spread_scan exists for (no-op at scale)
+    d = spread_scan(table(spark, sf_dir, "documents"))
     hash_wd = (
         "aggregate(transform(sequence(1, length(wd)), "
         "i -> cast(ascii(substr(wd, i, 1)) as bigint)), "
@@ -3046,6 +3048,18 @@ def _bpe_merge_rounds(spark: SparkSession, sf_dir: str, carry_word: bool = False
                 *keep, "split(symstr, ' ') AS syms", "mx", "my", "mxy", "cnt"
             )
             .selectExpr(*keep, f"{merge_fold} AS symstr", "cnt")
+            # Truncate lineage at the round boundary (lazy — costs no
+            # job until round k+1's pair count runs).  Without this,
+            # round k's plan nests every earlier round's fold: each
+            # round RE-EXECUTES rounds 1..k-1 (O(R²) passes over the
+            # word table) and Catalyst re-analyzes a tree that doubles
+            # per round — measured 1.9 s of driver gaps between jobs
+            # on q_bpe_encode's timeline, more wall than its tasks.
+            # The word table is vocabulary-sized, so the pinned
+            # partitioning is node-scale at any corpus size — the same
+            # rule as q_pagerank's rank table (guide §3.3 "materialise
+            # an intermediate to truncate the plan").
+            .localCheckpoint(eager=False)
         )
     return vocab, tops
 
