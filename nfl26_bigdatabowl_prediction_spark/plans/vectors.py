@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..sources.io import table
+from ..sources.io import spread_scan, table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -981,7 +981,7 @@ _SEMDEDUP_K = 32  # clusters SCALE with the corpus (SemDeDup's own knob:
     """,
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    e = spread_scan(table(spark, sf_dir, "embeddings"))
     seeds = e.filter(F.col("vec_id") < _SEMDEDUP_K).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
     )
