@@ -2434,14 +2434,32 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "bc"),
     ).select("doc_id", F.col("bc.bigram").alias("bigram"), F.col("bc.ctx").alias("ctx"))
-    bg_counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
-    ctx_counts = bg.groupBy("ctx").agg(F.count(F.lit(1)).alias("c_ctx"))
+    # Round-11 (guide §2.3 "aggregate before you shuffle"): everything
+    # downstream of the corpus bigram stream is a function of the
+    # DISTINCT bigram — ctx counts are Σ c_bg grouped by the bigram's
+    # own ctx, V is the distinct-ctx row count, and the per-row term
+    # ln((c_bg+1)/(c_ctx+V)) depends only on the bigram.  So aggregate
+    # the corpus ONCE into the (bigram, ctx) count table, derive
+    # ctx/V/term on that dimension-sized table, and join the term back
+    # with ONE corpus-sized exchange.  The old shape re-tokenized the
+    # corpus four times and shuffled the full bigram stream through
+    # three exchanges (join bigram, join ctx, groupBy doc).  Result-
+    # identical: ctx is a function of bigram so the (bigram, ctx)
+    # groups equal the bigram groups; Σ c_bg by ctx counts exactly the
+    # rows the old ctx aggregate counted; the summed terms are the
+    # same frozen micro-nat ints (integer addition, any order).
+    bgc = bg.groupBy("bigram", "ctx").agg(F.count(F.lit(1)).alias("c_bg"))
+    # three consumers (ctx agg, V, term join) — materialize once;
+    # localCheckpoint (not the parquet round-trip) because the table is
+    # dimension-sized and every consumer reads all its columns
+    bgc = bgc.localCheckpoint(eager=False)
+    ctx_counts = bgc.groupBy("ctx").agg(F.sum("c_bg").alias("c_ctx"))
     # V rides a 1-ROW broadcast cross join — the scalar-subquery shape
     # (O(n·1) at the executor), allowlisted in tests/test_plans.py's
     # no-NL-join guard alongside q_tfidf_topk's corpus-N scalar.  A
     # literal-keyed equi join does NOT avoid the BNLJ here: Catalyst
     # constant-folds lit=lit to true and drops the equi keys.
-    vocab = bg.agg(F.countDistinct("ctx").cast("double").alias("v"))
+    vocab = ctx_counts.agg(F.count(F.lit(1)).cast("double").alias("v"))
     term_u = F.round(
         F.log(
             (F.lit(1.0) * F.col("c_bg") + 1.0)
@@ -2450,16 +2468,19 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000,
         0,
     ).cast("bigint")
-    return (
-        bg.join(bg_counts, "bigram")
-        .join(ctx_counts, "ctx")
+    terms = (
+        bgc.join(ctx_counts, "ctx")
         .crossJoin(F.broadcast(vocab))
+        .select("bigram", term_u.alias("term"))
+    )
+    return (
+        bg.join(terms, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            (F.sum(term_u).cast("bigint") / F.count(F.lit(1)) / 1000000.0).alias(
-                "avg_logprob"
-            ),
+            (
+                F.sum("term").cast("bigint") / F.count(F.lit(1)) / 1000000.0
+            ).alias("avg_logprob"),
         )
     )
 

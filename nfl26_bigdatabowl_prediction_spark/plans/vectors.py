@@ -96,6 +96,135 @@ def _dot_duck(a: str, b: str) -> str:
     )
 
 
+def _argmin_assign(
+    df: DataFrame,
+    vec_col: str,
+    cents: DataFrame,
+    sid_col: str,
+    se_col: str,
+    out_col: str,
+    cell_key: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment WITHOUT shuffling the corpus.
+
+    Replaces the crossJoin(K rows) → Exchange(vec_id) → sort →
+    ROW_NUMBER argmin (round-11, guide §2.4 "remove shuffles
+    outright"): that shape shuffled K COPIES of every embedding array
+    just to pick one winner per vector.  Here the K candidates are
+    packed into ONE broadcast row (or one row per ``cell_key`` cell),
+    and the argmin is a per-row ``array_min`` over
+    struct(dist_micro, sid) — zero exchanges touch the corpus, and the
+    per-row fold count drops from 3K dots to K+1 (dot(v,v) hoisted
+    once per row, dot(se,se) once per centroid).
+
+    Bitwise-identical to the window form it replaces:
+    * dist_micro = cast(round((dvv − 2·dot(v,se) + dss)·1e6, 0) as
+      bigint) — the same left-assoc double arithmetic on the same
+      IEEE inputs (hoisting a subexpression does not change its
+      value), same round-half-up, same cast;
+    * ``array_min`` over struct(d, sid) is the lexicographic
+      (dist ASC, sid ASC) minimum — exactly the ROW_NUMBER tie-break —
+      and is order-independent, so the nondeterministic collect_list
+      packing order cannot affect the result.
+
+    Scale: the packed candidate row is K·dim-sized — the same bytes
+    the broadcast seed side always shipped; production chunks K above
+    broadcast limits (the documented semdedup_ivf_scaled path keeps
+    per-cell candidate lists ~√K-sized via ``cell_key``).
+    """
+    packed = cents.select(
+        F.col(sid_col).alias("_sid"),
+        F.col(se_col).alias("_se"),
+        F.expr(_dot_spark(se_col, se_col)).alias("_dss"),
+        *([F.col(cell_key)] if cell_key else []),
+    )
+    cand_struct = F.collect_list(F.struct("_sid", "_se", "_dss")).alias(
+        "_cands"
+    )
+    with_v = df.withColumn("_dvv", F.expr(_dot_spark(vec_col, vec_col)))
+    if cell_key is None:
+        joined = with_v.crossJoin(F.broadcast(packed.agg(cand_struct)))
+    else:
+        joined = with_v.join(
+            F.broadcast(packed.groupBy(cell_key).agg(cand_struct)), cell_key
+        )
+    best = (
+        f"array_min(transform(_cands, c -> struct("
+        f"cast(round((_dvv - 2 * {_dot_spark(vec_col, 'c._se')} + c._dss)"
+        f" * 1000000, 0) as bigint) as d, c._sid as sid)))"
+    )
+    return joined.withColumn(out_col, F.expr(f"({best}).sid")).drop(
+        "_cands", "_dvv"
+    )
+
+
+def _argmin_assign_agg(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    cents: DataFrame,
+    sid_col: str,
+    se_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment for LARGE candidate sets (the K=32+
+    flat-semdedup shape): broadcast the candidates as K ROWS, compute
+    the distance per (row, candidate) as a flat column expression, and
+    take the argmin with a partial-aggregated ``min(struct(dist, sid,
+    payload...))`` keyed on ``key_col``.
+
+    Vs the two siblings (round-11 interleaved A/B, 6 reps, min/arm,
+    sf0.1 q_semdedup): window 1.91 s / packed-HOF 1.63 s / this 1.69 s
+    locally — a three-way tie within host noise — but the shapes
+    diverge at scale and with K:
+    * the window form shuffles K COPIES of every row through its
+      Exchange(key) + sort;
+    * the packed-HOF form (_argmin_assign) never exchanges, but its
+      per-row transform() loop is an interpreted lambda whose cost
+      grows with K — right for the K≤8 coarse/cell candidate lists,
+      wrong for production semdedup Ks (SemDeDup scales K ~ n/1000);
+    * this form's distance is a plain column expression per joined
+      row, and the hash aggregate's map-side combine collapses the K
+      candidates of each row BEFORE the exchange (broadcast joins
+      never move rows), so exactly ONE copy of the payload crosses.
+
+    Bitwise-identical to both: same hoisted dist_micro arithmetic, and
+    min(struct(d, sid, payload)) picks the (dist ASC, sid ASC) winner —
+    sid is unique per candidate, so the comparison never reaches the
+    payload fields, and the payload is group-constant anyway.
+    """
+    payload = [c for c in df.columns if c != key_col]
+    packed = cents.select(
+        F.col(sid_col).alias("_sid"),
+        F.col(se_col).alias("_se"),
+        F.expr(_dot_spark(se_col, se_col)).alias("_dss"),
+    )
+    scored = (
+        df.withColumn("_dvv", F.expr(_dot_spark(vec_col, vec_col)))
+        .crossJoin(F.broadcast(packed))
+        .withColumn(
+            "_dist",
+            F.round(
+                (
+                    F.col("_dvv")
+                    - 2 * F.expr(_dot_spark(vec_col, "_se"))
+                    + F.col("_dss")
+                )
+                * 1000000,
+                0,
+            ).cast("bigint"),
+        )
+    )
+    gb = scored.groupBy(key_col).agg(
+        F.min(F.struct("_dist", "_sid", *payload)).alias("_w")
+    )
+    return gb.select(
+        key_col,
+        *[F.col(f"_w.{c}").alias(c) for c in payload],
+        F.col("_w._sid").alias(out_col),
+    )
+
+
 # --------------------------------------------------------------------------
 # Vector norms — the shared primitive (and a cheap sanity surface).
 # --------------------------------------------------------------------------
@@ -874,30 +1003,12 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
     )
-    scored = e.select("vec_id", "embedding").crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "embedding",
-        "sid",
-        F.round(
-            (
-                F.expr(_dot_spark("embedding", "embedding"))
-                - 2 * F.expr(_dot_spark("embedding", "se"))
-                + F.expr(_dot_spark("se", "se"))
-            )
-            * 1000000,
-            0,
-        )
-        .cast("bigint")
-        .alias("dist_micro"),
-    )
-    w = W.partitionBy("vec_id").orderBy(
-        F.col("dist_micro").asc(), F.col("sid").asc()
-    )
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("sid", "embedding")
-    )
+    # round-11: packed-broadcast argmin (see _argmin_assign) — the old
+    # crossJoin → Exchange(vec_id) → ROW_NUMBER shape shuffled K copies
+    # of every embedding just to pick the winner
+    assigned = _argmin_assign(
+        e.select("vec_id", "embedding"), "embedding", seeds, "sid", "se", "sid"
+    ).select("sid", "embedding")
     comps = (
         assigned.select(
             "sid", F.posexplode(F.col("embedding")).alias("i0", "x")
@@ -985,42 +1096,28 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") < _SEMDEDUP_K).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
     )
-    scored = (
-        e.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(seeds))
-        .select(
-            "vec_id",
-            "embedding",
-            "sid",
-            F.round(
-                (
-                    F.expr(_dot_spark("embedding", "embedding"))
-                    - 2 * F.expr(_dot_spark("embedding", "se"))
-                    + F.expr(_dot_spark("se", "se"))
-                )
-                * 1000000,
-                0,
-            )
-            .cast("bigint")
-            .alias("dist_micro"),
-        )
-    )
-    w = W.partitionBy("vec_id").orderBy(
-        F.col("dist_micro").asc(), F.col("sid").asc()
-    )
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "embedding",
-            "sid",
-            # norm frozen INTO the checkpoint: the pair join then does
-            # ONE dot per pair instead of three (the _neardup_edges
-            # rule — the first bench run showed per-pair self-dots
-            # were 2/3 of the 8.6 s FLOP)
-            F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("nrm"),
-        )
+    # round-11: partial-agg min-struct argmin (see _argmin_assign_agg)
+    # — with K=32 the old window shape shuffled 32 copies of every
+    # embedding; this map-side-combines the candidates so exactly one
+    # copy crosses, and the distance stays a flat codegen expression
+    # (the packed-HOF form's per-row lambda loop grows with K)
+    assigned = _argmin_assign_agg(
+        e.select("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+        seeds,
+        "sid",
+        "se",
+        "sid",
+    ).select(
+        "vec_id",
+        "embedding",
+        "sid",
+        # norm frozen INTO the checkpoint: the pair join then does
+        # ONE dot per pair instead of three (the _neardup_edges
+        # rule — the first bench run showed per-pair self-dots
+        # were 2/3 of the 8.6 s FLOP)
+        F.sqrt(F.expr(_dot_spark("embedding", "embedding"))).alias("nrm"),
     )
     # the assignment feeds three consumers (both pair sides + the
     # final keep join) — checkpoint it once instead of re-running the
@@ -1210,52 +1307,27 @@ def semdedup_ivf(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
     )
 
-    def _argmin(df, part, dist_col, tie_col):
-        w = W.partitionBy(part).orderBy(
-            F.col(dist_col).asc(), F.col(tie_col).asc()
-        )
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn", dist_col)
-        )
-
-    def _dist(a, b):
-        return (
-            F.round(
-                (
-                    F.expr(_dot_spark(a, a))
-                    - 2 * F.expr(_dot_spark(a, b))
-                    + F.expr(_dot_spark(b, b))
-                )
-                * 1000000,
-                0,
-            )
-            .cast("bigint")
-            .alias("dist_micro")
-        )
-
+    # round-11: every level uses the packed-broadcast argmin (see
+    # _argmin_assign) — the old window form re-shuffled the corpus
+    # (with C resp. K/C copies of each embedding) at levels 1b and 2
     # level 1a: fine centroids -> coarse cells (K·C, dim-sized)
-    f2c = _argmin(
-        fine.crossJoin(F.broadcast(coarse)).select(
-            "sid", "se", "cid", _dist("se", "ce")
-        ),
-        "sid", "dist_micro", "cid",
-    )
+    f2c = _argmin_assign(fine, "se", coarse, "cid", "ce", "cid")
     # level 1b: vectors -> coarse cells (n·C, the cheap scan)
-    vc = _argmin(
-        e.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(coarse))
-        .select("vec_id", "embedding", "cid", _dist("embedding", "ce")),
-        "vec_id", "dist_micro", "cid",
+    vc = _argmin_assign(
+        e.select("vec_id", "embedding"), "embedding", coarse, "cid", "ce", "cid"
     )
     # level 2: score ONLY the fine centroids of the vector's cell
-    # (n·K/C average — f2c is K rows, always broadcastable)
-    assigned = _argmin(
-        vc.join(F.broadcast(f2c.select("sid", "se", "cid")), "cid").select(
-            "vec_id", "embedding", "sid", _dist("embedding", "se")
-        ),
-        "vec_id", "dist_micro", "sid",
+    # (n·K/C average — the per-cell candidate arrays are K·dim total,
+    # always broadcastable; cell_key joins each vector to exactly its
+    # own cell's array)
+    assigned = _argmin_assign(
+        vc,
+        "embedding",
+        f2c.select("sid", "se", "cid"),
+        "sid",
+        "se",
+        "sid",
+        cell_key="cid",
     ).select(
         "vec_id",
         "embedding",
@@ -1400,36 +1472,17 @@ def q_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
 
     def assign_and_sum(cents: DataFrame) -> DataFrame:
-        """One Lloyd round: broadcast (sid, se) candidates, argmin by
-        (dist_micro, sid), exact integer component sums per (sid, i)."""
-        scored = (
-            e.select("vec_id", "embedding")
-            .crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "embedding",
-                "sid",
-                F.round(
-                    (
-                        F.expr(_dot_spark("embedding", "embedding"))
-                        - 2 * F.expr(_dot_spark("embedding", "se"))
-                        + F.expr(_dot_spark("se", "se"))
-                    )
-                    * 1000000,
-                    0,
-                )
-                .cast("bigint")
-                .alias("dist_micro"),
-            )
-        )
-        w = W.partitionBy("vec_id").orderBy(
-            F.col("dist_micro").asc(), F.col("sid").asc()
-        )
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("sid", "embedding")
-        )
+        """One Lloyd round: packed-broadcast argmin by (dist_micro,
+        sid) — see _argmin_assign — then exact integer component sums
+        per (sid, i)."""
+        assigned = _argmin_assign(
+            e.select("vec_id", "embedding"),
+            "embedding",
+            cents,
+            "sid",
+            "se",
+            "sid",
+        ).select("sid", "embedding")
         return (
             assigned.select(
                 "sid", F.posexplode(F.col("embedding")).alias("i0", "x")
