@@ -581,6 +581,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("words") >= 3)
         .select("doc_id", "lang", "source", F.expr(_SHINGLES_FROM_WORDS).alias("sh"))
     )
+    # Round-11 measured-and-rejected: localCheckpointing the shingle
+    # table so the self-join's two sides share one tokenize pass (the
+    # plan shows no exchange reuse — renamed projections) was 1.14×
+    # SLOWER interleaved (1.53 → 1.75 s min-of-6): serializing the
+    # corpus-sized shingle arrays costs more than the second scan-side
+    # tokenization, which parallelizes freely.  Recompute-over-
+    # materialize is also the right call at scale for an intermediate
+    # LARGER than its input.  See OPTIMIZATION_r11.md.
     a = shingled.alias("a")
     b = shingled.select(
         F.col("doc_id").alias("doc_b"),
