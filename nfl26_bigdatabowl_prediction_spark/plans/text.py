@@ -2457,10 +2457,6 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows the old ctx aggregate counted; the summed terms are the
     # same frozen micro-nat ints (integer addition, any order).
     bgc = bg.groupBy("bigram", "ctx").agg(F.count(F.lit(1)).alias("c_bg"))
-    # three consumers (ctx agg, V, term join) — materialize once;
-    # localCheckpoint (not the parquet round-trip) because the table is
-    # dimension-sized and every consumer reads all its columns
-    bgc = bgc.localCheckpoint(eager=False)
     ctx_counts = bgc.groupBy("ctx").agg(F.sum("c_bg").alias("c_ctx"))
     # V rides a 1-ROW broadcast cross join — the scalar-subquery shape
     # (O(n·1) at the executor), allowlisted in tests/test_plans.py's
