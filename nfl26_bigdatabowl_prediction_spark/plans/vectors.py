@@ -96,6 +96,21 @@ def _dot_duck(a: str, b: str) -> str:
     )
 
 
+def _assert_no_reserved(df: DataFrame, reserved: tuple[str, ...]) -> None:
+    """Guard the argmin helpers' fixed internal column names (round-11
+    ADVICE): an input that already carries one of them would be
+    silently overwritten or made ambiguous by the withColumn/join
+    plumbing instead of erroring.  Driver-side schema check only — no
+    job, no plan change; current call sites all pass clean schemas."""
+    hit = [c for c in df.columns if c in reserved]
+    if hit:
+        raise ValueError(
+            f"argmin helper input carries reserved internal column(s) {hit}; "
+            "rename them before calling (_sid/_se/_dss/_dvv/_cands/_dist/_w "
+            "are claimed by plans.vectors argmin plumbing)"
+        )
+
+
 def _argmin_assign(
     df: DataFrame,
     vec_col: str,
@@ -131,7 +146,21 @@ def _argmin_assign(
     the broadcast seed side always shipped; production chunks K above
     broadcast limits (the documented semdedup_ivf_scaled path keeps
     per-cell candidate lists ~√K-sized via ``cell_key``).
+
+    Precondition (round-11 ADVICE): ``cents`` must be NON-EMPTY when
+    ``cell_key`` is None — an empty candidate set packs into one row
+    holding an empty ``_cands`` array, ``array_min`` returns NULL, and
+    every corpus row would survive with a NULL ``out_col``, where the
+    old crossJoin/window form dropped all rows.  Every current caller
+    passes a fixed, generated seed set (K ≥ 1 by construction); new
+    callers with data-dependent candidate sets must guard for
+    emptiness themselves (a filter on ``out_col IS NOT NULL`` changes
+    this edge's semantics, so it is NOT applied here).  With
+    ``cell_key`` set, the inner join already drops rows of empty
+    cells — the two branches agree with the window form it replaced.
     """
+    _assert_no_reserved(df, ("_sid", "_se", "_dss", "_dvv", "_cands"))
+    _assert_no_reserved(cents, ("_sid", "_se", "_dss", "_dvv", "_cands"))
     packed = cents.select(
         F.col(sid_col).alias("_sid"),
         F.col(se_col).alias("_se"),
@@ -192,7 +221,14 @@ def _argmin_assign_agg(
     min(struct(d, sid, payload)) picks the (dist ASC, sid ASC) winner —
     sid is unique per candidate, so the comparison never reaches the
     payload fields, and the payload is group-constant anyway.
+
+    Same non-empty-``cents`` precondition as ``_argmin_assign``: an
+    empty candidate side makes the inner crossJoin drop every row
+    (here that matches the old window form, but callers should not
+    rely on divergent empty-set behavior between the two helpers).
     """
+    _assert_no_reserved(df, ("_sid", "_se", "_dss", "_dvv", "_dist", "_w"))
+    _assert_no_reserved(cents, ("_sid", "_se", "_dss", "_dvv", "_dist", "_w"))
     payload = [c for c in df.columns if c != key_col]
     packed = cents.select(
         F.col(sid_col).alias("_sid"),
@@ -1092,7 +1128,7 @@ _SEMDEDUP_K = 32  # clusters SCALE with the corpus (SemDeDup's own knob:
     """,
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread_scan(table(spark, sf_dir, "embeddings"))
+    e = spread_scan(table(spark, sf_dir, "embeddings"), probe_key=f"{sf_dir}/embeddings.parquet")
     seeds = e.filter(F.col("vec_id") < _SEMDEDUP_K).select(
         F.col("vec_id").alias("sid"), F.col("embedding").alias("se")
     )

@@ -46,18 +46,57 @@ def normalize_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
 
 
+def _file_key(path: str) -> tuple:
+    """Identity of a parquet path's CURRENT bytes: (path, mtime, size).
+    A rewrite in place changes mtime/size and invalidates the memo; a
+    different sf_dir is a different path.  stat failure (e.g. a remote
+    URI) disables memoization for that path rather than guessing."""
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ()
+
+
+_SCHEMA_MEMO: dict[tuple, T.StructType] = {}
+_SCHEMA_MEMO_ENABLED = True
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic test table (parquet is self-describing, so
-    no schema inference cost; Catalyst prunes columns at the scan).
-    ``events.ts`` is normalized to int64 epoch-micros (normalize_ts).
+    """Load one synthetic test table.  ``events.ts`` is normalized to
+    int64 epoch-micros (normalize_ts).
+
+    The table's schema is memoized per (path, mtime, size) for the
+    life of the process (round 12, guide §6 metadata cost): a bare
+    ``spark.read.parquet(path)`` pays a driver-side footer read +
+    schema inference on EVERY DataFrame construction — measured
+    55-92 ms per call on this host vs 7-12 ms with an explicit schema
+    — and the bench constructs ~440 table scans per pass, so the
+    footer tax was ~25 s of every 270 s wall.  This caches METADATA
+    only (the column names/types the file itself declares, the same
+    thing a catalog table pins); every query still lists, reads and
+    computes from the parquet bytes at execution.  The key's
+    mtime/size component invalidates on any rewrite, so a changed
+    file is re-inferred, and the schema used is always the one
+    inference over the same bytes would produce.
     """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
+        # must be set BEFORE schema inference: int64-nanos ts surfaces
+        # as bigint only under this conf (normalize_ts contract).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = _file_key(path) if _SCHEMA_MEMO_ENABLED else ()
+    schema = _SCHEMA_MEMO.get(key) if key else None
+    if schema is None:
+        df = spark.read.parquet(path)
+        if key:
+            _SCHEMA_MEMO[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
+    return normalize_ts(df) if name == "events" else df
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
+def spread_scan(df: DataFrame, probe_key: str | None = None) -> DataFrame:
     """Spread a scan across the cluster before CPU-heavy per-row work.
 
     A parquet file with one row group yields exactly ONE scan split no
@@ -72,16 +111,35 @@ def spread_scan(df: DataFrame) -> DataFrame:
     repartition's cost — round-11 A/B measured the blanket form a net
     LOSS for light tokenization consumers (1.1-1.6×) and a 1.5-3× win
     for the hash-fold queries it is now scoped to.
+
+    The split-count probe (``df.rdd.getNumPartitions()``) compiles the
+    scan to an RDD — measured ~95 ms of pure driver work per call — so
+    it is memoized per (path bytes-identity, defaultParallelism) when
+    the caller passes ``probe_key`` (round 12): the count is a pure
+    function of the file's bytes and the session's split confs, both
+    captured by the key.  Callers with per-invocation scratch paths
+    just omit the key and pay the probe.
     """
     if not _SPREAD_ENABLED:  # A/B toggle for interleaved measurement
         return df
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+    memo_key: tuple = ()
+    if probe_key is not None and _SCHEMA_MEMO_ENABLED:
+        fk = _file_key(probe_key)
+        if fk:
+            memo_key = (*fk, sc.defaultParallelism)
+    n_parts = _SPLIT_MEMO.get(memo_key) if memo_key else None
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+        if memo_key:
+            _SPLIT_MEMO[memo_key] = n_parts
+    if n_parts < sc.defaultParallelism // 2:
         return df.repartition(sc.defaultParallelism)
     return df
 
 
 _SPREAD_ENABLED = True
+_SPLIT_MEMO: dict[tuple, int] = {}
 
 
 def events_asof(spark: SparkSession, sf_dir: str, cutoff_us: int) -> DataFrame:

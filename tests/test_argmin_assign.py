@@ -132,6 +132,24 @@ def test_cell_keyed_form_scopes_and_drops_like_the_inner_join(spark, corpus):
         assert got[vid] == _expected({vid: vecs[vid]}, in_cell)[vid]
 
 
+def test_reserved_internal_names_are_rejected(spark, corpus):
+    # round-12 guard (round-11 ADVICE): an input already carrying one
+    # of the helpers' fixed internal columns must raise loudly instead
+    # of being silently overwritten / made ambiguous.
+    df, _ = corpus
+    cents, _ = _cents(spark, [0, 1, 2])
+    poisoned = df.withColumn("_dvv", F.lit(0.0))
+    with pytest.raises(ValueError, match="reserved internal column"):
+        _argmin_assign(poisoned, "embedding", cents, "sid", "se", "sid")
+    with pytest.raises(ValueError, match="reserved internal column"):
+        _argmin_assign_agg(
+            poisoned, "vec_id", "embedding", cents, "sid", "se", "sid"
+        )
+    bad_cents = cents.withColumn("_cands", F.lit(1))
+    with pytest.raises(ValueError, match="reserved internal column"):
+        _argmin_assign(df, "embedding", bad_cents, "sid", "se", "sid")
+
+
 def test_both_forms_agree(spark, corpus):
     df, _ = corpus
     cents, _ = _cents(spark, [0, 1, 2, 3, 4, 5, 6])
